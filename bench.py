@@ -1,0 +1,139 @@
+"""Benchmark: batched 256^3 scan -> joint-angles throughput on one TPU chip.
+
+BASELINE.md north star: >= 64 volumes/sec batched and < 50 ms p50 single-scan
+latency on a v5e-1. The reference publishes no numbers (its IK alone runs
+O(100 ms) on CPU and segmentation O(seconds) in SimpleITK); vs_baseline is
+measured against the 64 vol/s target.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_compilation")
+
+import numpy as np
+
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))
+SIZE = int(os.environ.get("BENCH_SIZE", "256"))
+REPS = int(os.environ.get("BENCH_REPS", "5"))
+TARGET_VOLS_PER_S = 64.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mamri_tpu.api import MamriEngine
+    from mamri_tpu.perception.segmentation import SegmentationParams
+    from __graft_entry__ import _example_volume
+
+    # bench pipeline: 4 CCL sweeps (anatomical shapes converge in 2-4;
+    # correctness suite runs 8) and the reference's 2-guess IK restarts.
+    engine = MamriEngine(
+        seg_params=SegmentationParams(max_sweeps=4), ik_iters=40, ik_restarts=0
+    )
+
+    # one realistic scene rendered directly into a SIZE^3 grid: spacing fitted
+    # so the whole arm + phantom lies inside the volume
+    from mamri_tpu.core import transforms as T
+    from mamri_tpu.core.robot import marker_world_positions
+    from mamri_tpu.perception.volume import synthetic_volume
+
+    angles = jnp.array([0.3, -0.7, 0.5, 0.2, -0.4, 0.6])
+    base = np.asarray(
+        T.translate(jnp.array([-60.0, -120.0, 0.0]))
+        @ T.rot_x(jnp.float32(-np.pi / 2))
+        @ T.rot_z(jnp.float32(0.15))
+    )
+    links = ["Baseplate", "Joint2", "Joint4", "Joint6"]
+    pts = np.concatenate(
+        [np.asarray(marker_world_positions(engine.model, angles, ln, jnp.asarray(base))) for ln in links]
+    )
+    body_center = [-60.0, -40.0, 130.0]
+    lo = np.minimum(pts.min(0) - 40, np.array(body_center) - 75)
+    hi = np.maximum(pts.max(0) + 40, np.array(body_center) + 75)
+    lps_lo = np.array([-hi[0], -hi[1], lo[2]], dtype=np.float32)
+    lps_hi = np.array([-lo[0], -lo[1], hi[2]], dtype=np.float32)
+    spacing = np.full(3, float((lps_hi - lps_lo).max()) / SIZE, dtype=np.float32)
+    origin = lps_lo
+    vol = synthetic_volume(
+        shape=(SIZE, SIZE, SIZE),
+        spacing=spacing,
+        origin=origin,
+        fiducials_ras=pts,
+        fiducial_radius_mm=4.0,
+        body_center_ras=body_center,
+        body_radii_mm=[45.0, 55.0, 65.0],
+    )
+    data = vol.data
+
+    batch = np.broadcast_to(data, (BATCH,) + data.shape)
+
+    # keep outputs tiny: angles/steps/success only stay on device until fetch
+    pipeline = engine._pipeline_fn()
+
+    def one(d):
+        out = pipeline(
+            d,
+            jnp.asarray(spacing),
+            jnp.asarray(origin),
+            jnp.eye(4, dtype=jnp.float32),
+            jnp.asarray(False),
+            jnp.asarray(False),
+            jnp.asarray(False),
+            jnp.zeros(engine.model.num_joints, dtype=jnp.float32),
+        )
+        return {"angles": out["angles"], "rmse": out["rmse"], "success": out["success"]}
+
+    fb = jax.jit(jax.vmap(one))
+    f1 = jax.jit(one)
+
+    dev_batch = jnp.asarray(batch)
+    dev_one = jnp.asarray(data)
+
+    # warmup / compile
+    jax.block_until_ready(fb(dev_batch))
+    jax.block_until_ready(f1(dev_one))
+
+    # batched throughput
+    times = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fb(dev_batch))
+        times.append(time.perf_counter() - t0)
+    batch_t = min(times)
+    vols_per_s = BATCH / batch_t
+
+    # single-volume latency p50
+    lats = []
+    for _ in range(max(REPS * 2, 10)):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f1(dev_one))
+        lats.append(time.perf_counter() - t0)
+    p50_ms = sorted(lats)[len(lats) // 2] * 1e3
+
+    out = fb(dev_batch)
+    ok = bool(np.asarray(out["success"]).all())
+
+    print(
+        json.dumps(
+            {
+                "metric": f"scan->joint-angles throughput, batched {SIZE}^3 MRI volumes",
+                "value": round(vols_per_s, 3),
+                "unit": "volumes/sec",
+                "vs_baseline": round(vols_per_s / TARGET_VOLS_PER_S, 4),
+                "p50_latency_ms": round(p50_ms, 2),
+                "batch": BATCH,
+                "volume": f"{SIZE}^3",
+                "pipeline_success": ok,
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,472 @@
+"""MamriEngine — the public facade of the TPU-native framework.
+
+Equivalent surface to the reference's `MamriLogic` (Mamri/Mamri.py:801-1935):
+pose estimation (`process` -> `estimate_pose`), baseplate persistence, entry
+point search, trajectory goal IK, heuristic path planning, pose state, unit
+conversion, and the hardware stack — but the compute path is one fused,
+jit-compiled program per volume shape, and batched estimation over a device
+mesh is first-class (the reference has no batching at all).
+
+Scene-graph state (MRML nodes) becomes plain arrays on this object; the
+functional core stays pure.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from functools import partial
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mamri_tpu.core import transforms
+from mamri_tpu.core.robot import RobotModel, fk_all_links, load_robot_model
+from mamri_tpu.core.units import angles_to_steps, steps_to_angles
+from mamri_tpu.ik.residuals import solve_full_chain_ik
+from mamri_tpu.perception.segmentation import SegmentationParams, segment_volume
+from mamri_tpu.perception.volume import Volume
+from mamri_tpu.planning.collision import build_collision_world
+from mamri_tpu.planning.entry import EntryPointResult, find_entry_point
+from mamri_tpu.planning.geometry import ArmGeometry, build_arm_geometry
+from mamri_tpu.planning.heuristic import check_path_collisions, heuristic_keyframes, interpolate_path
+from mamri_tpu.planning.trajectory import solve_trajectory_ik
+from mamri_tpu.registration.kabsch import kabsch_rigid_transform
+from mamri_tpu.registration.lshape import match_l_shaped_triplets
+from mamri_tpu.api.types import PoseEstimate, TrajectoryPlan
+from mamri_tpu.utils.trace import Tracer
+
+logger = logging.getLogger(__name__)
+
+MARKER_LINKS = ("Baseplate", "Joint2", "Joint4", "Joint6")
+DEFAULT_SAFETY_DISTANCE_MM = 5.0
+
+
+class MamriEngine:
+    def __init__(
+        self,
+        config_path: Optional[str] = None,
+        mesh_dir: Optional[str] = None,
+        seg_params: SegmentationParams = SegmentationParams(),
+        tracer: Optional[Tracer] = None,
+        ik_iters: int = 80,
+        ik_restarts: int = 8,
+    ):
+        self.model: RobotModel = load_robot_model(config_path)
+        self.geometry: ArmGeometry = build_arm_geometry(self.model, mesh_dir)
+        self.seg_params = seg_params
+        self.tracer = tracer or Tracer(enabled=False)
+        self.ik_iters = ik_iters
+        self.ik_restarts = ik_restarts
+
+        self._arm_lengths = [self.model.spec(ln).arm_lengths for ln in MARKER_LINKS]
+        # mutable scene state (the reference keeps this in MRML nodes)
+        self.current_angles = np.zeros(self.model.num_joints, dtype=np.float32)
+        self.baseplate_tf: Optional[np.ndarray] = None
+        self.saved_baseplate: Optional[np.ndarray] = None
+        self.last_ik_error: Optional[float] = None
+        self.last_segmentation = None
+        self.last_volume_geom: Optional[Tuple[np.ndarray, np.ndarray]] = None  # (spacing, origin)
+        self.last_collision_world = None
+        self.trajectory_path: Optional[np.ndarray] = None
+        self.trajectory_keyframes: Optional[np.ndarray] = None
+        self.hardware = None  # HardwareStack, attached on demand
+
+        self._pipeline_cache: Dict[Tuple, callable] = {}
+        self._batch_cache: Dict[Tuple, callable] = {}
+
+    # ------------------------------------------------------------------ compute core
+    def _pipeline_fn(self):
+        """The fused per-volume program: segmentation -> matching -> baseplate
+        -> full-chain IK. One trace, one XLA program, no host round-trips."""
+        model = self.model
+        seg_params = self.seg_params
+        arm_lengths = self._arm_lengths
+        bp_local = model.marker_local[model.link_index("Baseplate")]
+        ik_iters = self.ik_iters
+        ik_restarts = self.ik_restarts
+
+        def pipeline(data, spacing, origin, saved_tf, use_saved, have_saved, apply_correction, current_angles):
+            seg = segment_volume(data, spacing, origin, seg_params)
+            matches = match_l_shaped_triplets(seg.centroids_ras, seg.blob_valid, arm_lengths)
+            bp_found = matches.found[0]
+
+            # baseplate: Y-flatten detected markers (Mamri.py:1371-1373), Kabsch
+            bp_pts = matches.points[0]
+            bp_pts = bp_pts.at[:, 1].set(jnp.mean(bp_pts[:, 1]))
+            detected_tf = kabsch_rigid_transform(bp_local, bp_pts)
+
+            # priority: saved-if-requested > detected > saved fallback (Mamri.py:1382-1408)
+            use_saved_now = jnp.logical_and(use_saved, have_saved)
+            fallback_saved = jnp.logical_and(jnp.logical_not(bp_found), have_saved)
+            base_tf = jnp.where(
+                use_saved_now, saved_tf, jnp.where(bp_found, detected_tf, saved_tf)
+            )
+            base_ok = jnp.logical_or(use_saved_now, jnp.logical_or(bp_found, fallback_saved))
+            # source code: 0=none 1=detected 2=saved 3=saved_fallback
+            source = jnp.where(
+                use_saved_now,
+                2,
+                jnp.where(bp_found, 1, jnp.where(fallback_saved, 3, 0)),
+            )
+
+            j6_found = matches.found[3]
+            ik = solve_full_chain_ik(
+                model,
+                matches.points[3],
+                base_tf,
+                current_angles=current_angles,
+                apply_correction=apply_correction,
+                joint4_targets=matches.points[2],
+                joint4_found=matches.found[2],
+                num_iters=ik_iters,
+                num_random_restarts=ik_restarts,
+            )
+            steps = angles_to_steps(ik.angles, model.steps_per_rev)
+            success = jnp.logical_and(base_ok, j6_found)
+            return {
+                "success": success,
+                "angles": ik.angles,
+                "steps": steps,
+                "rmse": ik.rmse,
+                "base_tf": base_tf,
+                "base_ok": base_ok,
+                "base_source": source,
+                "markers_found": matches.found,
+                "num_blobs": seg.num_blobs,
+                "body_mask": seg.body_mask,
+                "body_found": seg.body_found,
+            }
+
+        return pipeline
+
+    def _get_pipeline(self, shape):
+        key = tuple(shape)
+        if key not in self._pipeline_cache:
+            self._pipeline_cache[key] = jax.jit(self._pipeline_fn())
+        return self._pipeline_cache[key]
+
+    # ------------------------------------------------------------------ pose estimation
+    def estimate_pose(
+        self,
+        volume: Volume,
+        use_saved_baseplate: bool = False,
+        apply_correction: bool = False,
+        store_state: bool = True,
+    ) -> PoseEstimate:
+        """The reference's `process()` (Mamri.py:850-880), one fused program."""
+        saved = self.saved_baseplate if self.saved_baseplate is not None else np.eye(4, dtype=np.float32)
+        fn = self._get_pipeline(volume.shape)
+        with self.tracer.span("estimate_pose"):
+            out = fn(
+                jnp.asarray(volume.data),
+                jnp.asarray(volume.spacing),
+                jnp.asarray(volume.origin),
+                jnp.asarray(saved),
+                jnp.asarray(use_saved_baseplate),
+                jnp.asarray(self.saved_baseplate is not None),
+                jnp.asarray(apply_correction),
+                jnp.asarray(self.current_angles),
+            )
+            out = jax.device_get(out)
+
+        markers_found = {ln: bool(f) for ln, f in zip(MARKER_LINKS, out["markers_found"])}
+        source = ["none", "detected", "saved", "saved_fallback"][int(out["base_source"])]
+        if store_state:
+            self.last_segmentation = out
+            self.last_volume_geom = (np.asarray(volume.spacing), np.asarray(volume.origin))
+            self.last_collision_world = None  # rebuilt lazily from the new body
+        if not bool(out["base_ok"]):
+            logger.error("baseplate transform unavailable (not detected, no saved transform)")
+            return PoseEstimate(
+                success=False,
+                markers_found=markers_found,
+                num_blobs=int(out["num_blobs"]),
+                message="Pose estimation failed: baseplate not detected and no saved transform.",
+            )
+        if store_state:
+            self.baseplate_tf = np.asarray(out["base_tf"])
+        if not markers_found["Joint6"]:
+            logger.info("Joint6 markers not found; cannot estimate pose (Mamri.py:875)")
+            return PoseEstimate(
+                success=False,
+                baseplate_tf=np.asarray(out["base_tf"]),
+                baseplate_source=source,
+                markers_found=markers_found,
+                num_blobs=int(out["num_blobs"]),
+                message="Joint6 markers not found.",
+            )
+        angles = np.asarray(out["angles"])
+        if store_state:
+            self.current_angles = angles.astype(np.float32)
+            self.last_ik_error = float(out["rmse"])
+        return PoseEstimate(
+            success=True,
+            angles_rad=angles,
+            steps=np.asarray(out["steps"]),
+            rmse_mm=float(out["rmse"]),
+            baseplate_tf=np.asarray(out["base_tf"]),
+            baseplate_source=source,
+            markers_found=markers_found,
+            num_blobs=int(out["num_blobs"]),
+        )
+
+    def estimate_pose_batch(self, data_batch, spacing, origin, apply_correction: bool = False, donate: bool = True):
+        """Batched pose estimation — vmapped fused pipeline, shardable over a
+        device mesh (see mamri_tpu/parallel). Returns raw device arrays
+        (dict of stacked outputs); no engine state is mutated."""
+        key = ("batch", tuple(np.shape(data_batch)[1:]))
+        if key not in self._batch_cache:
+            pipeline = self._pipeline_fn()
+
+            def one(data, spacing, origin, apply_correction):
+                return pipeline(
+                    data,
+                    spacing,
+                    origin,
+                    jnp.eye(4, dtype=jnp.float32),
+                    jnp.asarray(False),
+                    jnp.asarray(False),
+                    apply_correction,
+                    jnp.zeros(self.model.num_joints, dtype=jnp.float32),
+                )
+
+            batched = jax.vmap(one, in_axes=(0, None, None, None))
+            kw = {"donate_argnums": (0,)} if donate else {}
+            self._batch_cache[key] = jax.jit(batched, **kw)
+        out = self._batch_cache[key](
+            jnp.asarray(data_batch),
+            jnp.asarray(spacing),
+            jnp.asarray(origin),
+            jnp.asarray(apply_correction),
+        )
+        out.pop("body_mask", None)  # don't ship B full masks back by default
+        return out
+
+    # ------------------------------------------------------------------ baseplate persistence
+    def save_baseplate(self, path: Optional[str] = None) -> np.ndarray:
+        """Persist the current baseplate transform (reference:
+        `saveBaseplateTransform`, Mamri.py:1035-1043)."""
+        if self.baseplate_tf is None:
+            raise RuntimeError("no baseplate transform yet; run estimate_pose first")
+        self.saved_baseplate = np.asarray(self.baseplate_tf).copy()
+        if path is not None:
+            np.savez(path, baseplate_tf=self.saved_baseplate)
+        return self.saved_baseplate
+
+    def load_baseplate(self, path: str) -> np.ndarray:
+        with np.load(path) as f:
+            self.saved_baseplate = np.asarray(f["baseplate_tf"], dtype=np.float32)
+        return self.saved_baseplate
+
+    # ------------------------------------------------------------------ scene state
+    def set_pose(self, angles_rad) -> None:
+        """`setRobotPose` (Mamri.py:1473-1484) minus the scene graph."""
+        angles = np.asarray(angles_rad, dtype=np.float32).reshape(-1)
+        if angles.shape[0] != self.model.num_joints:
+            raise ValueError(f"expected {self.model.num_joints} angles, got {angles.shape[0]}")
+        self.current_angles = angles
+
+    def get_current_joint_angles(self) -> np.ndarray:
+        return self.current_angles.copy()
+
+    def zero_robot(self) -> None:
+        self.current_angles = np.zeros_like(self.current_angles)
+
+    def link_world_transforms(self, angles_rad=None) -> np.ndarray:
+        base = self.baseplate_tf if self.baseplate_tf is not None else np.eye(4, dtype=np.float32)
+        a = self.current_angles if angles_rad is None else np.asarray(angles_rad, dtype=np.float32)
+        return np.asarray(fk_all_links(self.model, jnp.asarray(a), jnp.asarray(base)))
+
+    def needle_tcp(self, angles_rad=None) -> np.ndarray:
+        """World transform of the needle TCP (live-status display path,
+        Mamri.py:600-618)."""
+        return self.link_world_transforms(angles_rad)[self.model.link_index("Needle")]
+
+    # ------------------------------------------------------------------ conversions
+    def convert_angles_to_steps(self, angles_rad) -> np.ndarray:
+        return np.asarray(angles_to_steps(jnp.asarray(angles_rad), self.model.steps_per_rev))
+
+    def convert_steps_to_angles(self, steps) -> np.ndarray:
+        return np.asarray(steps_to_angles(jnp.asarray(steps), self.model.steps_per_rev))
+
+    # ------------------------------------------------------------------ planning
+    def _require_body_world(self):
+        if self.last_collision_world is not None:
+            return self.last_collision_world
+        if self.last_segmentation is None or not bool(self.last_segmentation["body_found"]):
+            return None
+        spacing, origin = self.last_volume_geom
+        with self.tracer.span("build_collision_world"):
+            self.last_collision_world = build_collision_world(
+                jnp.asarray(self.last_segmentation["body_mask"]), spacing, origin
+            )
+        return self.last_collision_world
+
+    def find_entry_point(self, target_ras) -> EntryPointResult:
+        """`findAndSetEntryPoint` (Mamri.py:987-1033) on the voxel surface."""
+        if self.last_segmentation is None or not bool(self.last_segmentation["body_found"]):
+            raise RuntimeError("no body segmentation available; run estimate_pose first")
+        spacing, origin = self.last_volume_geom
+        with self.tracer.span("find_entry_point"):
+            res = find_entry_point(
+                jnp.asarray(self.last_segmentation["body_mask"]), spacing, origin, jnp.asarray(target_ras)
+            )
+        return jax.device_get(res)
+
+    def plan_trajectory(self, target_ras, entry_ras, safety_distance_mm: float = DEFAULT_SAFETY_DISTANCE_MM):
+        """`planTrajectory` (Mamri.py:882-939): collision-aware goal IK."""
+        if self.baseplate_tf is None:
+            raise RuntimeError("robot base unknown; run estimate_pose first")
+        world = self._require_body_world()
+        with self.tracer.span("plan_trajectory"):
+            res = solve_trajectory_ik(
+                self.model,
+                self.geometry,
+                jnp.asarray(target_ras, dtype=jnp.float32),
+                jnp.asarray(entry_ras, dtype=jnp.float32),
+                jnp.asarray(safety_distance_mm, dtype=jnp.float32),
+                jnp.asarray(self.baseplate_tf),
+                world,
+                current_angles=jnp.asarray(self.current_angles),
+            )
+        return jax.device_get(res)
+
+    def plan_heuristic_path(
+        self,
+        target_ras,
+        entry_ras,
+        safety_distance_mm: float = DEFAULT_SAFETY_DISTANCE_MM,
+        start_pose_steps=None,
+        total_steps: int = 100,
+    ) -> TrajectoryPlan:
+        """`planHeuristicPath` (Mamri.py:941-985): up-over-down keyframes,
+        25/25/50 interpolation, whole-path collision check in one vmap."""
+        goal = self.plan_trajectory(target_ras, entry_ras, safety_distance_mm)
+        if not bool(goal.success):
+            return TrajectoryPlan(success=False, message="Could not find a valid, collision-free trajectory solution.")
+        if start_pose_steps is not None:
+            start = self.convert_steps_to_angles(np.asarray(start_pose_steps))
+        else:
+            start = self.current_angles
+            logger.warning("no estimated start pose provided; planning from current pose")
+        with self.tracer.span("plan_heuristic_path"):
+            kf = heuristic_keyframes(jnp.asarray(start, dtype=jnp.float32), jnp.asarray(goal.angles))
+            path = interpolate_path(kf, total_steps)
+            world = self._require_body_world()
+            if world is not None:
+                flags = check_path_collisions(
+                    self.model, self.geometry, path, jnp.asarray(self.baseplate_tf), world
+                )
+                collision = bool(np.asarray(flags).any())
+            else:
+                logger.warning("no body segmentation for path collision checking")
+                collision = False
+        plan = TrajectoryPlan(
+            success=True,
+            path=np.asarray(path),
+            keyframes=np.asarray(kf),
+            collision_detected=collision,
+            goal_angles=np.asarray(goal.angles),
+            goal_steps=self.convert_angles_to_steps(np.asarray(goal.angles)),
+            position_error_mm=float(goal.position_error_mm),
+        )
+        if collision:
+            plan.message = "Warning: the generated path results in a collision."
+            logger.warning(plan.message)
+        self.trajectory_path = plan.path
+        self.trajectory_keyframes = plan.keyframes
+        return plan
+
+    # ------------------------------------------------------------------ state persistence
+    def save_state(self, path: str) -> None:
+        """Checkpoint the engine scene state (baseplate + pose + saved node)."""
+        arrays = {"current_angles": self.current_angles}
+        meta = {"has_baseplate": self.baseplate_tf is not None, "has_saved": self.saved_baseplate is not None}
+        if self.baseplate_tf is not None:
+            arrays["baseplate_tf"] = self.baseplate_tf
+        if self.saved_baseplate is not None:
+            arrays["saved_baseplate"] = self.saved_baseplate
+        np.savez(path, **arrays)
+        with open(path + ".meta.json", "w") as f:
+            json.dump(meta, f)
+
+    def load_state(self, path: str) -> None:
+        with np.load(path) as f:
+            self.current_angles = np.asarray(f["current_angles"], dtype=np.float32)
+            if "baseplate_tf" in f:
+                self.baseplate_tf = np.asarray(f["baseplate_tf"], dtype=np.float32)
+            if "saved_baseplate" in f:
+                self.saved_baseplate = np.asarray(f["saved_baseplate"], dtype=np.float32)
+
+    # ------------------------------------------------------------------ hardware
+    def attach_hardware(self, controller_transport, encoder_transport):
+        """Bind the serial (or simulated) links and build the executor stack."""
+        from mamri_tpu.hw.devices import EncoderLink, MotorControllerLink
+        from mamri_tpu.hw.executor import RobotTaskRunner
+        from mamri_tpu.hw.sync import SyncMonitor
+
+        controller = MotorControllerLink(controller_transport, motor_letters=self.model.motor_letters)
+        encoder = EncoderLink(encoder_transport, num_joints=self.model.num_joints)
+        if not controller.handshake():
+            raise RuntimeError("motor controller handshake failed")
+        if not encoder.handshake():
+            controller.disconnect()
+            raise RuntimeError("encoder handshake failed")
+
+        def pose_cb(steps):
+            self.set_pose(self.convert_steps_to_angles(np.asarray(steps)))
+
+        runner = RobotTaskRunner(
+            controller,
+            encoder,
+            angles_to_steps=lambda a: self.convert_angles_to_steps(np.asarray(a)),
+            pose_callback=pose_cb,
+        )
+        sync = SyncMonitor(controller, encoder)
+        self.hardware = HardwareStack(controller=controller, encoder=encoder, runner=runner, sync=sync)
+        return self.hardware
+
+
+class HardwareStack:
+    """The connected hardware bundle (controller + encoder + executor + sync)."""
+
+    def __init__(self, controller, encoder, runner, sync):
+        self.controller = controller
+        self.encoder = encoder
+        self.runner = runner
+        self.sync = sync
+
+    def move_to_pose(self, steps, **kw):
+        return self.runner.start("move_to_pose", target_steps=steps, **kw)
+
+    def execute_trajectory(self, keyframes, **kw):
+        return self.runner.start("trajectory", keyframes=keyframes, **kw)
+
+    def return_to_zero(self, num_joints: int = 6, **kw):
+        return self.runner.start("homing", target_steps=[0] * num_joints, **kw)
+
+    def jog(self, joint_index: int, delta_steps: int, **kw):
+        current = self.controller.query_positions()
+        if current is None:
+            raise RuntimeError("could not read current position for jog")
+        target = list(current)
+        target[joint_index] += delta_steps
+        return self.runner.start("jog", target_steps=target, **kw)
+
+    def stop(self):
+        self.runner.request_stop()
+
+    def zero_hardware(self):
+        """'R' to the encoder + 'S0,...' to the controller (Mamri.py:1221-1239)."""
+        if not (self.encoder.is_connected and self.controller.is_connected):
+            raise RuntimeError("both encoder and controller must be connected to zero hardware")
+        self.encoder.reset_counters()
+        self.controller.zero_counters()
+
+    def disconnect(self):
+        self.encoder.disconnect()
+        self.controller.disconnect()

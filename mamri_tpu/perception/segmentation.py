@@ -108,18 +108,23 @@ def _segmented_min_scan(lab, reset, axis: int, reverse: bool):
     return vals
 
 
-def connected_components(mask, max_sweeps: int = 16):
+def connected_components(mask, max_sweeps: int = 8):
     """6-connectivity CCL: label = min linear index over the component.
 
-    Iterates {forward, backward} segmented min-scans along all three axes
-    until a fixed point (capped at `max_sweeps`). Each sweep propagates labels
-    along entire straight runs, so convergence needs only as many sweeps as
-    the component's shortest paths turn corners — small for anatomical blobs.
+    Runs exactly `max_sweeps` rounds of {forward, backward} segmented
+    min-scans along all three axes. Each sweep propagates labels along entire
+    straight runs, so convergence needs only as many sweeps as the
+    component's shortest paths turn corners — anatomical blobs/bodies settle
+    in 2-4; sweeps past convergence are idempotent. A *fixed* `lax.scan` (not
+    a convergence-tested while_loop) is deliberate: it is vmap-exact (a
+    data-dependent while_loop under vmap produced corrupted labels at volume
+    scale), avoids a full-volume reduction per sweep, and compiles to a
+    static-shape program. Pathological spiral shapes needing more rounds can
+    raise `max_sweeps` (SegmentationParams.max_sweeps).
     Background voxels carry the sentinel int32 max.
     """
     shape = mask.shape
     nx, ny, nz = shape
-    n = nx * ny * nz
     # Raster order = (z, y, x) lexicographic, matching ITK's visiting order so
     # component ordering (min label) reproduces ITK label numbering.
     gi = lax.broadcasted_iota(jnp.int32, shape, 0)
@@ -129,23 +134,14 @@ def connected_components(mask, max_sweeps: int = 16):
     lab0 = jnp.where(mask, lin, _BIG)
     reset = jnp.logical_not(mask)
 
-    def sweep(lab):
+    def body(lab, _):
         for axis in (0, 1, 2):
             fwd = _segmented_min_scan(lab, reset, axis, reverse=False)
             bwd = _segmented_min_scan(lab, reset, axis, reverse=True)
             lab = jnp.minimum(jnp.minimum(fwd, bwd), lab)
-        return lab
+        return lab, None
 
-    def cond(state):
-        _, changed, i = state
-        return jnp.logical_and(changed, i < max_sweeps)
-
-    def body(state):
-        lab, _, i = state
-        new = sweep(lab)
-        return new, jnp.any(new != lab), i + 1
-
-    lab, _, _ = lax.while_loop(cond, body, (sweep(lab0), jnp.bool_(True), jnp.int32(1)))
+    lab, _ = lax.scan(body, lab0, None, length=max_sweeps)
     return lab
 
 

@@ -1,0 +1,120 @@
+"""Trajectory goal IK: reach the needle standoff pose, collision-aware.
+
+Parity with `planTrajectory` (Mamri/Mamri.py:882-939):
+  * target frame: x_axis = normalize(target - entry); needle tip standoff =
+    entry - safety_distance * x_axis (:900-901); y/z from world-up with the
+    0.99-parallel fallback (:906-910).
+  * bounded least squares from {current pose, zero pose}; the winner is the
+    lowest final *position* error among converged runs (:929-933).
+  * collision handling: the reference returns [1e4]*6 inside collision
+    (:1541-1542) — a zero-gradient wall. Here the residual gets a smooth
+    penetration-depth term instead, and reference-equivalent selection is
+    restored afterwards by masking colliding solutions out of the argmin.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mamri_tpu.core.robot import RobotModel
+from mamri_tpu.ik.lm import least_squares_lm
+from mamri_tpu.ik.residuals import trajectory_pose_residual
+from mamri_tpu.planning.collision import CollisionWorld, config_collides, config_penetration
+from mamri_tpu.planning.geometry import ArmGeometry
+
+COLLISION_PENALTY_WEIGHT = 20.0  # mm of penetration -> residual units
+
+
+class TrajectoryIKResult(NamedTuple):
+    angles: jnp.ndarray  # (J,)
+    position_error_mm: jnp.ndarray  # ()
+    orientation_error: jnp.ndarray  # () |50*(tx-(-fx))|
+    collides: jnp.ndarray  # () bool — boolean check at the solution
+    success: jnp.ndarray  # () bool — converged, collision-free
+    target_tf: jnp.ndarray  # (4, 4) the needle target frame solved for
+
+
+def needle_target_frame(target_ras, entry_ras, safety_distance_mm):
+    """Build the needle goal frame from target/entry markers (Mamri.py:895-911)."""
+    target_ras = jnp.asarray(target_ras, dtype=jnp.float32)
+    entry_ras = jnp.asarray(entry_ras, dtype=jnp.float32)
+    direction = target_ras - entry_ras
+    x_axis = direction / jnp.maximum(jnp.linalg.norm(direction), 1e-9)
+    tip = entry_ras - safety_distance_mm * x_axis
+
+    up = jnp.asarray([0.0, 0.0, 1.0])
+    alt = jnp.asarray([0.0, 1.0, 0.0])
+    use_alt = jnp.abs(jnp.dot(x_axis, up)) > 0.99
+    up = jnp.where(use_alt, alt, up)
+    y_axis = jnp.cross(up, x_axis)
+    y_axis = y_axis / jnp.maximum(jnp.linalg.norm(y_axis), 1e-9)
+    z_axis = jnp.cross(x_axis, y_axis)
+    m = jnp.eye(4, dtype=jnp.float32)
+    m = m.at[:3, 0].set(x_axis).at[:3, 1].set(y_axis).at[:3, 2].set(z_axis).at[:3, 3].set(tip)
+    return m
+
+
+def solve_trajectory_ik(
+    model: RobotModel,
+    geometry: ArmGeometry,
+    target_ras,
+    entry_ras,
+    safety_distance_mm,
+    base_tf,
+    world: Optional[CollisionWorld],
+    current_angles=None,
+    num_iters: int = 100,
+    num_random_restarts: int = 6,
+    restart_seed: int = 0,
+) -> TrajectoryIKResult:
+    nj = model.num_joints
+    dtype = model.limits_rad.dtype
+    if current_angles is None:
+        current_angles = jnp.zeros(nj, dtype=dtype)
+    target_tf = needle_target_frame(target_ras, entry_ras, safety_distance_mm)
+
+    def residual(x):
+        base = trajectory_pose_residual(model, x, base_tf, target_tf)
+        if world is None:
+            return base
+        pen = config_penetration(model, geometry.part_points, geometry.part_link_idx, x, base_tf, world)
+        return jnp.concatenate([base, jnp.array([COLLISION_PENALTY_WEIGHT]) * pen[None]])
+
+    lower = model.limits_rad[:, 0]
+    upper = model.limits_rad[:, 1]
+    guesses = [jnp.asarray(current_angles, dtype=dtype), jnp.zeros(nj, dtype=dtype)]
+    if num_random_restarts > 0:
+        key = jax.random.PRNGKey(restart_seed)
+        rand = jax.random.uniform(key, (num_random_restarts, nj), minval=lower * 0.8, maxval=upper * 0.8)
+        guesses = jnp.concatenate([jnp.stack(guesses), rand])
+    else:
+        guesses = jnp.stack(guesses)
+
+    results = jax.vmap(lambda g: least_squares_lm(residual, g, lower, upper, num_iters=num_iters))(guesses)
+
+    def eval_solution(x):
+        pose_res = trajectory_pose_residual(model, x, base_tf, target_tf)
+        pos_err = jnp.linalg.norm(pose_res[:3])
+        orient_err = jnp.linalg.norm(pose_res[3:6])
+        if world is None:
+            coll = jnp.bool_(False)
+        else:
+            coll = config_collides(model, geometry.part_points, geometry.part_link_idx, x, base_tf, world)
+        return pos_err, orient_err, coll
+
+    pos_errs, orient_errs, colls = jax.vmap(eval_solution)(results.x)
+    # reference semantics: colliding solutions carry a huge final error
+    # ([1e4]*6 residual), so the argmin effectively selects collision-free
+    score = jnp.where(colls, jnp.float32(1e8), pos_errs)
+    best = jnp.argmin(score)
+    return TrajectoryIKResult(
+        angles=results.x[best],
+        position_error_mm=pos_errs[best],
+        orientation_error=orient_errs[best],
+        collides=colls[best],
+        success=jnp.logical_and(jnp.logical_not(colls[best]), pos_errs[best] < 10.0),
+        target_tf=target_tf,
+    )

@@ -93,6 +93,7 @@ def match_l_shaped_triplets(
     valid,
     arm_lengths: Sequence[Tuple[float, float]],
     tol: float = 5.0,
+    strict_reference_order: bool = False,
 ) -> LShapeMatches:
     """Greedy per-link triplet assignment over K candidate blobs.
 
@@ -102,6 +103,16 @@ def match_l_shaped_triplets(
       arm_lengths: per marker-link (l1, l2), in the link order the greedy
         consumption should follow (robot-definition order in the reference).
       tol: per-distance tolerance in mm (reference DISTANCE_TOLERANCE = 5).
+      strict_reference_order: the reference takes the FIRST in-tolerance
+        combination in blob order (Mamri.py:1356-1362). All four MAMRI marker
+        signatures overlap pairwise within the 5 mm tolerance
+        (Baseplate(40,20)~Joint6(45,20), Joint2(70,25)~Joint4(70,20)), so
+        first-match can hand a link the wrong link's triplet whenever blob
+        ordering is unlucky — leaving the rightful link unmatched. Default
+        False selects the *minimum-signature-error* in-tolerance combination
+        per link instead: identical whenever the reference is unambiguous,
+        correct where it is order-dependent. True reproduces the reference
+        exactly.
     """
     points = jnp.asarray(points)
     valid = jnp.asarray(valid)
@@ -129,14 +140,18 @@ def match_l_shaped_triplets(
     out_ids = []
     for l1, l2 in arm_lengths:
         expected = jnp.asarray(expected_distances(l1, l2), dtype=points.dtype)
-        fits = jnp.all(jnp.abs(sig - expected[None, :]) <= tol, axis=-1)
+        sig_err = jnp.abs(sig - expected[None, :])
+        fits = jnp.all(sig_err <= tol, axis=-1)
         free = ~(used[combos[:, 0]] | used[combos[:, 1]] | used[combos[:, 2]])
         ok = fits & members_valid & free
-        first = jnp.argmax(ok)  # first combo in lexicographic order
+        if strict_reference_order:
+            choice = jnp.argmax(ok)  # first combo in lexicographic order
+        else:
+            choice = jnp.argmin(jnp.where(ok, jnp.sum(sig_err, axis=-1), jnp.inf))
         found = jnp.any(ok)
-        idx = combos[first]  # (3,)
+        idx = combos[choice]  # (3,)
         triplet = points[idx]
-        ordered, _ = order_l_shape(triplet, l1, l2, tol)
+        ordered, _ = order_l_shape(triplet, l1, l2, tol, strict_reference_order)
         # consume blob ids only on a real match
         consume = jnp.zeros((k,), dtype=bool).at[idx].set(found)
         used = used | consume

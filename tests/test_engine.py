@@ -1,0 +1,195 @@
+"""End-to-end engine tests: synthetic scan -> pose -> entry -> plan -> execute.
+
+Scene construction: the MAMRI arm stands on the scanner bed with local +Z
+along world +Y (anterior up) — the mounting that makes the reference's
+baseplate Y-flatten geometrically meaningful — and fiducial spheres are
+rendered at FK marker positions, with an ellipsoid body phantom beside the
+arm (SURVEY.md §4 seams a+b, BASELINE configs 1/2/4).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mamri_tpu.api import MamriEngine
+from mamri_tpu.core import transforms as T
+from mamri_tpu.core.robot import marker_world_positions
+from mamri_tpu.perception.volume import Volume, synthetic_volume
+
+TRUE_ANGLES = np.array([0.3, -0.7, 0.5, 0.2, -0.4, 0.6], dtype=np.float32)
+
+
+def _base_tf(yaw=0.15, t=(-60.0, -120.0, 0.0)):
+    return np.asarray(
+        T.translate(jnp.asarray(np.array(t, dtype=np.float32)))
+        @ T.rot_x(jnp.float32(-np.pi / 2))
+        @ T.rot_z(jnp.float32(yaw))
+    )
+
+
+def _make_scene(engine, angles=TRUE_ANGLES, base=None, body=True, spacing=2.0):
+    base = _base_tf() if base is None else base
+    marker_links = ["Baseplate", "Joint2", "Joint4", "Joint6"]
+    pts = np.concatenate(
+        [np.asarray(marker_world_positions(engine.model, jnp.asarray(angles), ln, jnp.asarray(base))) for ln in marker_links]
+    )
+    lo = pts.min(0) - 40
+    hi = pts.max(0) + 40
+    body_center = [-60.0, -40.0, 130.0]
+    if body:
+        lo = np.minimum(lo, np.array(body_center) - 75)
+        hi = np.maximum(hi, np.array(body_center) + 75)
+    lps_lo = np.array([-hi[0], -hi[1], lo[2]])
+    lps_hi = np.array([-lo[0], -lo[1], hi[2]])
+    sp = np.array([spacing] * 3, dtype=np.float32)
+    shape = tuple(int(np.ceil(e)) for e in (lps_hi - lps_lo) / sp)
+    return synthetic_volume(
+        shape=shape,
+        spacing=sp,
+        origin=lps_lo,
+        fiducials_ras=pts,
+        fiducial_radius_mm=4.0,
+        body_center_ras=body_center if body else None,
+        body_radii_mm=[45.0, 55.0, 65.0] if body else None,
+    ), base
+
+
+@pytest.fixture(scope="module")
+def engine():
+    return MamriEngine(ik_iters=60, ik_restarts=6)
+
+
+@pytest.fixture(scope="module")
+def scene(engine):
+    return _make_scene(engine)
+
+
+@pytest.fixture(scope="module")
+def estimated(engine, scene):
+    vol, base = scene
+    result = engine.estimate_pose(vol)
+    return result, base
+
+
+def test_estimate_pose_success(estimated):
+    result, base = estimated
+    assert result.success, result.message
+    assert result.baseplate_source == "detected"
+    assert all(result.markers_found.values()), result.markers_found
+    assert result.rmse_mm < 0.5
+    np.testing.assert_allclose(result.baseplate_tf, base, atol=0.5)
+    err_deg = np.rad2deg(np.abs(result.angles_rad - TRUE_ANGLES))
+    assert np.all(err_deg < 1.0), err_deg
+    # steps consistent with angles
+    np.testing.assert_array_equal(
+        result.steps, np.asarray(jnp.trunc(jnp.asarray(result.angles_rad) * 3332.0 / (2 * np.pi))).astype(int)
+    )
+
+
+def test_estimate_pose_no_baseplate_no_saved_fails(engine):
+    vol = synthetic_volume(shape=(48, 48, 48))  # empty scan
+    eng = MamriEngine(ik_iters=10, ik_restarts=0)
+    res = eng.estimate_pose(vol)
+    assert not res.success
+    assert "baseplate" in res.message.lower()
+
+
+def test_saved_baseplate_roundtrip(engine, estimated, tmp_path):
+    result, base = estimated
+    engine.baseplate_tf = result.baseplate_tf
+    p = str(tmp_path / "bp.npz")
+    engine.save_baseplate(p)
+    eng2 = MamriEngine(ik_iters=60, ik_restarts=6)
+    eng2.load_baseplate(p)
+    # a scan without the baseplate markers: falls back to the saved transform
+    vol, _ = _make_scene(eng2)
+    # remove baseplate blobs by shifting the robot definition volume: simply
+    # use use_saved_baseplate=True instead (priority path, Mamri.py:1385-1390)
+    res = eng2.estimate_pose(vol, use_saved_baseplate=True)
+    assert res.success
+    assert res.baseplate_source == "saved"
+    np.testing.assert_allclose(res.baseplate_tf, result.baseplate_tf, atol=1e-5)
+
+
+def test_entry_point_and_heuristic_plan(engine, estimated):
+    result, base = estimated
+    target = np.array([-60.0, -40.0, 130.0], dtype=np.float32)  # inside the body
+    ep = engine.find_entry_point(target)
+    assert bool(ep.found)
+    assert float(ep.distance_mm) < 80.0
+
+    plan = engine.plan_heuristic_path(target, ep.point_ras, 5.0, start_pose_steps=result.steps)
+    assert plan.success, plan.message
+    assert plan.path.shape == (101, 6)
+    assert plan.keyframes.shape == (4, 6)
+    np.testing.assert_allclose(plan.path[0], engine.convert_steps_to_angles(result.steps), atol=1e-5)
+    assert plan.position_error_mm < 2.0
+    # goal actually points the needle at the target: tip-to-line check
+    tcp = engine.needle_tcp(plan.goal_angles)
+    tip = tcp[:3, 3]
+    needle_dir = -tcp[:3, 0]
+    to_target = target - tip
+    cos = np.dot(needle_dir, to_target) / (np.linalg.norm(needle_dir) * np.linalg.norm(to_target))
+    assert cos > 0.99, cos
+
+
+def test_execute_trajectory_on_sim_hardware(engine, estimated):
+    from mamri_tpu.hw.sim import SimulatedEncoder, SimulatedMotorController, SimulatedRobot
+    from mamri_tpu.hw.transport import LoopbackTransport
+    from mamri_tpu.hw.executor import TaskOutcome
+    import time
+
+    class FakeClock:
+        def __init__(self):
+            self.t = 0.0
+
+        def __call__(self):
+            return self.t
+
+    if engine.trajectory_keyframes is None:
+        pytest.skip("plan test did not run")
+    clock = FakeClock()
+    robot = SimulatedRobot(speed_steps_per_s=2000.0, clock=clock)
+    mc_dev = SimulatedMotorController(robot)
+    enc_dev = SimulatedEncoder(robot)
+    mc_tp = LoopbackTransport(mc_dev)
+    enc_tp = LoopbackTransport(enc_dev)
+    enc_dev.emit()  # seed the stream so the encoder handshake sees a line
+    hw = engine.attach_hardware(mc_tp, enc_tp)
+    hw.runner.clock = clock
+    st = hw.execute_trajectory(list(engine.trajectory_keyframes))
+    for _ in range(500):
+        clock.t += 0.15
+        enc_dev.emit()
+        time.sleep(0.002)
+        st = hw.runner.step()
+        if st.outcome is not TaskOutcome.RUNNING:
+            break
+    assert st.outcome is TaskOutcome.SUCCESS, (st.outcome, st.message)
+    final_steps = engine.convert_angles_to_steps(engine.trajectory_keyframes[-1])
+    assert hw.encoder.latest_position == list(final_steps)
+    # engine pose mirror followed the encoder (pose_callback)
+    np.testing.assert_allclose(
+        engine.get_current_joint_angles(), engine.convert_steps_to_angles(final_steps), atol=1e-3
+    )
+    hw.disconnect()
+
+
+def test_state_checkpoint_roundtrip(engine, estimated, tmp_path):
+    p = str(tmp_path / "state.npz")
+    engine.save_state(p)
+    eng2 = MamriEngine()
+    eng2.load_state(p)
+    np.testing.assert_allclose(eng2.current_angles, engine.current_angles)
+    np.testing.assert_allclose(eng2.baseplate_tf, engine.baseplate_tf)
+
+
+def test_batched_estimation(engine, scene):
+    vol, base = scene
+    small = vol.data[None].repeat(2, axis=0)
+    out = engine.estimate_pose_batch(small, vol.spacing, vol.origin)
+    assert np.asarray(out["success"]).shape == (2,)
+    assert np.all(np.asarray(out["success"]))
+    angles = np.asarray(out["angles"])
+    # both batch entries recover marker geometry (branch may differ from truth)
+    assert np.all(np.asarray(out["rmse"]) < 0.5)

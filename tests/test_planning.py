@@ -1,0 +1,148 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mamri_tpu.core import transforms as T
+from mamri_tpu.core.robot import fk_all_links, load_robot_model
+from mamri_tpu.perception import synthetic_volume, segment_volume
+from mamri_tpu.planning import (
+    build_arm_geometry,
+    build_collision_world,
+    check_path_collisions,
+    config_collides,
+    find_entry_point,
+    heuristic_keyframes,
+    interpolate_path,
+    needle_target_frame,
+    solve_trajectory_ik,
+)
+
+
+@pytest.fixture(scope="module")
+def model():
+    return load_robot_model()
+
+
+@pytest.fixture(scope="module")
+def geometry(model):
+    return build_arm_geometry(model, points_per_part=256)
+
+
+def _ball_world(center_ras, radius, shape=(64, 64, 64), spacing=(2.0, 2.0, 2.0)):
+    v = synthetic_volume(
+        shape=shape, spacing=spacing, body_center_ras=center_ras, body_radii_mm=[radius] * 3
+    )
+    mask = v.data >= 65.0
+    return build_collision_world(jnp.asarray(mask), v.spacing, v.origin), v
+
+
+def test_collision_detects_overlap(model, geometry):
+    # body ball centered right on the arm at zero pose (arm spine = +z at x=0,y=0)
+    world, _ = _ball_world([0.0, 0.0, 30.0], 30.0)
+    hit = config_collides(model, geometry.part_points, geometry.part_link_idx, jnp.zeros(6), jnp.eye(4), world)
+    assert bool(hit)
+
+
+def test_collision_clear_when_far(model, geometry):
+    world, _ = _ball_world([0.0, 0.0, 30.0], 30.0)
+    base_far = T.translate(jnp.array([500.0, 500.0, 0.0]))
+    hit = config_collides(model, geometry.part_points, geometry.part_link_idx, jnp.zeros(6), base_far, world)
+    assert not bool(hit)
+
+
+def test_keyframes_up_over_down(model):
+    start = jnp.array([0.1, 0.5, 0.2, 0.0, 0.0, 0.0])
+    goal = jnp.array([1.2, -0.8, 0.4, 0.3, 0.2, 0.1])
+    kf = np.asarray(heuristic_keyframes(start, goal))
+    assert kf.shape == (4, 6)
+    np.testing.assert_allclose(kf[0], np.asarray(start))
+    assert abs(kf[1, 1] - np.radians(-15)) < 1e-6  # up
+    np.testing.assert_allclose(kf[1, [0, 2, 3, 4, 5]], np.asarray(start)[[0, 2, 3, 4, 5]])
+    assert kf[2, 0] == kf[3, 0]  # over: joint1 at goal
+    np.testing.assert_allclose(kf[3], np.asarray(goal))
+
+
+def test_interpolate_path_shape_and_split():
+    kf = heuristic_keyframes(jnp.zeros(6), jnp.ones(6))
+    path = np.asarray(interpolate_path(kf, total_steps=100))
+    assert path.shape == (101, 6)
+    np.testing.assert_allclose(path[0], np.asarray(kf[0]), atol=1e-6)
+    np.testing.assert_allclose(path[-1], np.ones(6), atol=1e-6)
+    # segment boundaries at 25, 50 hit keyframes 1, 2 exactly (t=0 of next seg)
+    np.testing.assert_allclose(path[25], np.asarray(kf[1]), atol=1e-6)
+    np.testing.assert_allclose(path[50], np.asarray(kf[2]), atol=1e-6)
+
+
+def test_path_collision_vmapped(model, geometry):
+    world, _ = _ball_world([0.0, 0.0, 30.0], 30.0)
+    kf = heuristic_keyframes(jnp.zeros(6), jnp.zeros(6).at[0].set(1.0))
+    path = interpolate_path(kf)
+    flags = check_path_collisions(model, geometry, path, jnp.eye(4), world)
+    assert flags.shape == (101,)
+    assert bool(flags.any())  # ball sits on the arm spine
+
+
+def test_entry_point_prefers_lateral(model):
+    """Ball body: lateral (x) surface points score |n_x| - 2|n_y| ~ 1,
+    anterior/posterior points score ~ -2. The found entry must be roughly
+    lateral of the target."""
+    world, vol = _ball_world([0.0, 0.0, 0.0], 40.0)
+    target = jnp.array([10.0, 0.0, 0.0])
+    res = find_entry_point(world.occupancy > 0.5, vol.spacing, vol.origin, target)
+    assert bool(res.found)
+    p = np.asarray(res.point_ras)
+    assert abs(p[0]) > 25.0, p  # on the lateral surface
+    assert abs(res.normal_ras[0]) > 0.7
+    # closest suitable point to a +x target is the +x pole
+    assert p[0] > 0
+
+def test_entry_point_not_found_when_no_surface_in_radius(model):
+    world, vol = _ball_world([0.0, 0.0, 0.0], 20.0, shape=(96, 96, 96))
+    target = jnp.array([90.0, 90.0, 90.0])  # > 80 mm from every surface voxel
+    res = find_entry_point(world.occupancy > 0.5, vol.spacing, vol.origin, target)
+    assert not bool(res.found)
+
+
+def test_needle_target_frame_geometry():
+    target = jnp.array([0.0, 0.0, 0.0])
+    entry = jnp.array([30.0, 0.0, 0.0])
+    m = np.asarray(needle_target_frame(target, entry, 5.0))
+    np.testing.assert_allclose(m[:3, 0], [-1.0, 0.0, 0.0], atol=1e-6)  # x: entry->target
+    np.testing.assert_allclose(m[:3, 3], [35.0, 0.0, 0.0], atol=1e-5)  # standoff beyond entry
+    # orthonormal right-handed
+    r = m[:3, :3]
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-6)
+    assert np.linalg.det(r) > 0.99
+
+
+def test_needle_target_frame_vertical_fallback():
+    m = np.asarray(needle_target_frame(jnp.array([0.0, 0.0, -10.0]), jnp.array([0.0, 0.0, 40.0]), 5.0))
+    np.testing.assert_allclose(m[:3, 0], [0.0, 0.0, -1.0], atol=1e-6)
+    r = m[:3, :3]
+    np.testing.assert_allclose(r @ r.T, np.eye(3), atol=1e-6)
+
+
+def test_trajectory_ik_collision_free(model, geometry):
+    """Reachable target with no body: solver hits < 1 mm."""
+    true_angles = jnp.array([0.3, 0.4, -0.6, 0.1, 0.5, -0.2])
+    needle = fk_all_links(model, true_angles, jnp.eye(4))[model.link_index("Needle")]
+    tip = np.asarray(needle[:3, 3])
+    direction = -np.asarray(needle[:3, 0])  # needle direction
+    entry = tip + 5.0 * direction  # standoff 5mm behind entry: tip = entry - 5*x
+    target = entry + 40.0 * direction
+    res = solve_trajectory_ik(
+        model, geometry, jnp.asarray(target), jnp.asarray(entry), 5.0, jnp.eye(4), None
+    )
+    assert float(res.position_error_mm) < 1.0, float(res.position_error_mm)
+    assert bool(res.success)
+
+
+def test_trajectory_ik_avoids_body(model, geometry):
+    """With a body blocking the straight-line solution, the returned solution
+    must be collision-free (or flagged unsuccessful)."""
+    world, vol = _ball_world([0.0, 100.0, 250.0], 45.0, shape=(96, 96, 96), spacing=(4.0, 4.0, 4.0))
+    target = jnp.array([0.0, 100.0, 250.0])  # inside the body
+    entry = jnp.array([0.0, 55.0, 250.0])  # on the body surface
+    res = solve_trajectory_ik(model, geometry, target, entry, 5.0, jnp.eye(4), world)
+    assert not bool(res.collides)
