@@ -94,24 +94,28 @@ def main():
     dev_batch = jnp.asarray(batch)
     dev_one = jnp.asarray(data)
 
-    # warmup / compile
-    jax.block_until_ready(fb(dev_batch))
-    jax.block_until_ready(f1(dev_one))
+    # NOTE: on this platform block_until_ready does NOT fence execution (the
+    # axon relay defers); a host round-trip (device_get of a small output)
+    # is the only reliable fence. Throughput is measured pipelined (enqueue
+    # REPS batches, fence once) so the relay's ~30 ms RTT amortizes away;
+    # latency is a synchronous round-trip and includes that RTT.
 
-    # batched throughput
-    times = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fb(dev_batch))
-        times.append(time.perf_counter() - t0)
-    batch_t = min(times)
+    # warmup / compile
+    jax.device_get(fb(dev_batch)["rmse"])
+    jax.device_get(f1(dev_one)["rmse"])
+
+    # batched throughput (pipelined)
+    t0 = time.perf_counter()
+    outs = [fb(dev_batch) for _ in range(REPS)]
+    jax.device_get(outs[-1]["rmse"])
+    batch_t = (time.perf_counter() - t0) / REPS
     vols_per_s = BATCH / batch_t
 
-    # single-volume latency p50
+    # single-volume latency p50 (synchronous round-trips)
     lats = []
     for _ in range(max(REPS * 2, 10)):
         t0 = time.perf_counter()
-        jax.block_until_ready(f1(dev_one))
+        jax.device_get(f1(dev_one)["rmse"])
         lats.append(time.perf_counter() - t0)
     p50_ms = sorted(lats)[len(lats) // 2] * 1e3
 

@@ -1,0 +1,231 @@
+"""Pallas TPU kernels for the segmentation hot path.
+
+Profiling at 256^3 on a v5e chip (pipelined, relay-fenced):
+    threshold 6.4 ms | closing 13.1 ms | CCL(4 sweeps) 280 ms | stats 60 ms
+CCL dominates because XLA's `associative_scan` on a (reset, label) tuple makes
+O(log n) full HBM round-trips per scan. These kernels keep each line's scan
+entirely in VMEM:
+
+  * `segmented_min_scan_lines`: for a (L, N) array of independent lines, one
+    grid step loads a block of lines, runs the forward AND backward segmented
+    min-scans on the VPU, and writes min(fwd, bwd, original) — one HBM read +
+    one write total per sweep axis instead of ~16.
+  * `component_stats_matmul`: the per-component {count, sum_i, sum_j, sum_k}
+    reduction as a chunked one-hot(labels==roots) @ features matmul on the
+    MXU with the one-hot living only in VMEM (the jnp fallback materializes
+    ~34 GB of HBM traffic for it at 256^3).
+
+Both have jnp fallbacks (`*_reference`) used on CPU and in parity tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BIG = jnp.iinfo(jnp.int32).max
+
+
+def _combine(a, b):
+    fa, va = a
+    fb, vb = b
+    return jnp.logical_or(fa, fb), jnp.where(fb, vb, jnp.minimum(va, vb))
+
+
+# --------------------------------------------------------------------------- scan
+def _scan_lines_kernel(lab_ref, reset_ref, out_ref):
+    """Bidirectional segmented min-scan of each row, entirely in VMEM.
+
+    `lax.associative_scan` does not lower in Mosaic (its recursion bottoms out
+    in zero-size slices), so this is a hand-rolled Hillis-Steele doubling
+    scan: log2(N) combine steps, each a roll + select on the VPU."""
+    lab = lab_ref[:, :]
+    reset = reset_ref[:, :]  # int32 0/1 (Mosaic cannot rotate i1 vectors)
+    n = lab.shape[1]
+    col = lax.broadcasted_iota(jnp.int32, lab.shape, 1)
+
+    def directional(v0, f0, forward: bool):
+        v, f = v0, f0
+        d = 1
+        while d < n:
+            if forward:
+                vs = jnp.where(col < d, _BIG, pltpu.roll(v, d, axis=1))
+                fs = jnp.where(col < d, 1, pltpu.roll(f, d, axis=1))
+            else:
+                # pltpu.roll requires non-negative shifts; n-d is the left-roll
+                vs = jnp.where(col >= n - d, _BIG, pltpu.roll(v, n - d, axis=1))
+                fs = jnp.where(col >= n - d, 1, pltpu.roll(f, n - d, axis=1))
+            v = jnp.where(f == 1, v, jnp.minimum(v, vs))
+            f = jnp.maximum(f, fs)
+            d *= 2
+        return v
+
+    fwd = directional(lab, reset, True)
+    bwd = directional(lab, reset, False)
+    out_ref[:, :] = jnp.minimum(jnp.minimum(fwd, bwd), lab)
+
+
+def segmented_min_scan_lines_reference(lab, reset):
+    """(L, N) jnp fallback: min(fwd_scan, bwd_scan, lab) per line."""
+    rb = reset != 0
+    _, fwd = lax.associative_scan(_combine, (rb, lab), axis=1)
+    _, bwd = lax.associative_scan(_combine, (rb, lab), axis=1, reverse=True)
+    return jnp.minimum(jnp.minimum(fwd, bwd), lab)
+
+
+def segmented_min_scan_lines(lab, reset, block_lines: int = 256, interpret: bool = False):
+    """Bidirectional segmented min-scan over the last axis of (L, N) int32.
+
+    `reset` is int32 0/1 (background restarts a segment). Lines are
+    independent; blocks of `block_lines` lines scan entirely in VMEM.
+    Arbitrary L/N are handled by padding to hardware-friendly multiples with
+    background cells (lab=sentinel, reset=1), which cannot affect real cells.
+    """
+    l, n = lab.shape
+    n_pad = (-n) % 128
+    l_pad = (-l) % block_lines
+    if n_pad or l_pad:
+        lab = jnp.pad(lab, ((0, l_pad), (0, n_pad)), constant_values=_BIG)
+        reset = jnp.pad(reset, ((0, l_pad), (0, n_pad)), constant_values=1)
+    lp, np_ = lab.shape
+    grid = (lp // block_lines,)
+    out = pl.pallas_call(
+        _scan_lines_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_lines, np_), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_lines, np_), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_lines, np_), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((lp, np_), jnp.int32),
+        interpret=interpret,
+    )(lab, reset)
+    if n_pad or l_pad:
+        out = out[:l, :n]
+    return out
+
+
+def ccl_sweep_pallas(lab, reset_i32, interpret: bool = False):
+    """One full CCL sweep (all three axes, both directions) using the
+    VMEM-resident line-scan kernel. `lab` is (nx, ny, nz) int32; `reset_i32`
+    is int32 0/1. Axes 0/1 are brought minor with transposes (XLA transposes
+    are one HBM pass each — still ~10x cheaper than the tuple-scan HBM
+    round-trips they replace)."""
+    nx, ny, nz = lab.shape
+
+    # axis 2 (already minor)
+    lab = segmented_min_scan_lines(
+        lab.reshape(nx * ny, nz), reset_i32.reshape(nx * ny, nz), interpret=interpret
+    ).reshape(nx, ny, nz)
+
+    # axis 1: (nx, ny, nz) -> (nx, nz, ny)
+    lab_t = jnp.transpose(lab, (0, 2, 1))
+    reset_t = jnp.transpose(reset_i32, (0, 2, 1))
+    lab_t = segmented_min_scan_lines(
+        lab_t.reshape(nx * nz, ny), reset_t.reshape(nx * nz, ny), interpret=interpret
+    ).reshape(nx, nz, ny)
+    lab = jnp.transpose(lab_t, (0, 2, 1))
+
+    # axis 0: (nx, ny, nz) -> (ny, nz, nx)
+    lab_t = jnp.transpose(lab, (1, 2, 0))
+    reset_t = jnp.transpose(reset_i32, (1, 2, 0))
+    lab_t = segmented_min_scan_lines(
+        lab_t.reshape(ny * nz, nx), reset_t.reshape(ny * nz, nx), interpret=interpret
+    ).reshape(ny, nz, nx)
+    lab = jnp.transpose(lab_t, (2, 0, 1))
+    return lab
+
+
+# --------------------------------------------------------------------------- stats
+def _stats_kernel(roots_ref, lab_ref, out_ref, *, nx: int, ny: int, chunk: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    lab = lab_ref[:, :]  # (BR, BC) int32, flattened chunk of labels
+    roots = roots_ref[:, :]  # (R, 1) int32
+    br, bc = lab.shape
+    start = i * chunk
+    lin = (
+        start
+        + lax.broadcasted_iota(jnp.int32, (br, bc), 0) * bc
+        + lax.broadcasted_iota(jnp.int32, (br, bc), 1)
+    )
+    lab_flat = lab.reshape(1, chunk)
+    lin_flat = lin.reshape(1, chunk)
+
+    eq = (lab_flat == roots).astype(jnp.float32)  # (R, chunk)
+    gi = (lin_flat % nx).astype(jnp.float32)
+    gj = ((lin_flat // nx) % ny).astype(jnp.float32)
+    gk = (lin_flat // (nx * ny)).astype(jnp.float32)
+    feats = jnp.concatenate(
+        [jnp.ones((1, chunk), jnp.float32), gi, gj, gk], axis=0
+    )  # (4, chunk)
+    out_ref[:, :] += jax.lax.dot_general(
+        eq,
+        feats,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def component_stats_matmul(flat_labels, roots, nx: int, ny: int, block: int = 8192, interpret: bool = False):
+    """(R, 4) stats [count, sum_i, sum_j, sum_k] per candidate root.
+
+    `flat_labels` is the (z,y,x)-raster flattening of the label volume
+    (length padded to a multiple of `block` with the background sentinel —
+    sentinel never matches a root, so padding adds nothing). The one-hot
+    comparison matrix lives only in VMEM; HBM traffic is one read of the
+    labels.
+    """
+    n = flat_labels.shape[0]
+    r = roots.shape[0]
+    npad = -(-n // block) * block
+    if npad != n:
+        flat_labels = jnp.pad(flat_labels, (0, npad - n), constant_values=_BIG)
+    br = 8
+    bc = block // br
+    lab2d = flat_labels.reshape(npad // bc, bc)
+    grid = (npad // block,)
+    kernel = functools.partial(_stats_kernel, nx=nx, ny=ny, chunk=block)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((r, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, bc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, 4), jnp.float32),
+        interpret=interpret,
+    )(roots.reshape(r, 1), lab2d)
+
+
+def component_stats_matmul_reference(flat_labels, roots, nx: int, ny: int):
+    """jnp fallback with the same contract (chunked to bound memory)."""
+    n = flat_labels.shape[0]
+    chunk = 1 << 15
+    nchunks = -(-n // chunk)
+    flat_padded = jnp.pad(flat_labels, (0, nchunks * chunk - n), constant_values=_BIG)
+
+    def body(acc, c):
+        start = c * chunk
+        lab_c = lax.dynamic_slice(flat_padded, (start,), (chunk,))
+        lin_c = start + jnp.arange(chunk, dtype=jnp.int32)
+        gi = (lin_c % nx).astype(jnp.float32)
+        gj = ((lin_c // nx) % ny).astype(jnp.float32)
+        gk = (lin_c // (nx * ny)).astype(jnp.float32)
+        feats = jnp.stack([jnp.ones(chunk, jnp.float32), gi, gj, gk], axis=-1)
+        eq = (lab_c[:, None] == roots[None, :]).astype(jnp.float32)
+        return acc + jnp.einsum("cr,cf->rf", eq, feats, precision=lax.Precision.HIGHEST), None
+
+    stats, _ = lax.scan(body, jnp.zeros((roots.shape[0], 4), jnp.float32), jnp.arange(nchunks))
+    return stats

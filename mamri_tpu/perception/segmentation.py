@@ -29,8 +29,13 @@ import jax.numpy as jnp
 from jax import lax
 
 MAX_BLOBS = 32
-MAX_ROOTS = 512  # candidate components considered for stats (log if exceeded)
+MAX_ROOTS = 256  # candidate components considered for stats (log if exceeded)
 _BIG = jnp.iinfo(jnp.int32).max
+
+
+def _use_pallas() -> bool:
+    """TPU gets the Pallas kernels; CPU (tests, virtual meshes) the jnp path."""
+    return jax.default_backend() not in ("cpu",)
 
 
 class SegmentationParams(NamedTuple):
@@ -134,12 +139,22 @@ def connected_components(mask, max_sweeps: int = 8):
     lab0 = jnp.where(mask, lin, _BIG)
     reset = jnp.logical_not(mask)
 
-    def body(lab, _):
-        for axis in (0, 1, 2):
-            fwd = _segmented_min_scan(lab, reset, axis, reverse=False)
-            bwd = _segmented_min_scan(lab, reset, axis, reverse=True)
-            lab = jnp.minimum(jnp.minimum(fwd, bwd), lab)
-        return lab, None
+    if _use_pallas():
+        from mamri_tpu.perception.pallas_ops import ccl_sweep_pallas
+
+        reset_i32 = reset.astype(jnp.int32)
+
+        def body(lab, _):
+            return ccl_sweep_pallas(lab, reset_i32), None
+
+    else:
+
+        def body(lab, _):
+            for axis in (0, 1, 2):
+                fwd = _segmented_min_scan(lab, reset, axis, reverse=False)
+                bwd = _segmented_min_scan(lab, reset, axis, reverse=True)
+                lab = jnp.minimum(jnp.minimum(fwd, bwd), lab)
+            return lab, None
 
     lab, _ = lax.scan(body, lab0, None, length=max_sweeps)
     return lab
@@ -169,28 +184,18 @@ def _component_stats(labels, mask, max_roots: int):
     root_valid = roots != _BIG
 
     # Membership one-hot (chunk, R) contracted with per-voxel features
-    # [1, i, j, k] -> (R, 4) stats, streamed in chunks so the one-hot never
-    # materializes at full volume size (a full (n, R) f32 would be ~34 GB at
-    # 256^3). A fused Pallas kernel replaces this loop on TPU (see
-    # mamri_tpu/perception/pallas_stats.py when present).
-    chunk = 1 << 15
-    nchunks = -(-n // chunk)
-    flat_padded = jnp.pad(flat, (0, nchunks * chunk - n), constant_values=_BIG)
+    # [1, i, j, k] -> (R, 4) stats. The one-hot never materializes at full
+    # volume size (a full (n, R) f32 would be ~34 GB at 256^3): on TPU it
+    # lives only in VMEM (Pallas MXU kernel); the jnp fallback streams chunks.
+    from mamri_tpu.perception.pallas_ops import (
+        component_stats_matmul,
+        component_stats_matmul_reference,
+    )
 
-    def body(acc, c):
-        start = c * chunk
-        lab_c = lax.dynamic_slice(flat_padded, (start,), (chunk,))
-        lin_c = start + jnp.arange(chunk, dtype=jnp.int32)
-        # decode (z, y, x)-raster linear index back to (i, j, k)
-        gi = (lin_c % nx).astype(jnp.float32)
-        gj = ((lin_c // nx) % ny).astype(jnp.float32)
-        gk = (lin_c // (nx * ny)).astype(jnp.float32)
-        feats = jnp.stack([jnp.ones(chunk, jnp.float32), gi, gj, gk], axis=-1)  # (chunk, 4)
-        eq = (lab_c[:, None] == roots[None, :]).astype(jnp.float32)  # (chunk, R)
-        acc = acc + jnp.einsum("cr,cf->rf", eq, feats, precision=lax.Precision.HIGHEST)
-        return acc, None
-
-    stats, _ = lax.scan(body, jnp.zeros((max_roots, 4), jnp.float32), jnp.arange(nchunks))
+    if _use_pallas():
+        stats = component_stats_matmul(flat, roots, nx, ny)
+    else:
+        stats = component_stats_matmul_reference(flat, roots, nx, ny)
     counts = stats[:, 0]
     sums_ijk = stats[:, 1:4]
     return roots, root_valid, counts, sums_ijk, num_components
