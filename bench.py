@@ -30,10 +30,11 @@ def main():
     from mamri_tpu.perception.segmentation import SegmentationParams
     from __graft_entry__ import _example_volume
 
-    # bench pipeline: 4 CCL sweeps (anatomical shapes converge in 2-4;
-    # correctness suite runs 8) and the reference's 2-guess IK restarts.
+    # bench pipeline: 3 CCL sweeps and 64 candidate roots (anatomical shapes
+    # converge in 2-3 sweeps and have < 20 components; the correctness suite
+    # runs the conservative defaults) and the reference's 2-guess IK restarts.
     engine = MamriEngine(
-        seg_params=SegmentationParams(max_sweeps=4), ik_iters=40, ik_restarts=0
+        seg_params=SegmentationParams(max_sweeps=3, max_roots=64), ik_iters=40, ik_restarts=0
     )
 
     # one realistic scene rendered directly into a SIZE^3 grid: spacing fitted

@@ -1,0 +1,165 @@
+"""Command-line surface for the framework (the headless counterpart of the
+reference's Slicer panel): pose estimation, entry search, and path planning
+over NIfTI volumes.
+
+    python -m mamri_tpu estimate scan.nii.gz [--save-baseplate bp.npz] [--correction]
+    python -m mamri_tpu entry    scan.nii.gz --target X Y Z
+    python -m mamri_tpu plan     scan.nii.gz --target X Y Z [--entry X Y Z]
+                                 [--safety 5.0] [--out plan.npz]
+    python -m mamri_tpu info
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def _engine(args):
+    from mamri_tpu.api import MamriEngine
+
+    return MamriEngine(mesh_dir=getattr(args, "mesh_dir", None))
+
+
+def _load(path):
+    from mamri_tpu.perception.io import load_nifti
+
+    try:
+        return load_nifti(path)
+    except (OSError, ValueError) as e:
+        print(json.dumps({"success": False, "message": f"cannot load volume: {e}"}))
+        raise SystemExit(2)
+
+
+def cmd_info(args) -> int:
+    from mamri_tpu.core.robot import load_robot_model
+    from mamri_tpu import native
+
+    m = load_robot_model()
+    print(json.dumps({
+        "links": list(m.link_names),
+        "articulated": list(m.articulated_names),
+        "motor_letters": list(m.motor_letters),
+        "joint_limits_deg": np.rad2deg(np.asarray(m.limits_rad)).tolist(),
+        "native_runtime": native.available(),
+    }, indent=2))
+    return 0
+
+
+def cmd_estimate(args) -> int:
+    eng = _engine(args)
+    vol = _load(args.volume)
+    if args.load_baseplate:
+        eng.load_baseplate(args.load_baseplate)
+    res = eng.estimate_pose(vol, use_saved_baseplate=bool(args.load_baseplate), apply_correction=args.correction)
+    out = {
+        "success": res.success,
+        "message": res.message,
+        "baseplate_source": res.baseplate_source,
+        "markers_found": res.markers_found,
+        "num_blobs": res.num_blobs,
+    }
+    if res.success:
+        out.update(
+            angles_deg=np.rad2deg(res.angles_rad).round(3).tolist(),
+            steps=res.steps.tolist(),
+            rmse_mm=round(res.rmse_mm, 4),
+        )
+        if args.save_baseplate:
+            eng.save_baseplate(args.save_baseplate)
+            out["saved_baseplate"] = args.save_baseplate
+    print(json.dumps(out, indent=2))
+    return 0 if res.success else 1
+
+
+def cmd_entry(args) -> int:
+    eng = _engine(args)
+    vol = _load(args.volume)
+    pose = eng.estimate_pose(vol)
+    if eng.body_mask() is None:
+        print(json.dumps({"success": False, "message": "no body segmentation found in scan"}))
+        return 1
+    ep = eng.find_entry_point(np.asarray(args.target, dtype=np.float32))
+    out = {
+        "success": bool(ep.found),
+        "entry_ras": np.asarray(ep.point_ras).round(3).tolist(),
+        "distance_mm": round(float(ep.distance_mm), 2),
+        "normal_ras": np.asarray(ep.normal_ras).round(3).tolist(),
+    }
+    print(json.dumps(out, indent=2))
+    return 0 if ep.found else 1
+
+
+def cmd_plan(args) -> int:
+    eng = _engine(args)
+    vol = _load(args.volume)
+    pose = eng.estimate_pose(vol, apply_correction=args.correction)
+    if not pose.success:
+        print(json.dumps({"success": False, "message": f"pose estimation failed: {pose.message}"}))
+        return 1
+    target = np.asarray(args.target, dtype=np.float32)
+    if args.entry:
+        entry = np.asarray(args.entry, dtype=np.float32)
+    else:
+        ep = eng.find_entry_point(target)
+        if not bool(ep.found):
+            print(json.dumps({"success": False, "message": "no suitable entry point within 80 mm"}))
+            return 1
+        entry = np.asarray(ep.point_ras)
+    plan = eng.plan_heuristic_path(target, entry, args.safety, start_pose_steps=pose.steps)
+    out = {
+        "success": plan.success,
+        "message": plan.message,
+        "collision_detected": plan.collision_detected,
+        "entry_ras": entry.round(3).tolist(),
+    }
+    if plan.success:
+        out.update(
+            goal_angles_deg=np.rad2deg(plan.goal_angles).round(3).tolist(),
+            goal_steps=plan.goal_steps.tolist(),
+            position_error_mm=round(plan.position_error_mm, 3),
+            path_samples=len(plan.path),
+        )
+        if args.out:
+            np.savez(args.out, path=plan.path, keyframes=plan.keyframes, goal_steps=plan.goal_steps)
+            out["plan_file"] = args.out
+    print(json.dumps(out, indent=2))
+    return 0 if plan.success else 1
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="mamri_tpu", description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("info", help="robot definition + runtime summary")
+
+    pe = sub.add_parser("estimate", help="scan -> joint angles")
+    pe.add_argument("volume", help="NIfTI volume (.nii/.nii.gz)")
+    pe.add_argument("--correction", action="store_true", help="apply 180-deg end-effector correction")
+    pe.add_argument("--save-baseplate", default=None)
+    pe.add_argument("--load-baseplate", default=None)
+    pe.add_argument("--mesh-dir", default=None)
+
+    pn = sub.add_parser("entry", help="find a suitable skin entry point")
+    pn.add_argument("volume")
+    pn.add_argument("--target", nargs=3, type=float, required=True, metavar=("X", "Y", "Z"))
+    pn.add_argument("--mesh-dir", default=None)
+
+    pp = sub.add_parser("plan", help="collision-checked up-over-down path")
+    pp.add_argument("volume")
+    pp.add_argument("--target", nargs=3, type=float, required=True, metavar=("X", "Y", "Z"))
+    pp.add_argument("--entry", nargs=3, type=float, default=None, metavar=("X", "Y", "Z"))
+    pp.add_argument("--safety", type=float, default=5.0, help="standoff distance mm (default 5)")
+    pp.add_argument("--correction", action="store_true")
+    pp.add_argument("--out", default=None, help="write path/keyframes to .npz")
+    pp.add_argument("--mesh-dir", default=None)
+
+    args = ap.parse_args(argv)
+    return {"info": cmd_info, "estimate": cmd_estimate, "entry": cmd_entry, "plan": cmd_plan}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

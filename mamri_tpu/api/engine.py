@@ -286,6 +286,22 @@ class MamriEngine:
         Mamri.py:600-618)."""
         return self.link_world_transforms(angles_rad)[self.model.link_index("Needle")]
 
+    def target_in_base_frame(self, target_ras) -> np.ndarray:
+        """Re-express a world RAS point in the robot base frame — the widget's
+        target-coordinate readout (Mamri.py:752-799)."""
+        if self.baseplate_tf is None:
+            raise RuntimeError("robot base unknown; run estimate_pose first")
+        inv = np.linalg.inv(np.asarray(self.baseplate_tf, dtype=np.float64))
+        p = np.append(np.asarray(target_ras, dtype=np.float64), 1.0)
+        return (inv @ p)[:3].astype(np.float32)
+
+    def body_mask(self) -> Optional[np.ndarray]:
+        """Voxel body mask from the last segmentation (the reference's
+        `_get_body_polydata` access path, Mamri.py:1794-1814)."""
+        if self.last_segmentation is None or not bool(self.last_segmentation["body_found"]):
+            return None
+        return np.asarray(self.last_segmentation["body_mask"])
+
     # ------------------------------------------------------------------ conversions
     def convert_angles_to_steps(self, angles_rad) -> np.ndarray:
         return np.asarray(angles_to_steps(jnp.asarray(angles_rad), self.model.steps_per_rev))
@@ -402,7 +418,56 @@ class MamriEngine:
             if "saved_baseplate" in f:
                 self.saved_baseplate = np.asarray(f["saved_baseplate"], dtype=np.float32)
 
+    # ------------------------------------------------------------------ observability
+    def describe_ik_solution(self, joint6_targets, joint4_targets=None, apply_correction: bool = False) -> str:
+        """Per-marker predicted-vs-target report at the current pose — the
+        reference's `_log_ik_solution_details` (Mamri.py:1836-1870)."""
+        if self.baseplate_tf is None:
+            return "no baseplate transform; run estimate_pose first"
+        lines = ["--- IK Solution Details ---"]
+        for name, angle in zip(self.model.articulated_names, np.rad2deg(self.current_angles)):
+            lines.append(f"  - {name}: {angle:.2f} deg")
+        if self.last_ik_error is not None:
+            lines.append(f"RMSE: {self.last_ik_error:.4f} mm")
+        tfs = self.link_world_transforms()
+
+        def compare(link_name, targets, corrected):
+            idx = self.model.link_index(link_name)
+            local = np.asarray(self.model.marker_local[idx])
+            if corrected:
+                local = local * np.array([-1.0, -1.0, 1.0], dtype=np.float32)
+            pred = np.asarray(
+                transforms.apply(jnp.asarray(tfs[idx]), jnp.asarray(local))
+            )
+            lines.append(f"--- Comparison for {link_name} markers ---")
+            for i, (p, t) in enumerate(zip(pred, np.asarray(targets))):
+                err = float(np.linalg.norm(p - t))
+                lines.append(
+                    f"  M{i+1}: target ({t[0]:.2f}, {t[1]:.2f}, {t[2]:.2f})  "
+                    f"predicted ({p[0]:.2f}, {p[1]:.2f}, {p[2]:.2f})  err {err:.3f} mm"
+                )
+
+        compare("Joint6", joint6_targets, apply_correction)
+        if joint4_targets is not None:
+            compare("Joint4", joint4_targets, False)
+        return "\n".join(lines)
+
+    def playback(self, path=None, on_pose=None):
+        """Trajectory playback cursor (widget simulation panel equivalent)."""
+        from mamri_tpu.api.playback import TrajectoryPlayback
+
+        p = path if path is not None else self.trajectory_path
+        if p is None:
+            raise RuntimeError("no trajectory planned; run plan_heuristic_path first")
+        return TrajectoryPlayback(p, on_pose=on_pose or self.set_pose)
+
     # ------------------------------------------------------------------ hardware
+    @staticmethod
+    def available_serial_ports():
+        from mamri_tpu.hw.transport import list_serial_ports
+
+        return list_serial_ports()
+
     def attach_hardware(self, controller_transport, encoder_transport):
         """Bind the serial (or simulated) links and build the executor stack."""
         from mamri_tpu.hw.devices import EncoderLink, MotorControllerLink
@@ -427,18 +492,40 @@ class MamriEngine:
             pose_callback=pose_cb,
         )
         sync = SyncMonitor(controller, encoder)
-        self.hardware = HardwareStack(controller=controller, encoder=encoder, runner=runner, sync=sync)
+        self.hardware = HardwareStack(controller=controller, encoder=encoder, runner=runner, sync=sync, engine=self)
         return self.hardware
 
 
 class HardwareStack:
     """The connected hardware bundle (controller + encoder + executor + sync)."""
 
-    def __init__(self, controller, encoder, runner, sync):
+    def __init__(self, controller, encoder, runner, sync, engine=None):
         self.controller = controller
         self.encoder = encoder
         self.runner = runner
         self.sync = sync
+        self.engine = engine
+
+    def status(self) -> dict:
+        """Live status snapshot — the reference's status panel (Mamri.py:582-637):
+        encoder/controller/target steps, TCP world position via FK, IK RMSE."""
+        encoder_steps = self.encoder.latest_position if self.encoder.is_connected else None
+        controller_steps = self.controller.query_positions() if self.controller.is_connected else None
+        target = None
+        if self.runner.state is not None:
+            target = self.runner.state.target_steps.tolist()
+        out = {
+            "encoder_steps": encoder_steps,
+            "controller_steps": controller_steps,
+            "target_steps": target,
+            "task_active": self.runner.is_active,
+            "ik_error_mm": self.engine.last_ik_error if self.engine else None,
+            "tcp_world": None,
+        }
+        if self.engine is not None and controller_steps is not None and self.engine.baseplate_tf is not None:
+            angles = self.engine.convert_steps_to_angles(np.asarray(controller_steps))
+            out["tcp_world"] = self.engine.needle_tcp(angles)[:3, 3].tolist()
+        return out
 
     def move_to_pose(self, steps, **kw):
         return self.runner.start("move_to_pose", target_steps=steps, **kw)

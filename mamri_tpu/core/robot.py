@@ -50,6 +50,9 @@ class LinkSpec:
     visual_mesh: Optional[str]
     collision_mesh: Optional[str]
     color: Tuple[float, float, float]
+    offset_mm: Tuple[float, float, float] = (0.0, 0.0, 0.0)  # host-side copy of
+    # the fixed translation to the parent (keeps host geometry construction
+    # free of device->host transfers)
 
 
 class RobotModel:
@@ -183,6 +186,7 @@ def load_robot_model(config_path: Optional[str] = None, dtype=jnp.float32) -> Ro
                 visual_mesh=l.get("visual_mesh"),
                 collision_mesh=l.get("collision_mesh"),
                 color=tuple(l.get("display_color", [0.7, 0.7, 0.7])),
+                offset_mm=tuple(l.get("offset_mm") or (0.0, 0.0, 0.0)),
             )
         )
 

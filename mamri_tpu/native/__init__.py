@@ -1,0 +1,110 @@
+"""Native host-side runtime: ctypes bindings over libmamri_native (C++).
+
+Lazily compiled with g++ on first use (cached in ~/.cache/mamri_tpu). All
+callers have pure-Python fallbacks, so a missing toolchain degrades
+gracefully.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import logging
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ccl_native.cpp")
+_CACHE_DIR = os.path.join(os.path.expanduser("~"), ".cache", "mamri_tpu")
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _lib_path() -> str:
+    with open(_SRC, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    return os.path.join(_CACHE_DIR, f"libmamri_native-{digest}.so")
+
+
+def _build() -> Optional[str]:
+    path = _lib_path()
+    if os.path.exists(path):
+        return path
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    tmp = path + ".tmp"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", tmp]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, path)
+        return path
+    except Exception as e:  # missing g++, compile error, ...
+        logger.warning("native build failed (%s); using Python fallbacks", e)
+        return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    if _lib is not None:
+        return _lib
+    if _build_failed:
+        return None
+    path = _build()
+    if path is None:
+        _build_failed = True
+        return None
+    lib = ctypes.CDLL(path)
+    lib.mamri_parse_stl.restype = ctypes.c_int
+    lib.mamri_parse_stl.argtypes = [ctypes.c_char_p, ctypes.POINTER(ctypes.POINTER(ctypes.c_float))]
+    lib.mamri_free.argtypes = [ctypes.c_void_p]
+    lib.mamri_label_components.restype = ctypes.c_int
+    lib.mamri_label_components.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_stl_native(path: str) -> Optional[np.ndarray]:
+    """Binary STL -> (T, 3, 3) float32, or None if unavailable/not binary."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = ctypes.POINTER(ctypes.c_float)()
+    n = lib.mamri_parse_stl(path.encode(), ctypes.byref(out))
+    if n < 0:
+        return None
+    try:
+        arr = np.ctypeslib.as_array(out, shape=(n * 9,)).reshape(n, 3, 3).copy()
+    finally:
+        lib.mamri_free(out)
+    return arr
+
+
+def label_components_native(mask: np.ndarray) -> Optional[Tuple[np.ndarray, int]]:
+    """6-connectivity CCL; labels 1..K in ITK raster order, 0 background."""
+    lib = _load()
+    if lib is None:
+        return None
+    mask_u8 = np.ascontiguousarray(mask.astype(np.uint8))
+    nx, ny, nz = mask_u8.shape
+    labels = np.zeros_like(mask_u8, dtype=np.int32)
+    k = lib.mamri_label_components(
+        mask_u8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        nx,
+        ny,
+        nz,
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return labels, int(k)

@@ -142,34 +142,94 @@ def ccl_sweep_pallas(lab, reset_i32, interpret: bool = False):
     return lab
 
 
+def _scan3d_kernel(lab_ref, reset_ref, out_ref, *, axes):
+    """Segmented min-scan along one or more axes of a 3-D block, sequentially
+    (matching the sweep's axis ordering), all in VMEM."""
+    lab = lab_ref[...]
+    reset = reset_ref[...]
+
+    for axis in axes:
+        n = lab.shape[axis]
+        idx = lax.broadcasted_iota(jnp.int32, lab.shape, axis)
+
+        def directional(v0, f0, forward: bool):
+            v, f = v0, f0
+            d = 1
+            while d < n:
+                if forward:
+                    vs = jnp.where(idx < d, _BIG, pltpu.roll(v, d, axis=axis))
+                    fs = jnp.where(idx < d, 1, pltpu.roll(f, d, axis=axis))
+                else:
+                    vs = jnp.where(idx >= n - d, _BIG, pltpu.roll(v, n - d, axis=axis))
+                    fs = jnp.where(idx >= n - d, 1, pltpu.roll(f, n - d, axis=axis))
+                v = jnp.where(f == 1, v, jnp.minimum(v, vs))
+                f = jnp.maximum(f, fs)
+                d *= 2
+            return v
+
+        fwd = directional(lab, reset, True)
+        bwd = directional(lab, reset, False)
+        lab = jnp.minimum(jnp.minimum(fwd, bwd), lab)
+    out_ref[...] = lab
+
+
+def ccl_sweep_pallas_3d(lab, reset_i32, interpret: bool = False):
+    """Transpose-free CCL sweep: kernel 1 scans y+z on (8, ny, nz) blocks,
+    kernel 2 scans x on (nx, 8, nz) blocks. Requires ny, nz already padded to
+    (8, 128) multiples by the caller (connected_components pads once)."""
+    nx, ny, nz = lab.shape
+
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    yz = functools.partial(_scan3d_kernel, axes=(1, 2))
+    lab = pl.pallas_call(
+        yz,
+        grid=(pl.cdiv(nx, 8),),
+        in_specs=[
+            pl.BlockSpec((8, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(lab.shape, jnp.int32),
+        compiler_params=params,
+        interpret=interpret,
+    )(lab, reset_i32)
+
+    x = functools.partial(_scan3d_kernel, axes=(0,))
+    lab = pl.pallas_call(
+        x,
+        grid=(pl.cdiv(ny, 8), pl.cdiv(nz, 128)),
+        in_specs=[
+            pl.BlockSpec((nx, 8, 128), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nx, 8, 128), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((nx, 8, 128), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(lab.shape, jnp.int32),
+        compiler_params=params,
+        interpret=interpret,
+    )(lab, reset_i32)
+    return lab
+
+
 # --------------------------------------------------------------------------- stats
-def _stats_kernel(roots_ref, lab_ref, out_ref, *, nx: int, ny: int, chunk: int):
+def _stats_kernel(roots_ref, lab_ref, out_ref, *, nx: int, ny: int, block: int):
+    """One (8, bc) label block flattened to a (1, block) row, compared against
+    the (R, 1) roots column, one MXU contraction per grid step. (Measured
+    alternatives — 32-row unrolled micro-dots, larger inner loops — were up to
+    70x slower: long serialized dot chains defeat Mosaic's pipelining.)"""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _():
         out_ref[:, :] = jnp.zeros_like(out_ref)
 
-    lab = lab_ref[:, :]  # (BR, BC) int32, flattened chunk of labels
-    roots = roots_ref[:, :]  # (R, 1) int32
-    br, bc = lab.shape
-    start = i * chunk
-    lin = (
-        start
-        + lax.broadcasted_iota(jnp.int32, (br, bc), 0) * bc
-        + lax.broadcasted_iota(jnp.int32, (br, bc), 1)
-    )
-    lab_flat = lab.reshape(1, chunk)
-    lin_flat = lin.reshape(1, chunk)
-
-    eq = (lab_flat == roots).astype(jnp.float32)  # (R, chunk)
-    gi = (lin_flat % nx).astype(jnp.float32)
-    gj = ((lin_flat // nx) % ny).astype(jnp.float32)
-    gk = (lin_flat // (nx * ny)).astype(jnp.float32)
-    feats = jnp.concatenate(
-        [jnp.ones((1, chunk), jnp.float32), gi, gj, gk], axis=0
-    )  # (4, chunk)
-    out_ref[:, :] += jax.lax.dot_general(
+    lab = lab_ref[:, :].reshape(1, block)
+    lin = i * block + lax.broadcasted_iota(jnp.int32, (1, block), 1)
+    eq = (lab == roots_ref[:, :]).astype(jnp.float32)  # (R, block)
+    gi = (lin % nx).astype(jnp.float32)
+    gj = ((lin // nx) % ny).astype(jnp.float32)
+    gk = (lin // (nx * ny)).astype(jnp.float32)
+    feats = jnp.concatenate([jnp.ones((1, block), jnp.float32), gi, gj, gk], axis=0)
+    out_ref[:, :] += lax.dot_general(
         eq,
         feats,
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -195,7 +255,7 @@ def component_stats_matmul(flat_labels, roots, nx: int, ny: int, block: int = 81
     bc = block // br
     lab2d = flat_labels.reshape(npad // bc, bc)
     grid = (npad // block,)
-    kernel = functools.partial(_stats_kernel, nx=nx, ny=ny, chunk=block)
+    kernel = functools.partial(_stats_kernel, nx=nx, ny=ny, block=block)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -205,6 +265,7 @@ def component_stats_matmul(flat_labels, roots, nx: int, ny: int, block: int = 81
         ],
         out_specs=pl.BlockSpec((r, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, 4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(roots.reshape(r, 1), lab2d)
 

@@ -78,20 +78,61 @@ def _shift3(a, off):
     return jnp.roll(a, shift=(-off[0], -off[1], -off[2]), axis=(-3, -2, -1))
 
 
+def _ball2_dilate(p):
+    """Dilation by the Euclidean ball r=2, decomposed exactly:
+    ball(2) = {|v|_inf <= 1}  UNION  {±2 axis vectors}
+    (the 3^3 box's corners have |v|^2 = 3 <= 4; the only radius-2 members
+    beyond the box are the six axis points). The box is separable into three
+    3-tap max passes — 9 + 6 shifted ops instead of 33 full-volume ORs."""
+    box = p
+    for axis in (-3, -2, -1):
+        box = jnp.logical_or(
+            box,
+            jnp.logical_or(jnp.roll(box, 1, axis=axis), jnp.roll(box, -1, axis=axis)),
+        )
+    out = box
+    for axis in (-3, -2, -1):
+        out = jnp.logical_or(
+            out, jnp.logical_or(jnp.roll(p, 2, axis=axis), jnp.roll(p, -2, axis=axis))
+        )
+    return out
+
+
+def _ball2_erode(p):
+    box = p
+    for axis in (-3, -2, -1):
+        box = jnp.logical_and(
+            box,
+            jnp.logical_and(jnp.roll(box, 1, axis=axis), jnp.roll(box, -1, axis=axis)),
+        )
+    out = box
+    for axis in (-3, -2, -1):
+        out = jnp.logical_and(
+            out, jnp.logical_and(jnp.roll(p, 2, axis=axis), jnp.roll(p, -2, axis=axis))
+        )
+    return out
+
+
 def binary_close(mask, radius: int = 2):
     """Morphological closing with a Euclidean ball, safe-border semantics.
 
     The mask is padded by 2*radius so that (a) the dilation never clips at the
     volume border and (b) `jnp.roll` wraparound garbage stays in shells the
     final crop discards. Matches `reference_cpu.binary_close_safe_border`.
+    radius=2 (the reference's ball, Mamri.py:1308) uses an exact separable
+    decomposition; other radii fall back to the full offset reduction.
     """
     if radius <= 0:
         return mask
-    offs = _ball_offsets(radius)
     pad = 2 * radius
     p = jnp.pad(mask, pad, mode="constant", constant_values=False)
-    dil = functools.reduce(jnp.logical_or, (_shift3(p, o) for o in offs))
-    ero = functools.reduce(jnp.logical_and, (_shift3(dil, o) for o in offs))
+    if radius == 2:
+        dil = _ball2_dilate(p)
+        ero = _ball2_erode(dil)
+    else:
+        offs = _ball_offsets(radius)
+        dil = functools.reduce(jnp.logical_or, (_shift3(p, o) for o in offs))
+        ero = functools.reduce(jnp.logical_and, (_shift3(dil, o) for o in offs))
     sl = tuple(slice(pad, -pad) for _ in range(3))
     return ero[sl]
 

@@ -68,7 +68,6 @@ def build_arm_geometry(
     otherwise capsules spanning each link's fixed offset to its child stand in.
     """
     link_idx = tuple(model.link_index(nm) for nm in PARTS_TO_CHECK)
-    offsets = np.asarray(model.fixed_offsets)
 
     clouds = []
     for k, name in enumerate(PARTS_TO_CHECK):
@@ -86,8 +85,9 @@ def build_arm_geometry(
                     break
         if pts is None:
             # capsule from this link's origin to its child's fixed offset
-            child = next((j for j, s in enumerate(model.specs) if s.parent == li), None)
-            length = float(np.linalg.norm(offsets[child, :3, 3])) if child is not None else 0.0
+            # (static spec data — no device round-trip at engine init)
+            child = next((s for s in model.specs if s.parent == li), None)
+            length = float(np.linalg.norm(child.offset_mm)) if child is not None else 0.0
             length = max(length, MIN_PART_LENGTH_MM)
             pts = _capsule_points(length, radius_mm, points_per_part, seed=li)
         if pts.shape[0] < points_per_part:

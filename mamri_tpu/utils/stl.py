@@ -20,10 +20,19 @@ import numpy as np
 
 
 def load_stl(path: str) -> np.ndarray:
-    """Load an STL file -> (T, 3, 3) float32 triangle vertices (mm)."""
+    """Load an STL file -> (T, 3, 3) float32 triangle vertices (mm).
+
+    Binary files go through the native C++ parser (mamri_tpu.native) when the
+    toolchain is available; ASCII and fallback paths are pure Python."""
     with open(path, "rb") as f:
         head = f.read(5)
         f.seek(0)
+        if head != b"solid":
+            from mamri_tpu import native
+
+            tris = native.parse_stl_native(path)
+            if tris is not None:
+                return tris
         if head == b"solid":
             # could still be binary (some exporters write 'solid' headers);
             # try ASCII, fall back to binary on parse failure

@@ -193,3 +193,27 @@ def test_batched_estimation(engine, scene):
     angles = np.asarray(out["angles"])
     # both batch entries recover marker geometry (branch may differ from truth)
     assert np.all(np.asarray(out["rmse"]) < 0.5)
+
+
+def test_playback_cursor(engine):
+    if engine.trajectory_path is None:
+        pytest.skip("plan test did not run")
+    seen = []
+    pb = engine.playback(on_pose=lambda p: seen.append(np.asarray(p)))
+    pb.seek(0)
+    assert len(pb) == 101
+    pb.play(interval_s=0.0)
+    assert len(seen) == 101 + 1  # seek(0) + 100 steps... initial seek re-emitted
+    np.testing.assert_allclose(seen[-1], engine.trajectory_path[-1], atol=1e-6)
+    pb.rewind()
+    np.testing.assert_allclose(seen[-1], engine.trajectory_path[0], atol=1e-6)
+
+
+def test_describe_ik_solution(engine, estimated):
+    result, base = estimated
+    from mamri_tpu.core.robot import marker_world_positions
+    import jax.numpy as jnp
+    j6 = np.asarray(marker_world_positions(engine.model, jnp.asarray(result.angles_rad), "Joint6", jnp.asarray(result.baseplate_tf)))
+    report = engine.describe_ik_solution(j6)
+    assert "IK Solution Details" in report
+    assert "Joint6" in report and "err" in report
