@@ -142,6 +142,105 @@ def ccl_sweep_pallas(lab, reset_i32, interpret: bool = False):
     return lab
 
 
+# ------------------------------------------------- fused threshold + closing
+def _ball2_pass(x, combine3, fill):
+    """Ball(2) morphological pass: separable 3^3 box + +-2 axis points
+    (same decomposition as segmentation._ball2_dilate), edges filled."""
+    box = x
+    for axis in (0, 1, 2):
+        n = box.shape[axis]
+        idx = lax.broadcasted_iota(jnp.int32, box.shape, axis)
+        r1 = jnp.where(idx < 1, fill, pltpu.roll(box, 1, axis=axis))
+        r2 = jnp.where(idx >= n - 1, fill, pltpu.roll(box, n - 1, axis=axis))
+        box = combine3(box, r1, r2)
+    out = box
+    for axis in (0, 1, 2):
+        n = x.shape[axis]
+        idx = lax.broadcasted_iota(jnp.int32, x.shape, axis)
+        s1 = jnp.where(idx < 2, fill, pltpu.roll(x, 2, axis=axis))
+        s2 = jnp.where(idx >= n - 2, fill, pltpu.roll(x, n - 2, axis=axis))
+        out = combine3(out, s1, s2)
+    return out
+
+
+def _close_kernel(prev_ref, cur_ref, next_ref, mask_ref, lab_ref, *, thr_lo, thr_hi, nx, ny, slab):
+    """Threshold + ball(2) closing + CCL label init for one x-slab.
+
+    The padded volume is passed three times with index maps i, i+1, i+2 so the
+    kernel sees a (3*slab)-row window without manual DMA; the central `slab`
+    rows (= block i+1 of the padded volume) are written.
+    """
+    i = pl.program_id(0)
+    window = jnp.concatenate([prev_ref[...], cur_ref[...], next_ref[...]], axis=0)
+    m = jnp.logical_and(window >= thr_lo, window <= thr_hi).astype(jnp.int32)
+
+    def max3(a, b, c):
+        return jnp.maximum(jnp.maximum(a, b), c)
+
+    def min3(a, b, c):
+        return jnp.minimum(jnp.minimum(a, b), c)
+
+    dil = _ball2_pass(m, max3, 0)
+    ero = _ball2_pass(dil, min3, 1)
+    center = ero[slab : 2 * slab, :, :]
+    mask_ref[...] = center
+
+    # CCL init: label = (z, y, x)-raster linear index in ORIGINAL coordinates
+    # (padded coords minus the left pads: a full slab in x, 4 in y/z).
+    gi = lax.broadcasted_iota(jnp.int32, center.shape, 0) + (i + 1) * slab - slab
+    gj = lax.broadcasted_iota(jnp.int32, center.shape, 1) - 4
+    gk = lax.broadcasted_iota(jnp.int32, center.shape, 2) - 4
+    lin = gk * (nx * ny) + gj * nx + gi
+    lab_ref[...] = jnp.where(center == 1, lin, _BIG)
+
+
+def fused_threshold_close_init(data, thr_lo: float, thr_hi: float, interpret: bool = False):
+    """f32 volume -> (closed mask int32, initial CCL labels int32), fused.
+
+    Safe-border closing semantics identical to segmentation.binary_close;
+    label init matches connected_components' raster convention. One HBM
+    read of the volume (x3 window overlap) + two int32 writes.
+    """
+    nx, ny, nz = data.shape
+    slab = 8
+    # x: a full slab of padding each side (the halo needs 4; the first and
+    # last blocks are window-only and never written). y/z: 4 + alignment.
+    pad_x = (-nx) % slab
+    pad_y = (-(ny + 8)) % 8
+    pad_z = (-(nz + 8)) % 128
+    p = jnp.pad(
+        data,
+        ((slab, slab + pad_x), (4, 4 + pad_y), (4, 4 + pad_z)),
+        constant_values=jnp.float32(thr_lo - 1.0),  # background: below threshold
+    )
+    nxp, nyp, nzp = p.shape
+    grid = (nxp // slab - 2,)
+    kernel = functools.partial(_close_kernel, thr_lo=thr_lo, thr_hi=thr_hi, nx=nx, ny=ny, slab=slab)
+
+    def blk(off):
+        return pl.BlockSpec(
+            (slab, nyp, nzp), lambda i, off=off: (i + off, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    mask_p, lab_p = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[blk(0), blk(1), blk(2)],
+        out_specs=(
+            pl.BlockSpec((slab, nyp, nzp), lambda i: (i + 1, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((slab, nyp, nzp), lambda i: (i + 1, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nxp, nyp, nzp), jnp.int32),
+            jax.ShapeDtypeStruct((nxp, nyp, nzp), jnp.int32),
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(p, p, p)
+    sl = (slice(slab, slab + nx), slice(4, 4 + ny), slice(4, 4 + nz))
+    return mask_p[sl], lab_p[sl]
+
+
 def _scan3d_kernel(lab_ref, reset_ref, out_ref, *, axes):
     """Segmented min-scan along one or more axes of a 3-D block, sequentially
     (matching the sweep's axis ordering), all in VMEM."""

@@ -178,8 +178,11 @@ def connected_components(mask, max_sweeps: int = 8):
     gk = lax.broadcasted_iota(jnp.int32, shape, 2)
     lin = gk * (nx * ny) + gj * nx + gi
     lab0 = jnp.where(mask, lin, _BIG)
-    reset = jnp.logical_not(mask)
+    return _ccl_sweeps(lab0, jnp.logical_not(mask), max_sweeps)
 
+
+def _ccl_sweeps(lab0, reset, max_sweeps: int):
+    """Run the fixed sweep iteration from precomputed initial labels."""
     if _use_pallas():
         from mamri_tpu.perception.pallas_ops import ccl_sweep_pallas
 
@@ -254,9 +257,19 @@ def segment_volume(data, spacing, origin, params: SegmentationParams = Segmentat
     spacing = jnp.asarray(spacing, dtype=jnp.float32)
     origin = jnp.asarray(origin, dtype=jnp.float32)
 
-    mask = jnp.logical_and(data >= params.intensity_low, data <= params.intensity_high)
-    closed = binary_close(mask, params.closing_radius)
-    labels = connected_components(closed, params.max_sweeps)
+    if _use_pallas() and params.closing_radius == 2:
+        # fused threshold + ball(2) closing + label init in one kernel pass
+        from mamri_tpu.perception.pallas_ops import fused_threshold_close_init
+
+        mask_i32, lab0 = fused_threshold_close_init(
+            data, params.intensity_low, params.intensity_high
+        )
+        closed = mask_i32 != 0
+        labels = _ccl_sweeps(lab0, jnp.logical_not(closed), params.max_sweeps)
+    else:
+        mask = jnp.logical_and(data >= params.intensity_low, data <= params.intensity_high)
+        closed = binary_close(mask, params.closing_radius)
+        labels = connected_components(closed, params.max_sweeps)
 
     roots, root_valid, counts, sums_ijk, num_components = _component_stats(
         labels, closed, params.max_roots

@@ -49,3 +49,21 @@ def test_stats_kernel_parity_interpret():
     got = component_stats_matmul(jnp.asarray(labs), jnp.asarray(roots), 32, 16, block=2048, interpret=True)
     want = component_stats_matmul_reference(jnp.asarray(labs), jnp.asarray(roots), 32, 16)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+
+def test_fused_threshold_close_init_interpret():
+    from mamri_tpu.perception.pallas_ops import fused_threshold_close_init
+    from mamri_tpu.perception.segmentation import binary_close
+
+    rng = np.random.default_rng(2)
+    data = (rng.random((16, 24, 20)) * 100).astype(np.float32)
+    d = jnp.asarray(data)
+    mask_k, lab_k = fused_threshold_close_init(d, 65.0, 65535.0, interpret=True)
+    mask_ref = binary_close(jnp.logical_and(d >= 65.0, d <= 65535.0))
+    np.testing.assert_array_equal(np.asarray(mask_k != 0), np.asarray(mask_ref))
+    gi = jax.lax.broadcasted_iota(jnp.int32, d.shape, 0)
+    gj = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+    gk = jax.lax.broadcasted_iota(jnp.int32, d.shape, 2)
+    lin = gk * (16 * 24) + gj * 16 + gi
+    lab_ref = jnp.where(mask_ref, lin, 2**31 - 1)
+    np.testing.assert_array_equal(np.asarray(lab_k), np.asarray(lab_ref))
