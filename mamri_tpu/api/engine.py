@@ -156,8 +156,13 @@ class MamriEngine:
         use_saved_baseplate: bool = False,
         apply_correction: bool = False,
         store_state: bool = True,
+        keep_segmentation: bool = True,
     ) -> PoseEstimate:
-        """The reference's `process()` (Mamri.py:850-880), one fused program."""
+        """The reference's `process()` (Mamri.py:850-880), one fused program.
+
+        `keep_segmentation=False` skips fetching the body mask back to the
+        host (streaming pose tracking doesn't re-plan every frame; the mask
+        is the bulk of the per-frame transfer)."""
         saved = self.saved_baseplate if self.saved_baseplate is not None else np.eye(4, dtype=np.float32)
         fn = self._get_pipeline(volume.shape)
         with self.tracer.span("estimate_pose"):
@@ -171,11 +176,13 @@ class MamriEngine:
                 jnp.asarray(apply_correction),
                 jnp.asarray(self.current_angles),
             )
+            if not keep_segmentation:
+                out.pop("body_mask")
             out = jax.device_get(out)
 
         markers_found = {ln: bool(f) for ln, f in zip(MARKER_LINKS, out["markers_found"])}
         source = ["none", "detected", "saved", "saved_fallback"][int(out["base_source"])]
-        if store_state:
+        if store_state and keep_segmentation:
             self.last_segmentation = out
             self.last_volume_geom = (np.asarray(volume.spacing), np.asarray(volume.origin))
             self.last_collision_world = None  # rebuilt lazily from the new body
@@ -350,6 +357,30 @@ class MamriEngine:
                 current_angles=jnp.asarray(self.current_angles),
             )
         return jax.device_get(res)
+
+    def plan_trajectory_sweep(self, target_ras, entry_ras, safety_distances_mm):
+        """Solve the trajectory goal IK for several safety distances at once
+        (BASELINE config 4's sweep) — one vmapped solve instead of a loop."""
+        if self.baseplate_tf is None:
+            raise RuntimeError("robot base unknown; run estimate_pose first")
+        world = self._require_body_world()
+        distances = jnp.asarray(safety_distances_mm, dtype=jnp.float32)
+
+        def solve(d):
+            return solve_trajectory_ik(
+                self.model,
+                self.geometry,
+                jnp.asarray(target_ras, dtype=jnp.float32),
+                jnp.asarray(entry_ras, dtype=jnp.float32),
+                d,
+                jnp.asarray(self.baseplate_tf),
+                world,
+                current_angles=jnp.asarray(self.current_angles),
+            )
+
+        with self.tracer.span("plan_trajectory_sweep"):
+            out = jax.jit(jax.vmap(solve))(distances)
+        return jax.device_get(out)
 
     def plan_heuristic_path(
         self,
@@ -553,6 +584,33 @@ class HardwareStack:
             raise RuntimeError("both encoder and controller must be connected to zero hardware")
         self.encoder.reset_counters()
         self.controller.zero_counters()
+
+    def start_sync_loop(self, interval_s: float = 0.25):
+        """Run the encoder<->controller sync monitor on a background thread —
+        the reference's 250 ms sync QTimer (Mamri.py:836-838). Returns a
+        stop() callable."""
+        import threading
+
+        stop = threading.Event()
+
+        def loop():
+            while not stop.is_set():
+                try:
+                    self.sync.step()
+                except Exception:
+                    import logging
+
+                    logging.getLogger(__name__).exception("sync step failed; continuing")
+                stop.wait(interval_s)
+
+        t = threading.Thread(target=loop, daemon=True)
+        t.start()
+
+        def stopper():
+            stop.set()
+            t.join(timeout=1.0)
+
+        return stopper
 
     def disconnect(self):
         self.encoder.disconnect()

@@ -74,6 +74,14 @@ def sharded_batched_pipeline(engine, mesh: Mesh, dp_axis: str = "dp", sp_axis: O
     be a multiple of the dp axis (and nx of the sp axis when spatial sharding
     is on).
     """
+    if sp_axis is not None and engine.seg_params.use_pallas is None:
+        # Spatially-sharded volumes cannot route through pallas_call (XLA
+        # cannot auto-partition custom kernels); pin the jnp path, whose
+        # shifts/scans lower to sharded ops with ICI halo exchanges.
+        import copy
+
+        engine = copy.copy(engine)
+        engine.seg_params = engine.seg_params._replace(use_pallas=False)
     pipeline = engine._pipeline_fn()
     nj = engine.model.num_joints
 

@@ -22,7 +22,7 @@ Output shapes are static (MAX_BLOBS slots + validity mask) for jit/vmap.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,6 +47,9 @@ class SegmentationParams(NamedTuple):
     max_sweeps: int = 16
     max_blobs: int = MAX_BLOBS
     max_roots: int = MAX_ROOTS
+    use_pallas: Optional[bool] = None  # None = auto (TPU yes, CPU no). Set
+    # False for spatially-sharded (sp) execution: XLA cannot auto-partition
+    # pallas_call, while the jnp path lowers to sharded ops + collectives.
 
 
 class SegmentationResult(NamedTuple):
@@ -154,7 +157,7 @@ def _segmented_min_scan(lab, reset, axis: int, reverse: bool):
     return vals
 
 
-def connected_components(mask, max_sweeps: int = 8):
+def connected_components(mask, max_sweeps: int = 8, use_pallas: Optional[bool] = None):
     """6-connectivity CCL: label = min linear index over the component.
 
     Runs exactly `max_sweeps` rounds of {forward, backward} segmented
@@ -178,12 +181,14 @@ def connected_components(mask, max_sweeps: int = 8):
     gk = lax.broadcasted_iota(jnp.int32, shape, 2)
     lin = gk * (nx * ny) + gj * nx + gi
     lab0 = jnp.where(mask, lin, _BIG)
-    return _ccl_sweeps(lab0, jnp.logical_not(mask), max_sweeps)
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    return _ccl_sweeps(lab0, jnp.logical_not(mask), max_sweeps, use_pallas)
 
 
-def _ccl_sweeps(lab0, reset, max_sweeps: int):
+def _ccl_sweeps(lab0, reset, max_sweeps: int, use_pallas: bool):
     """Run the fixed sweep iteration from precomputed initial labels."""
-    if _use_pallas():
+    if use_pallas:
         from mamri_tpu.perception.pallas_ops import ccl_sweep_pallas
 
         reset_i32 = reset.astype(jnp.int32)
@@ -204,7 +209,7 @@ def _ccl_sweeps(lab0, reset, max_sweeps: int):
     return lab
 
 
-def _component_stats(labels, mask, max_roots: int):
+def _component_stats(labels, mask, max_roots: int, use_pallas: Optional[bool] = None):
     """Counts and index-coordinate sums for up to `max_roots` components.
 
     A voxel is its component's *root* iff its label equals its own linear
@@ -212,6 +217,8 @@ def _component_stats(labels, mask, max_roots: int):
     their stats come from one fused compare-broadcast-reduce (MXU-friendly
     bounded fan-out) rather than a serialized TPU scatter.
     """
+    if use_pallas is None:
+        use_pallas = _use_pallas()
     shape = labels.shape
     nx, ny, nz = shape
     n = nx * ny * nz
@@ -236,7 +243,7 @@ def _component_stats(labels, mask, max_roots: int):
         component_stats_matmul_reference,
     )
 
-    if _use_pallas():
+    if use_pallas:
         stats = component_stats_matmul(flat, roots, nx, ny)
     else:
         stats = component_stats_matmul_reference(flat, roots, nx, ny)
@@ -257,7 +264,8 @@ def segment_volume(data, spacing, origin, params: SegmentationParams = Segmentat
     spacing = jnp.asarray(spacing, dtype=jnp.float32)
     origin = jnp.asarray(origin, dtype=jnp.float32)
 
-    if _use_pallas() and params.closing_radius == 2:
+    pallas_on = params.use_pallas if params.use_pallas is not None else _use_pallas()
+    if pallas_on and params.closing_radius == 2:
         # fused threshold + ball(2) closing + label init in one kernel pass
         from mamri_tpu.perception.pallas_ops import fused_threshold_close_init
 
@@ -265,14 +273,14 @@ def segment_volume(data, spacing, origin, params: SegmentationParams = Segmentat
             data, params.intensity_low, params.intensity_high
         )
         closed = mask_i32 != 0
-        labels = _ccl_sweeps(lab0, jnp.logical_not(closed), params.max_sweeps)
+        labels = _ccl_sweeps(lab0, jnp.logical_not(closed), params.max_sweeps, pallas_on)
     else:
         mask = jnp.logical_and(data >= params.intensity_low, data <= params.intensity_high)
         closed = binary_close(mask, params.closing_radius)
-        labels = connected_components(closed, params.max_sweeps)
+        labels = connected_components(closed, params.max_sweeps, use_pallas=pallas_on)
 
     roots, root_valid, counts, sums_ijk, num_components = _component_stats(
-        labels, closed, params.max_roots
+        labels, closed, params.max_roots, pallas_on
     )
 
     voxvol = spacing[0] * spacing[1] * spacing[2]

@@ -217,3 +217,51 @@ def test_describe_ik_solution(engine, estimated):
     report = engine.describe_ik_solution(j6)
     assert "IK Solution Details" in report
     assert "Joint6" in report and "err" in report
+
+
+def test_trajectory_sweep(engine, estimated):
+    result, base = estimated
+    target = np.array([-60.0, -40.0, 130.0], dtype=np.float32)
+    ep = engine.find_entry_point(target)
+    sweep = engine.plan_trajectory_sweep(target, ep.point_ras, [2.0, 5.0, 10.0, 20.0])
+    assert np.asarray(sweep.angles).shape == (4, 6)
+    assert np.all(np.asarray(sweep.position_error_mm) < 5.0)
+    # larger safety distance -> tip farther from entry along -needle direction
+    tips = np.asarray(sweep.target_tf)[:, :3, 3]
+    d_entry = np.linalg.norm(tips - np.asarray(ep.point_ras), axis=1)
+    assert np.all(np.diff(d_entry) > 0)
+
+
+def test_streaming_tracker(engine, scene):
+    from mamri_tpu.api.streaming import PoseTracker
+
+    vol, base = scene
+    tracker = PoseTracker(engine)
+    for _ in range(3):
+        res = tracker.step(vol)
+        assert res.success
+    s = tracker.stats()
+    assert s["frames"] == 3 and s["failures"] == 0
+    assert s["p50_latency_ms"] is not None
+
+
+def test_sync_loop_thread(engine):
+    from mamri_tpu.hw.sim import SimulatedEncoder, SimulatedMotorController, SimulatedRobot
+    from mamri_tpu.hw.transport import LoopbackTransport
+    import time
+
+    robot = SimulatedRobot(speed_steps_per_s=5000.0)
+    mc_dev = SimulatedMotorController(robot)
+    enc_dev = SimulatedEncoder(robot)
+    mc_tp, enc_tp = LoopbackTransport(mc_dev), LoopbackTransport(enc_dev)
+    enc_dev.emit()
+    eng2 = MamriEngine()
+    hw = eng2.attach_hardware(mc_tp, enc_tp)
+    stop = hw.start_sync_loop(interval_s=0.01)
+    hw.controller.command_pose([100, 0, 0, 0, 0, 0])
+    for _ in range(30):
+        enc_dev.emit()
+        time.sleep(0.01)
+    stop()
+    assert hw.encoder.latest_position[0] == 100
+    hw.disconnect()
