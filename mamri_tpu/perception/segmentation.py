@@ -228,9 +228,21 @@ def _component_stats(labels, mask, max_roots: int, use_pallas: Optional[bool] = 
     is_root = jnp.logical_and(flat == lin, flat != _BIG)
     num_components = jnp.sum(is_root, dtype=jnp.int32)
 
-    # smallest root indices first
+    # smallest root indices first. A flat top_k over the whole volume costs
+    # ~42 ms at 256^3; two-level (per-block then global) is 2.5x cheaper.
+    # Cap: at most `per_block` candidate roots per raster block are
+    # considered — far beyond plausible blob density after closing.
     root_keys = jnp.where(is_root, -lin, -_BIG)
-    keys, _ = lax.top_k(root_keys, max_roots)
+    if n >= (1 << 20):
+        nblocks = 2048
+        per_block = min(max_roots, 64)
+        pad = (-n) % nblocks
+        if pad:
+            root_keys = jnp.pad(root_keys, (0, pad), constant_values=-_BIG)
+        blk, _ = lax.top_k(root_keys.reshape(nblocks, -1), per_block)
+        keys, _ = lax.top_k(blk.reshape(-1), max_roots)
+    else:
+        keys, _ = lax.top_k(root_keys, max_roots)
     roots = -keys  # (R,) root linear indices; _BIG where no component
     root_valid = roots != _BIG
 
