@@ -293,6 +293,31 @@ class MamriEngine:
         Mamri.py:600-618)."""
         return self.link_world_transforms(angles_rad)[self.model.link_index("Needle")]
 
+    def export_posed_meshes(self, out_dir: str, mesh_dir: str, angles_rad=None) -> list:
+        """Write the robot's visual meshes FK-posed at the current (or given)
+        angles as binary STLs — the headless counterpart of the reference's
+        3D scene rendering (`_build_robot_model`, Mamri.py:1449-1471).
+        Returns the written paths. Missing mesh files are skipped (the
+        reference skips the stripped Needle.STL the same way, Mamri.py:1454).
+        """
+        from mamri_tpu.utils.stl import load_stl, save_stl, transform_triangles
+
+        os.makedirs(out_dir, exist_ok=True)
+        tfs = self.link_world_transforms(angles_rad)
+        written = []
+        for i, spec in enumerate(self.model.specs):
+            if not spec.visual_mesh:
+                continue
+            src = os.path.join(mesh_dir, spec.visual_mesh)
+            if not os.path.exists(src):
+                logger.info("skipping missing mesh %s", src)
+                continue
+            tris = transform_triangles(load_stl(src), tfs[i])
+            dst = os.path.join(out_dir, f"{spec.name}_posed.stl")
+            save_stl(dst, tris)
+            written.append(dst)
+        return written
+
     def target_in_base_frame(self, target_ras) -> np.ndarray:
         """Re-express a world RAS point in the robot base frame — the widget's
         target-coordinate readout (Mamri.py:752-799)."""

@@ -66,6 +66,29 @@ def _load_ascii(path: str) -> np.ndarray:
     return arr.reshape(-1, 3, 3)
 
 
+def save_stl(path: str, tris: np.ndarray) -> None:
+    """Write a (T, 3, 3) triangle soup as binary STL (normals recomputed)."""
+    tris = np.asarray(tris, dtype=np.float32)
+    a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+    n = np.cross(b - a, c - a)
+    norm = np.linalg.norm(n, axis=1, keepdims=True)
+    n = n / np.maximum(norm, 1e-12)
+    rec = np.zeros((len(tris), 50), dtype=np.uint8)
+    payload = np.concatenate([n[:, None, :], tris], axis=1).astype("<f4")  # (T, 4, 3)
+    rec[:, :48] = payload.reshape(len(tris), 48 // 4).view(np.uint8).reshape(len(tris), 48)
+    with open(path, "wb") as f:
+        f.write(b"\0" * 80)
+        f.write(struct.pack("<I", len(tris)))
+        f.write(rec.tobytes())
+
+
+def transform_triangles(tris: np.ndarray, matrix: np.ndarray) -> np.ndarray:
+    """Apply a (4, 4) homogeneous transform to a (T, 3, 3) triangle soup."""
+    tris = np.asarray(tris, dtype=np.float32)
+    r = np.asarray(matrix, dtype=np.float32)
+    return np.einsum("ij,tvj->tvi", r[:3, :3], tris) + r[:3, 3]
+
+
 def sample_surface_points(tris: np.ndarray, n_points: int = 2048, seed: int = 0) -> np.ndarray:
     """Area-weighted uniform sampling of a triangle soup -> (n_points, 3).
 

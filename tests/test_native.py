@@ -64,3 +64,18 @@ def test_native_ccl_itk_raster_order():
     assert k == 2
     assert labels[6, 6, 1] == 1
     assert labels[0, 0, 5] == 2
+
+
+def test_stl_writer_roundtrip(tmp_path):
+    from mamri_tpu.utils.stl import save_stl, load_stl, transform_triangles
+
+    rng = np.random.default_rng(5)
+    tris = rng.uniform(-20, 20, size=(11, 3, 3)).astype(np.float32)
+    p = str(tmp_path / "out.stl")
+    save_stl(p, tris)
+    back = load_stl(p)
+    np.testing.assert_allclose(back, tris, atol=0)
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = [10, -5, 3]
+    moved = transform_triangles(tris, m)
+    np.testing.assert_allclose(moved, tris + np.array([10, -5, 3], dtype=np.float32), atol=1e-5)
