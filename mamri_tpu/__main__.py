@@ -130,6 +130,21 @@ def cmd_plan(args) -> int:
     return 0 if plan.success else 1
 
 
+def cmd_export(args) -> int:
+    eng = _engine(args)
+    vol = _load(args.volume)
+    pose = eng.estimate_pose(vol, apply_correction=args.correction)
+    if not pose.success:
+        print(json.dumps({"success": False, "message": f"pose estimation failed: {pose.message}"}))
+        return 1
+    paths = eng.export_posed_meshes(args.out_dir, args.mesh_dir)
+    if not paths:
+        print(json.dumps({"success": False, "message": f"no mesh files found under {args.mesh_dir}"}))
+        return 1
+    print(json.dumps({"success": True, "angles_deg": np.rad2deg(pose.angles_rad).round(3).tolist(), "meshes": paths}, indent=2))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="mamri_tpu", description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -157,8 +172,20 @@ def main(argv=None) -> int:
     pp.add_argument("--out", default=None, help="write path/keyframes to .npz")
     pp.add_argument("--mesh-dir", default=None)
 
+    px = sub.add_parser("export", help="write FK-posed robot meshes as STL")
+    px.add_argument("volume", help="scan to estimate the pose from")
+    px.add_argument("--mesh-dir", required=True, help="directory with the robot STL meshes")
+    px.add_argument("--out-dir", required=True)
+    px.add_argument("--correction", action="store_true")
+
     args = ap.parse_args(argv)
-    return {"info": cmd_info, "estimate": cmd_estimate, "entry": cmd_entry, "plan": cmd_plan}[args.cmd](args)
+    return {
+        "info": cmd_info,
+        "estimate": cmd_estimate,
+        "entry": cmd_entry,
+        "plan": cmd_plan,
+        "export": cmd_export,
+    }[args.cmd](args)
 
 
 if __name__ == "__main__":
