@@ -1,0 +1,70 @@
+"""CLI surface tests (python -m mamri_tpu) on small CPU volumes."""
+
+import json
+
+import numpy as np
+import pytest
+
+from mamri_tpu.__main__ import main
+from mamri_tpu.perception.io import save_nifti
+from mamri_tpu.perception.volume import synthetic_volume
+
+
+@pytest.fixture(scope="module")
+def scan_path(tmp_path_factory):
+    """Small scene with only the baseplate triplet + a body blob."""
+    pts = np.array([[-10.0, 20.0, 5.0], [10.0, 20.0, 5.0], [-10.0, -20.0, 5.0]], dtype=np.float32)
+    v = synthetic_volume(
+        shape=(64, 64, 64),
+        fiducials_ras=pts,
+        fiducial_radius_mm=3.0,
+        body_center_ras=[0.0, 0.0, -18.0],
+        body_radii_mm=[22.0, 20.0, 10.0],
+    )
+    p = str(tmp_path_factory.mktemp("cli") / "scan.nii.gz")
+    save_nifti(p, v)
+    return p
+
+
+def test_cli_info(capsys):
+    assert main(["info"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["articulated"] == ["Joint1", "Joint2", "Joint3", "Joint4", "Joint5", "Joint6"]
+    assert out["motor_letters"] == ["A", "B", "C", "D", "E", "F"]
+
+
+def test_cli_estimate_partial_scene(scan_path, capsys):
+    """Baseplate-only scene: pose estimation fails gracefully (no Joint6)
+    but reports the detected baseplate."""
+    rc = main(["estimate", scan_path])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 1
+    assert out["markers_found"]["Baseplate"] is True
+    assert out["markers_found"]["Joint6"] is False
+    assert "Joint6" in out["message"]
+
+
+def test_cli_entry(scan_path, capsys):
+    rc = main(["entry", scan_path, "--target", "0", "0", "-18"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["success"]
+    assert out["distance_mm"] < 80.0
+
+
+def test_cli_bad_volume(tmp_path, capsys):
+    p = str(tmp_path / "bad.nii")
+    with open(p, "wb") as f:
+        f.write(b"garbage")
+    with pytest.raises(SystemExit) as e:
+        main(["estimate", p])
+    assert e.value.code == 2
+    out = json.loads(capsys.readouterr().out)
+    assert not out["success"]
+
+
+def test_cli_export_no_meshes(scan_path, tmp_path, capsys):
+    rc = main(["export", scan_path, "--mesh-dir", str(tmp_path / "none"), "--out-dir", str(tmp_path / "out")])
+    out = json.loads(capsys.readouterr().out)
+    # partial scene: pose fails before export
+    assert rc == 1
+    assert not out["success"]
