@@ -32,16 +32,23 @@ def make_mesh(
     devices: Optional[Sequence] = None,
 ) -> Mesh:
     """Build a mesh over the first n devices. With two axes and no explicit
-    shape, devices split evenly favoring dp. When the default platform has
-    fewer than n devices, falls back to the CPU platform (virtual host
-    devices) so multi-chip programs can be validated on one host."""
+    shape, devices split evenly favoring dp. Fails loudly when the default
+    platform has fewer than n devices — virtual-mesh validation must provision
+    CPU devices explicitly (XLA_FLAGS --xla_force_host_platform_device_count
+    before backend init + jax.config.update("jax_platforms", "cpu"); see
+    __graft_entry__._provision_cpu_mesh) rather than rely on a silent
+    fallback that leaves eager inputs on the default platform."""
     if devices is None:
         devices = jax.devices()
-        if n_devices is not None and len(devices) < n_devices:
-            devices = jax.devices("cpu")
     n = len(devices) if n_devices is None else n_devices
     if len(devices) < n:
-        raise ValueError(f"need {n} devices, have {len(devices)}")
+        raise ValueError(
+            f"need {n} devices, have {len(devices)} on platform "
+            f"'{jax.default_backend()}'. For virtual multi-chip validation, "
+            "provision host devices before JAX backend init (XLA_FLAGS "
+            f"--xla_force_host_platform_device_count={n} and "
+            "jax.config.update('jax_platforms', 'cpu'))."
+        )
     devices = np.asarray(devices[:n])
     if shape is None:
         if len(axes) == 1:
