@@ -50,14 +50,22 @@ class MamriEngine:
         self,
         config_path: Optional[str] = None,
         mesh_dir: Optional[str] = None,
-        seg_params: SegmentationParams = SegmentationParams(),
+        seg_params: Optional[SegmentationParams] = None,
         tracer: Optional[Tracer] = None,
-        ik_iters: int = 80,
-        ik_restarts: int = 8,
+        ik_iters: int = 24,
+        ik_restarts: int = 2,
     ):
         self.model: RobotModel = load_robot_model(config_path)
         self.geometry: ArmGeometry = build_arm_geometry(self.model, mesh_dir)
-        self.seg_params = seg_params
+        # default: the fast certified settings — 4 CCL sweeps with an in-kernel
+        # convergence certificate and 128 candidate roots with a completeness
+        # certificate; estimate_pose escalates automatically when either
+        # certificate fails, so results match the conservative settings
+        self.seg_params = (
+            seg_params
+            if seg_params is not None
+            else SegmentationParams(max_sweeps=4, max_roots=128)
+        )
         self.tracer = tracer or Tracer(enabled=False)
         self.ik_iters = ik_iters
         self.ik_restarts = ik_restarts
@@ -79,11 +87,11 @@ class MamriEngine:
         self._batch_cache: Dict[Tuple, callable] = {}
 
     # ------------------------------------------------------------------ compute core
-    def _pipeline_fn(self):
+    def _pipeline_fn(self, seg_params: Optional[SegmentationParams] = None):
         """The fused per-volume program: segmentation -> matching -> baseplate
         -> full-chain IK. One trace, one XLA program, no host round-trips."""
         model = self.model
-        seg_params = self.seg_params
+        seg_params = seg_params if seg_params is not None else self.seg_params
         arm_lengths = self._arm_lengths
         bp_local = model.marker_local[model.link_index("Baseplate")]
         ik_iters = self.ik_iters
@@ -124,6 +132,8 @@ class MamriEngine:
                 joint4_found=matches.found[2],
                 num_iters=ik_iters,
                 num_random_restarts=ik_restarts,
+                joint2_targets=matches.points[1],
+                joint2_found=matches.found[1],
             )
             steps = angles_to_steps(ik.angles, model.steps_per_rev)
             success = jnp.logical_and(base_ok, j6_found)
@@ -139,15 +149,42 @@ class MamriEngine:
                 "num_blobs": seg.num_blobs,
                 "body_mask": seg.body_mask,
                 "body_found": seg.body_found,
+                "num_components": seg.num_components,
+                "seg_converged": seg.ccl_converged,
+                "roots_complete": seg.roots_complete,
             }
 
         return pipeline
 
-    def _get_pipeline(self, shape):
-        key = tuple(shape)
+    def _get_pipeline(self, shape, seg_params: Optional[SegmentationParams] = None):
+        params = seg_params if seg_params is not None else self.seg_params
+        key = (tuple(shape), params)
         if key not in self._pipeline_cache:
-            self._pipeline_cache[key] = jax.jit(self._pipeline_fn())
+            self._pipeline_cache[key] = jax.jit(self._pipeline_fn(params))
         return self._pipeline_cache[key]
+
+    @staticmethod
+    def _escalate_seg_params(params: SegmentationParams, converged: bool, complete: bool):
+        """One escalation step for an uncertified segmentation result.
+
+        The fixed-sweep CCL certifies convergence (last sweep changed nothing)
+        and the blocked root selection certifies completeness; when either
+        certificate fails the reference semantics (ITK: unbounded components,
+        exact labels, Mamri.py:1306-1322) demand a stronger rerun, not a
+        silent truncation. Returns None when nothing further can be done."""
+        new = params
+        if not converged:
+            if params.max_sweeps >= 256:
+                return None
+            new = new._replace(max_sweeps=min(params.max_sweeps * 2, 256))
+        if not complete:
+            if params.exhaustive_roots and params.max_roots >= 4096:
+                return None
+            new = new._replace(
+                max_roots=min(max(params.max_roots * 4, 1024), 4096),
+                exhaustive_roots=True,
+            )
+        return None if new == params else new
 
     # ------------------------------------------------------------------ pose estimation
     def estimate_pose(
@@ -164,18 +201,39 @@ class MamriEngine:
         host (streaming pose tracking doesn't re-plan every frame; the mask
         is the bulk of the per-frame transfer)."""
         saved = self.saved_baseplate if self.saved_baseplate is not None else np.eye(4, dtype=np.float32)
-        fn = self._get_pipeline(volume.shape)
+        args = (
+            jnp.asarray(volume.data),
+            jnp.asarray(volume.spacing),
+            jnp.asarray(volume.origin),
+            jnp.asarray(saved),
+            jnp.asarray(use_saved_baseplate),
+            jnp.asarray(self.saved_baseplate is not None),
+            jnp.asarray(apply_correction),
+            jnp.asarray(self.current_angles),
+        )
         with self.tracer.span("estimate_pose"):
-            out = fn(
-                jnp.asarray(volume.data),
-                jnp.asarray(volume.spacing),
-                jnp.asarray(volume.origin),
-                jnp.asarray(saved),
-                jnp.asarray(use_saved_baseplate),
-                jnp.asarray(self.saved_baseplate is not None),
-                jnp.asarray(apply_correction),
-                jnp.asarray(self.current_angles),
-            )
+            params = self.seg_params
+            while True:
+                out = self._get_pipeline(volume.shape, params)(*args)
+                converged = bool(out["seg_converged"])
+                complete = bool(out["roots_complete"])
+                if converged and complete:
+                    break
+                stronger = self._escalate_seg_params(params, converged, complete)
+                if stronger is None:
+                    logger.warning(
+                        "segmentation uncertified at strongest settings "
+                        "(converged=%s, roots_complete=%s, num_components=%d)",
+                        converged, complete, int(out["num_components"]),
+                    )
+                    break
+                logger.warning(
+                    "segmentation escalation: converged=%s roots_complete=%s "
+                    "num_components=%d -> max_sweeps=%d max_roots=%d exhaustive=%s",
+                    converged, complete, int(out["num_components"]),
+                    stronger.max_sweeps, stronger.max_roots, stronger.exhaustive_roots,
+                )
+                params = stronger
             if not keep_segmentation:
                 out.pop("body_mask")
             out = jax.device_get(out)
@@ -225,9 +283,43 @@ class MamriEngine:
         """Batched pose estimation — vmapped fused pipeline, shardable over a
         device mesh (see mamri_tpu/parallel). Returns raw device arrays
         (dict of stacked outputs); no engine state is mutated."""
-        key = ("batch", tuple(np.shape(data_batch)[1:]))
+        out = None
+        params = self.seg_params
+        if donate and isinstance(data_batch, jax.Array):
+            # donation consumes the device buffer; keep a host copy so an
+            # escalation rerun (uncertified segmentation) can re-upload
+            data_batch = np.asarray(data_batch)
+        while True:
+            fn = self._get_batch_pipeline(tuple(np.shape(data_batch)[1:]), params, donate)
+            out = fn(
+                jnp.asarray(data_batch),
+                jnp.asarray(spacing),
+                jnp.asarray(origin),
+                jnp.asarray(apply_correction),
+            )
+            converged = bool(np.asarray(out["seg_converged"]).all())
+            complete = bool(np.asarray(out["roots_complete"]).all())
+            if converged and complete:
+                break
+            stronger = self._escalate_seg_params(params, converged, complete)
+            if stronger is None:
+                logger.warning(
+                    "batched segmentation uncertified at strongest settings "
+                    "(converged=%s, roots_complete=%s)", converged, complete
+                )
+                break
+            logger.warning(
+                "batched segmentation escalation -> max_sweeps=%d max_roots=%d exhaustive=%s",
+                stronger.max_sweeps, stronger.max_roots, stronger.exhaustive_roots,
+            )
+            params = stronger
+        out.pop("body_mask", None)  # don't ship B full masks back by default
+        return out
+
+    def _get_batch_pipeline(self, vol_shape, params: SegmentationParams, donate: bool):
+        key = ("batch", vol_shape, params, donate)
         if key not in self._batch_cache:
-            pipeline = self._pipeline_fn()
+            pipeline = self._pipeline_fn(params)
 
             def one(data, spacing, origin, apply_correction):
                 return pipeline(
@@ -244,14 +336,7 @@ class MamriEngine:
             batched = jax.vmap(one, in_axes=(0, None, None, None))
             kw = {"donate_argnums": (0,)} if donate else {}
             self._batch_cache[key] = jax.jit(batched, **kw)
-        out = self._batch_cache[key](
-            jnp.asarray(data_batch),
-            jnp.asarray(spacing),
-            jnp.asarray(origin),
-            jnp.asarray(apply_correction),
-        )
-        out.pop("body_mask", None)  # don't ship B full masks back by default
-        return out
+        return self._batch_cache[key]
 
     # ------------------------------------------------------------------ baseplate persistence
     def save_baseplate(self, path: Optional[str] = None) -> np.ndarray:

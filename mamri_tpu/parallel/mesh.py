@@ -124,5 +124,8 @@ def sharded_batched_pipeline(engine, mesh: Mesh, dp_axis: str = "dp", sp_axis: O
             "markers_found": out_sh,
             "num_blobs": out_sh,
             "body_found": out_sh,
+            "num_components": out_sh,
+            "seg_converged": out_sh,
+            "roots_complete": out_sh,
         },
     )

@@ -309,6 +309,208 @@ def ccl_sweep_pallas_3d(lab, reset_i32, interpret: bool = False):
     return lab
 
 
+# ----------------------------------------------- distance-based sweep (v3 path)
+# A segmented min-scan needs, at doubling step d, to know whether position i-d
+# (resp. i+d) is still in the same foreground run. That is a static property of
+# the mask: with D_fwd[i] = run length ending at i (0 on background) and
+# D_bwd[i] = run length starting at i, the recurrence
+#     v <- where(d < D, min(v, roll(v, d)), v)
+# computes the segmented scan with ONE roll per step instead of the two (value
+# + flag) of the carried-flag formulation — and the D arrays are computed once
+# per volume and reused by every sweep, where the flag evolution was recomputed
+# per sweep per direction. Wraparound needs no extra mask: d < D[i] implies the
+# rolled-in cell is in-bounds of the same line.
+
+
+def _dist_kernel(reset_ref, *out_refs, axes):
+    """last-reset / next-reset doubling scans -> run-length distances."""
+    r = reset_ref[...]
+    refs = list(out_refs)
+    for axis in axes:
+        df_ref, db_ref = refs.pop(0), refs.pop(0)
+        n = r.shape[axis]
+        idx = lax.broadcasted_iota(jnp.int32, r.shape, axis)
+        c = jnp.where(r == 1, idx, -1)  # index of last reset at-or-before i
+        d = 1
+        while d < n:
+            rolled = jnp.where(idx < d, -1, pltpu.roll(c, d, axis=axis))
+            c = jnp.maximum(c, rolled)
+            d *= 2
+        df_ref[...] = idx - c
+        c2 = jnp.where(r == 1, idx, n)  # index of next reset at-or-after i
+        d = 1
+        while d < n:
+            rolled = jnp.where(idx >= n - d, n, pltpu.roll(c2, n - d, axis=axis))
+            c2 = jnp.minimum(c2, rolled)
+            d *= 2
+        db_ref[...] = c2 - idx
+
+
+def compute_reset_distances(reset_i32, interpret: bool = False):
+    """(nx, ny, nz) int32 0/1 -> 6 run-length arrays (dfx, dbx, dfy, dby,
+    dfz, dbz). Dims must be multiples of (8, 8, 128)."""
+    nx, ny, nz = reset_i32.shape
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    shp = jax.ShapeDtypeStruct(reset_i32.shape, jnp.int32)
+
+    yz = functools.partial(_dist_kernel, axes=(1, 2))
+    blk_yz = pl.BlockSpec((8, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    dfy, dby, dfz, dbz = pl.pallas_call(
+        yz,
+        grid=(nx // 8,),
+        in_specs=[blk_yz],
+        out_specs=(blk_yz, blk_yz, blk_yz, blk_yz),
+        out_shape=(shp, shp, shp, shp),
+        compiler_params=params,
+        interpret=interpret,
+    )(reset_i32)
+
+    x = functools.partial(_dist_kernel, axes=(0,))
+    blk_x = pl.BlockSpec((nx, 8, 128), lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
+    dfx, dbx = pl.pallas_call(
+        x,
+        grid=(ny // 8, nz // 128),
+        in_specs=[blk_x],
+        out_specs=(blk_x, blk_x),
+        out_shape=(shp, shp),
+        compiler_params=params,
+        interpret=interpret,
+    )(reset_i32)
+    return (dfx, dbx, dfy, dby, dfz, dbz)
+
+
+def _sweep_dist_kernel(lab_ref, *refs, axes, first_block):
+    """One CCL sweep over `axes` using precomputed run lengths; accumulates a
+    global any-changed flag across grid steps."""
+    in_refs = list(refs[:-2])
+    out_ref, chg_ref = refs[-2], refs[-1]
+    lab = lab_ref[...]
+    orig = lab
+    for axis in axes:
+        df = in_refs.pop(0)[...]
+        db = in_refs.pop(0)[...]
+        n = lab.shape[axis]
+        v = lab
+        d = 1
+        while d < n:
+            v = jnp.where(d < df, jnp.minimum(v, pltpu.roll(v, d, axis=axis)), v)
+            d *= 2
+        w = lab
+        d = 1
+        while d < n:
+            w = jnp.where(d < db, jnp.minimum(w, pltpu.roll(w, n - d, axis=axis)), w)
+            d *= 2
+        lab = jnp.minimum(v, w)
+    out_ref[...] = lab
+
+    @pl.when(first_block())
+    def _():
+        chg_ref[:, :] = jnp.zeros((1, 1), jnp.int32)
+
+    changed = jnp.max((lab != orig).astype(jnp.int32)).reshape(1, 1)
+    chg_ref[:, :] = jnp.maximum(chg_ref[:, :], changed)
+
+
+def ccl_sweep_dist(lab, dists, interpret: bool = False):
+    """One full CCL sweep (y, z, then x) with run-length masks. Returns
+    (labels, changed) where changed is a () int32 0/1 for THIS sweep.
+    Dims must be multiples of (8, 8, 128)."""
+    nx, ny, nz = lab.shape
+    dfx, dbx, dfy, dby, dfz, dbz = dists
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    shp = jax.ShapeDtypeStruct(lab.shape, jnp.int32)
+    chg_shp = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+    chg_blk = pl.BlockSpec((1, 1), lambda *_: (0, 0), memory_space=pltpu.VMEM)
+
+    yz = functools.partial(
+        _sweep_dist_kernel, axes=(1, 2), first_block=lambda: pl.program_id(0) == 0
+    )
+    blk_yz = pl.BlockSpec((8, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    lab, chg_yz = pl.pallas_call(
+        yz,
+        grid=(nx // 8,),
+        in_specs=[blk_yz, blk_yz, blk_yz, blk_yz, blk_yz],
+        out_specs=(blk_yz, chg_blk),
+        out_shape=(shp, chg_shp),
+        compiler_params=params,
+        interpret=interpret,
+    )(lab, dfy, dby, dfz, dbz)
+
+    x = functools.partial(
+        _sweep_dist_kernel,
+        axes=(0,),
+        first_block=lambda: jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0),
+    )
+    blk_x = pl.BlockSpec((nx, 8, 128), lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
+    lab, chg_x = pl.pallas_call(
+        x,
+        grid=(ny // 8, nz // 128),
+        in_specs=[blk_x, blk_x, blk_x],
+        out_specs=(blk_x, chg_blk),
+        out_shape=(shp, chg_shp),
+        compiler_params=params,
+        interpret=interpret,
+    )(lab, dfx, dbx)
+    changed = jnp.maximum(chg_yz[0, 0], chg_x[0, 0])
+    return lab, changed
+
+
+# ------------------------------------------------------------- root extraction
+def _roots_kernel(lab_ref, out_ref, *, nx, ny, k, slab):
+    """Per x-slab: the k smallest component roots (label == own linear index)
+    and the slab's exact root count. Output row: [root_0..root_{k-1}, count]."""
+    i = pl.program_id(0)
+    lab = lab_ref[...]
+    gi = lax.broadcasted_iota(jnp.int32, lab.shape, 0) + i * slab
+    gj = lax.broadcasted_iota(jnp.int32, lab.shape, 1)
+    gk = lax.broadcasted_iota(jnp.int32, lab.shape, 2)
+    lin = gk * (nx * ny) + gj * nx + gi
+    is_root = jnp.logical_and(lab == lin, lab != _BIG)
+    cnt = jnp.sum(is_root.astype(jnp.int32))
+    v = jnp.where(is_root, lin, _BIG)
+    for t in range(k):
+        m = jnp.min(v)
+        out_ref[i, t] = m
+        v = jnp.where(v == m, _BIG, v)
+    out_ref[i, k] = cnt
+
+
+def extract_root_candidates(labels, nx: int, ny: int, k: int = 8, interpret: bool = False):
+    """(candidates (nblocks*k,), block_counts (nblocks,), num_components ()).
+
+    `labels` may be padded beyond (nx, ny, *): padded voxels carry the
+    background sentinel and can never be roots. Candidates are exact and
+    complete iff every x-slab holds <= k roots (check block_counts <= k).
+    """
+    nxp = labels.shape[0]
+    slab = 8
+    nblocks = nxp // slab
+    kernel = functools.partial(_roots_kernel, nx=nx, ny=ny, k=k, slab=slab)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(
+                (slab, labels.shape[1], labels.shape[2]),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        # the whole (nblocks, k+1) table lives in SMEM across grid steps; each
+        # step scalar-writes its own row (per-row VMEM blocks don't satisfy
+        # the (8, 128) tile constraint)
+        out_specs=pl.BlockSpec(
+            (nblocks, k + 1), lambda i: (0, 0), memory_space=pltpu.SMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((nblocks, k + 1), jnp.int32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(labels)
+    cands = out[:, :k].reshape(-1)
+    counts = out[:, k]
+    return cands, counts, jnp.sum(counts)
+
+
 # --------------------------------------------------------------------------- stats
 def _stats_kernel(roots_ref, lab_ref, out_ref, *, nx: int, ny: int, block: int):
     """One (8, bc) label block flattened to a (1, block) row, compared against
@@ -355,6 +557,75 @@ def component_stats_matmul(flat_labels, roots, nx: int, ny: int, block: int = 81
     lab2d = flat_labels.reshape(npad // bc, bc)
     grid = (npad // block,)
     kernel = functools.partial(_stats_kernel, nx=nx, ny=ny, block=block)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((r, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((br, bc), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((r, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, 4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(roots.reshape(r, 1), lab2d)
+
+
+def _stats_kernel_xyz(roots_ref, lab_ref, out_ref, *, nx, ny, nz, block):
+    """Like _stats_kernel but for labels flattened in their ORIGINAL (x, y, z)
+    C-order — no transpose pass; (i, j, k) and the raster linear index are
+    decoded from the flat position."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    lab = lab_ref[:, :].reshape(1, block)
+    f = i * block + lax.broadcasted_iota(jnp.int32, (1, block), 1)
+    gi = f // (ny * nz)
+    rem = f - gi * (ny * nz)
+    gj = rem // nz
+    gk = rem - gj * nz
+    eq = (lab == roots_ref[:, :]).astype(jnp.float32)  # (R, block)
+    feats = jnp.concatenate(
+        [
+            jnp.ones((1, block), jnp.float32),
+            gi.astype(jnp.float32),
+            gj.astype(jnp.float32),
+            gk.astype(jnp.float32),
+        ],
+        axis=0,
+    )
+    out_ref[:, :] += lax.dot_general(
+        eq,
+        feats,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def component_stats_matmul_xyz(
+    flat_labels, roots, nx: int, ny: int, nz: int, block: int = 0, interpret: bool = False
+):
+    """(R, 4) [count, sum_i, sum_j, sum_k] per root, from labels flattened in
+    original (x, y, z) C-order (len nx*ny*nz, possibly padded with sentinel).
+
+    Skips the (z, y, x) transpose pass of `component_stats_matmul`. Block size
+    auto-scales so the (R, block) one-hot stays within ~32 MB of VMEM.
+    """
+    n = flat_labels.shape[0]
+    r = roots.shape[0]
+    if block <= 0:
+        block = max(8192, min(131072, ((32 * 1024 * 1024 // (4 * max(r, 1))) // 8192) * 8192))
+    npad = -(-n // block) * block
+    if npad != n:
+        flat_labels = jnp.pad(flat_labels, (0, npad - n), constant_values=_BIG)
+    br = 8
+    bc = block // br
+    lab2d = flat_labels.reshape(npad // bc, bc)
+    grid = (npad // block,)
+    kernel = functools.partial(_stats_kernel_xyz, nx=nx, ny=ny, nz=nz, block=block)
     return pl.pallas_call(
         kernel,
         grid=grid,

@@ -50,6 +50,9 @@ class SegmentationParams(NamedTuple):
     use_pallas: Optional[bool] = None  # None = auto (TPU yes, CPU no). Set
     # False for spatially-sharded (sp) execution: XLA cannot auto-partition
     # pallas_call, while the jnp path lowers to sharded ops + collectives.
+    exhaustive_roots: bool = False  # escalation mode: exact flat top_k root
+    # selection instead of the blocked fast path (slow; used by the engine
+    # when a result reports roots_complete=False).
 
 
 class SegmentationResult(NamedTuple):
@@ -60,8 +63,13 @@ class SegmentationResult(NamedTuple):
     body_mask: jnp.ndarray  # (nx, ny, nz) bool
     body_volume_mm3: jnp.ndarray  # () f32
     body_found: jnp.ndarray  # () bool
-    num_components: jnp.ndarray  # () int32 — total components found (<= max_roots)
+    num_components: jnp.ndarray  # () int32 — EXACT total component count
     labels: jnp.ndarray  # (nx, ny, nz) int32 min-linear-index labels (_BIG = background)
+    ccl_converged: jnp.ndarray  # () bool — last sweep changed nothing => labels
+    # are the exact CCL fixed point (certificate; escalate max_sweeps if False)
+    roots_complete: jnp.ndarray  # () bool — every component's stats were
+    # considered (num_components <= max_roots and, on the blocked fast path,
+    # no block overflowed its candidate budget); escalate otherwise
 
 
 def _ball_offsets(radius: int) -> Tuple[Tuple[int, int, int], ...]:
@@ -168,54 +176,111 @@ def connected_components(mask, max_sweeps: int = 8, use_pallas: Optional[bool] =
     a convergence-tested while_loop) is deliberate: it is vmap-exact (a
     data-dependent while_loop under vmap produced corrupted labels at volume
     scale), avoids a full-volume reduction per sweep, and compiles to a
-    static-shape program. Pathological spiral shapes needing more rounds can
-    raise `max_sweeps` (SegmentationParams.max_sweeps).
-    Background voxels carry the sentinel int32 max.
+    static-shape program. Convergence is certified instead: the per-sweep
+    changed flags cost ~nothing (computed in-VMEM), and the engine escalates
+    max_sweeps when the last sweep still changed labels (see segment_volume's
+    ccl_converged). Background voxels carry the sentinel int32 max.
     """
-    shape = mask.shape
-    nx, ny, nz = shape
+    lab0 = _init_labels(mask)
+    if use_pallas is None:
+        use_pallas = _use_pallas()
+    if use_pallas:
+        lab0, reset, pads = _pad_for_kernels(lab0, jnp.logical_not(mask))
+        labels, _ = _ccl_sweeps_pallas(lab0, reset, max_sweeps)
+        return _crop3(labels, mask.shape)
+    labels, _ = _ccl_sweeps_jnp(lab0, jnp.logical_not(mask), max_sweeps)
+    return labels
+
+
+def _init_labels(mask):
     # Raster order = (z, y, x) lexicographic, matching ITK's visiting order so
     # component ordering (min label) reproduces ITK label numbering.
+    shape = mask.shape
+    nx, ny, nz = shape
     gi = lax.broadcasted_iota(jnp.int32, shape, 0)
     gj = lax.broadcasted_iota(jnp.int32, shape, 1)
     gk = lax.broadcasted_iota(jnp.int32, shape, 2)
     lin = gk * (nx * ny) + gj * nx + gi
-    lab0 = jnp.where(mask, lin, _BIG)
-    if use_pallas is None:
-        use_pallas = _use_pallas()
-    return _ccl_sweeps(lab0, jnp.logical_not(mask), max_sweeps, use_pallas)
+    return jnp.where(mask, lin, _BIG)
+
+
+def _pad_for_kernels(lab0, reset):
+    """Pad to the (8, 8, 128) tile multiples the sweep kernels require.
+    Padding is background (label sentinel, reset=1): inert under every pass."""
+    pads = tuple((-s) % m for s, m in zip(lab0.shape, (8, 8, 128)))
+    if any(pads):
+        cfg = tuple((0, p) for p in pads)
+        lab0 = jnp.pad(lab0, cfg, constant_values=_BIG)
+        reset = jnp.pad(reset, cfg, constant_values=True)
+    return lab0, reset, pads
+
+
+def _crop3(a, shape):
+    return a[: shape[0], : shape[1], : shape[2]]
+
+
+def _ccl_sweeps_pallas(lab0, reset, max_sweeps: int):
+    """Fixed sweeps with the run-length Pallas kernels on PADDED arrays.
+    Returns (labels, converged): converged certifies the exact fixed point
+    (the final sweep changed nothing, and sweeps are idempotent past
+    convergence)."""
+    from mamri_tpu.perception.pallas_ops import ccl_sweep_dist, compute_reset_distances
+
+    dists = compute_reset_distances(reset.astype(jnp.int32))
+
+    def body(lab, _):
+        lab, changed = ccl_sweep_dist(lab, dists)
+        return lab, changed
+
+    lab, changed = lax.scan(body, lab0, None, length=max_sweeps)
+    return lab, changed[-1] == 0
+
+
+def _ccl_sweeps_jnp(lab0, reset, max_sweeps: int):
+    """XLA associative-scan sweep path (CPU tests, sp-sharded execution)."""
+
+    def body(lab, _):
+        prev = lab
+        for axis in (0, 1, 2):
+            fwd = _segmented_min_scan(lab, reset, axis, reverse=False)
+            bwd = _segmented_min_scan(lab, reset, axis, reverse=True)
+            lab = jnp.minimum(jnp.minimum(fwd, bwd), lab)
+        return lab, jnp.any(lab != prev)
+
+    lab, changed = lax.scan(body, lab0, None, length=max_sweeps)
+    return lab, jnp.logical_not(changed[-1])
 
 
 def _ccl_sweeps(lab0, reset, max_sweeps: int, use_pallas: bool):
-    """Run the fixed sweep iteration from precomputed initial labels."""
+    """Back-compat shim: run sweeps from precomputed initial labels on
+    unpadded arrays, labels only."""
     if use_pallas:
-        from mamri_tpu.perception.pallas_ops import ccl_sweep_pallas
-
-        reset_i32 = reset.astype(jnp.int32)
-
-        def body(lab, _):
-            return ccl_sweep_pallas(lab, reset_i32), None
-
-    else:
-
-        def body(lab, _):
-            for axis in (0, 1, 2):
-                fwd = _segmented_min_scan(lab, reset, axis, reverse=False)
-                bwd = _segmented_min_scan(lab, reset, axis, reverse=True)
-                lab = jnp.minimum(jnp.minimum(fwd, bwd), lab)
-            return lab, None
-
-    lab, _ = lax.scan(body, lab0, None, length=max_sweeps)
-    return lab
+        shape = lab0.shape
+        lab0, reset, _ = _pad_for_kernels(lab0, reset)
+        labels, _ = _ccl_sweeps_pallas(lab0, reset, max_sweeps)
+        return _crop3(labels, shape)
+    labels, _ = _ccl_sweeps_jnp(lab0, reset, max_sweeps)
+    return labels
 
 
-def _component_stats(labels, mask, max_roots: int, use_pallas: Optional[bool] = None):
+def _component_stats(
+    labels,
+    mask,
+    max_roots: int,
+    use_pallas: Optional[bool] = None,
+    exhaustive: bool = False,
+):
     """Counts and index-coordinate sums for up to `max_roots` components.
 
     A voxel is its component's *root* iff its label equals its own linear
     index. Candidate roots are the `max_roots` smallest (= ITK label order);
     their stats come from one fused compare-broadcast-reduce (MXU-friendly
     bounded fan-out) rather than a serialized TPU scatter.
+
+    Returns (roots, root_valid, counts, sums_ijk, num_components, complete):
+    `complete` is True iff every component was considered (num_components <=
+    max_roots and no candidate was lost to the blocked top_k); callers
+    escalate (exhaustive=True and/or larger max_roots) when False.
     """
     if use_pallas is None:
         use_pallas = _use_pallas()
@@ -227,18 +292,24 @@ def _component_stats(labels, mask, max_roots: int, use_pallas: Optional[bool] = 
     lin = jnp.arange(n, dtype=jnp.int32)
     is_root = jnp.logical_and(flat == lin, flat != _BIG)
     num_components = jnp.sum(is_root, dtype=jnp.int32)
+    complete = num_components <= max_roots
 
     # smallest root indices first. A flat top_k over the whole volume costs
-    # ~42 ms at 256^3; two-level (per-block then global) is 2.5x cheaper.
-    # Cap: at most `per_block` candidate roots per raster block are
-    # considered — far beyond plausible blob density after closing.
+    # ~42 ms at 256^3 (the exact `exhaustive` escalation path); two-level
+    # (per-block then global) is 2.5x cheaper and exact as long as no raster
+    # block holds more than `per_block` roots — which is verified.
     root_keys = jnp.where(is_root, -lin, -_BIG)
-    if n >= (1 << 20):
+    if n >= (1 << 20) and not exhaustive:
         nblocks = 2048
         per_block = min(max_roots, 64)
         pad = (-n) % nblocks
         if pad:
             root_keys = jnp.pad(root_keys, (0, pad), constant_values=-_BIG)
+            is_root_b = jnp.pad(is_root, (0, pad), constant_values=False)
+        else:
+            is_root_b = is_root
+        block_counts = jnp.sum(is_root_b.reshape(nblocks, -1), axis=1)
+        complete = jnp.logical_and(complete, jnp.all(block_counts <= per_block))
         blk, _ = lax.top_k(root_keys.reshape(nblocks, -1), per_block)
         keys, _ = lax.top_k(blk.reshape(-1), max_roots)
     else:
@@ -261,7 +332,39 @@ def _component_stats(labels, mask, max_roots: int, use_pallas: Optional[bool] = 
         stats = component_stats_matmul_reference(flat, roots, nx, ny)
     counts = stats[:, 0]
     sums_ijk = stats[:, 1:4]
-    return roots, root_valid, counts, sums_ijk, num_components
+    return roots, root_valid, counts, sums_ijk, num_components, complete
+
+
+def _component_stats_fast(labels_padded, shape, max_roots: int, cand_k: int = 8):
+    """TPU fast path: per-slab root extraction kernel + transpose-free stats.
+
+    `labels_padded` is the tile-padded label volume straight out of the sweep
+    kernels; `shape` the original (nx, ny, nz). Exact whenever `complete` is
+    True (num_components <= max_roots and every 8-voxel x-slab held <=
+    `cand_k` roots); the engine escalates to the exhaustive path otherwise.
+    """
+    from mamri_tpu.perception.pallas_ops import (
+        component_stats_matmul_xyz,
+        extract_root_candidates,
+    )
+
+    nx, ny, nz = shape
+    cands, block_counts, num_components = extract_root_candidates(labels_padded, nx, ny, k=cand_k)
+    complete = jnp.logical_and(
+        num_components <= max_roots, jnp.all(block_counts <= cand_k)
+    )
+    r_eff = min(max_roots, cands.shape[0])
+    keys, _ = lax.top_k(-cands, r_eff)
+    roots = -keys
+    if r_eff < max_roots:
+        roots = jnp.pad(roots, (0, max_roots - r_eff), constant_values=_BIG)
+    root_valid = roots != _BIG
+
+    labels = _crop3(labels_padded, shape)
+    stats = component_stats_matmul_xyz(labels.reshape(-1), roots, nx, ny, nz)
+    counts = stats[:, 0]
+    sums_ijk = stats[:, 1:4]
+    return labels, roots, root_valid, counts, sums_ijk, num_components, complete
 
 
 def segment_volume(data, spacing, origin, params: SegmentationParams = SegmentationParams()):
@@ -285,15 +388,31 @@ def segment_volume(data, spacing, origin, params: SegmentationParams = Segmentat
             data, params.intensity_low, params.intensity_high
         )
         closed = mask_i32 != 0
-        labels = _ccl_sweeps(lab0, jnp.logical_not(closed), params.max_sweeps, pallas_on)
+        lab0, reset, _ = _pad_for_kernels(lab0, mask_i32 == 0)
+        labels_padded, converged = _ccl_sweeps_pallas(lab0, reset, params.max_sweeps)
+        if params.exhaustive_roots:
+            labels = _crop3(labels_padded, data.shape)
+            roots, root_valid, counts, sums_ijk, num_components, complete = _component_stats(
+                labels, closed, params.max_roots, pallas_on, exhaustive=True
+            )
+        else:
+            labels, roots, root_valid, counts, sums_ijk, num_components, complete = (
+                _component_stats_fast(labels_padded, data.shape, params.max_roots)
+            )
     else:
         mask = jnp.logical_and(data >= params.intensity_low, data <= params.intensity_high)
         closed = binary_close(mask, params.closing_radius)
-        labels = connected_components(closed, params.max_sweeps, use_pallas=pallas_on)
-
-    roots, root_valid, counts, sums_ijk, num_components = _component_stats(
-        labels, closed, params.max_roots, pallas_on
-    )
+        if pallas_on:
+            lab0, reset, _ = _pad_for_kernels(_init_labels(closed), jnp.logical_not(closed))
+            labels_padded, converged = _ccl_sweeps_pallas(lab0, reset, params.max_sweeps)
+            labels = _crop3(labels_padded, data.shape)
+        else:
+            labels, converged = _ccl_sweeps_jnp(
+                _init_labels(closed), jnp.logical_not(closed), params.max_sweeps
+            )
+        roots, root_valid, counts, sums_ijk, num_components, complete = _component_stats(
+            labels, closed, params.max_roots, pallas_on, exhaustive=params.exhaustive_roots
+        )
 
     voxvol = spacing[0] * spacing[1] * spacing[2]
     vols = counts * voxvol
@@ -334,4 +453,6 @@ def segment_volume(data, spacing, origin, params: SegmentationParams = Segmentat
         body_found=body_found,
         num_components=num_components,
         labels=labels,
+        ccl_converged=converged,
+        roots_complete=complete,
     )
