@@ -178,11 +178,12 @@ class MamriEngine:
                 return None
             new = new._replace(max_sweeps=min(params.max_sweeps * 2, 256))
         if not complete:
-            if params.exhaustive_roots and params.max_roots >= 4096:
+            if params.max_roots >= 4096 and params.cand_k >= 256:
                 return None
             new = new._replace(
-                max_roots=min(max(params.max_roots * 4, 1024), 4096),
-                exhaustive_roots=True,
+                max_roots=min(max(params.max_roots * 8, 1024), 4096),
+                cand_k=min(max(params.cand_k * 8, 64), 256),
+                exhaustive_roots=True,  # jnp path: exact flat top_k
             )
         return None if new == params else new
 

@@ -50,9 +50,12 @@ class SegmentationParams(NamedTuple):
     use_pallas: Optional[bool] = None  # None = auto (TPU yes, CPU no). Set
     # False for spatially-sharded (sp) execution: XLA cannot auto-partition
     # pallas_call, while the jnp path lowers to sharded ops + collectives.
-    exhaustive_roots: bool = False  # escalation mode: exact flat top_k root
-    # selection instead of the blocked fast path (slow; used by the engine
-    # when a result reports roots_complete=False).
+    exhaustive_roots: bool = False  # jnp-path escalation: exact flat top_k
+    # root selection instead of the blocked two-level top_k (used by the
+    # engine when a result reports roots_complete=False).
+    cand_k: int = 8  # kernel-path root candidates per 8-voxel x-slab; the
+    # completeness certificate verifies no slab overflowed, and the engine
+    # escalates cand_k alongside max_roots on noisy volumes.
 
 
 class SegmentationResult(NamedTuple):
@@ -390,15 +393,11 @@ def segment_volume(data, spacing, origin, params: SegmentationParams = Segmentat
         closed = mask_i32 != 0
         lab0, reset, _ = _pad_for_kernels(lab0, mask_i32 == 0)
         labels_padded, converged = _ccl_sweeps_pallas(lab0, reset, params.max_sweeps)
-        if params.exhaustive_roots:
-            labels = _crop3(labels_padded, data.shape)
-            roots, root_valid, counts, sums_ijk, num_components, complete = _component_stats(
-                labels, closed, params.max_roots, pallas_on, exhaustive=True
+        labels, roots, root_valid, counts, sums_ijk, num_components, complete = (
+            _component_stats_fast(
+                labels_padded, data.shape, params.max_roots, cand_k=params.cand_k
             )
-        else:
-            labels, roots, root_valid, counts, sums_ijk, num_components, complete = (
-                _component_stats_fast(labels_padded, data.shape, params.max_roots)
-            )
+        )
     else:
         mask = jnp.logical_and(data >= params.intensity_low, data <= params.intensity_high)
         closed = binary_close(mask, params.closing_radius)

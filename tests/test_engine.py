@@ -12,6 +12,7 @@ import jax.numpy as jnp
 import pytest
 
 from mamri_tpu.api import MamriEngine
+from mamri_tpu.perception.segmentation import SegmentationParams
 from mamri_tpu.core import transforms as T
 from mamri_tpu.core.robot import marker_world_positions
 from mamri_tpu.perception.volume import Volume, synthetic_volume
@@ -265,3 +266,55 @@ def test_sync_loop_thread(engine):
     stop()
     assert hw.encoder.latest_position[0] == 100
     hw.disconnect()
+
+
+def test_estimate_pose_speckle_noise_escalates_and_recovers(caplog):
+    """VERDICT r1 hardening: >1000 speckle components + intensity noise must
+    not silently drop fiducials to the root cap (the ITK reference has no
+    cap, Mamri.py:1306-1322). The completeness certificate fails on the
+    default settings and the engine escalates to exhaustive root selection."""
+    import logging
+
+    eng = MamriEngine()  # default fast/certified settings incl. max_roots=128
+    vol, base = _make_scene(eng, spacing=2.5)
+    data = np.asarray(vol.data).copy()
+
+    rng = np.random.default_rng(11)
+    # single-voxel speckles (each its own component, below the 50 mm^3 band)
+    n_speckle = 1400
+    idx = rng.integers(0, np.array(data.shape)[None, :], size=(n_speckle, 3))
+    bright = data > 60.0
+    for i, j, k in idx:
+        if not bright[max(i-2,0):i+3, max(j-2,0):j+3, max(k-2,0):k+3].any():
+            data[i, j, k] = 100.0
+    # plus sub-threshold gaussian noise everywhere
+    data = data + rng.normal(0.0, 5.0, data.shape).astype(np.float32)
+
+    noisy = Volume(data=data.astype(np.float32), spacing=vol.spacing, origin=vol.origin)
+    with caplog.at_level(logging.WARNING, logger="mamri_tpu.api.engine"):
+        res = eng.estimate_pose(noisy)
+    assert res.success, res.message
+    assert all(res.markers_found.values())
+    err_deg = np.rad2deg(np.abs(res.angles_rad - TRUE_ANGLES))
+    assert err_deg.max() < 1.0, err_deg
+    # the default cap (128 roots) must have been escalated, not silently kept
+    assert any("escalation" in r.message for r in caplog.records)
+    # and the final segmentation saw all the speckle components
+    seg = eng.last_segmentation
+    assert int(seg["num_components"]) > 1000
+    assert bool(seg["roots_complete"]) and bool(seg["seg_converged"])
+
+
+def test_estimate_pose_sweep_escalation(caplog):
+    """A deliberately starved sweep budget must escalate until the CCL
+    convergence certificate holds, not return uncertified labels."""
+    import logging
+
+    eng = MamriEngine(seg_params=SegmentationParams(max_sweeps=1, max_roots=128))
+    vol, base = _make_scene(eng, spacing=2.5)
+    with caplog.at_level(logging.WARNING, logger="mamri_tpu.api.engine"):
+        res = eng.estimate_pose(vol)
+    assert res.success
+    err_deg = np.rad2deg(np.abs(res.angles_rad - TRUE_ANGLES))
+    assert err_deg.max() < 1.0, err_deg
+    assert bool(eng.last_segmentation["seg_converged"])

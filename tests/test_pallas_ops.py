@@ -67,3 +67,78 @@ def test_fused_threshold_close_init_interpret():
     lin = gk * (16 * 24) + gj * 16 + gi
     lab_ref = jnp.where(mask_ref, lin, 2**31 - 1)
     np.testing.assert_array_equal(np.asarray(lab_k), np.asarray(lab_ref))
+
+
+def test_dist_sweep_parity_and_certificate_interpret():
+    """Run-length sweep kernels match the jnp fixed point and certify it."""
+    from mamri_tpu.perception.pallas_ops import ccl_sweep_dist, compute_reset_distances
+    from mamri_tpu.perception import segmentation as seg
+
+    rng = np.random.default_rng(3)
+    shape = (24, 16, 128)  # tile-aligned
+    x, y, z = np.mgrid[: shape[0], : shape[1], : shape[2]]
+    mask = np.zeros(shape, bool)
+    for c in [(5, 5, 20), (12, 8, 60), (20, 12, 100), (8, 3, 110)]:
+        mask |= ((x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2) < 9
+    mask |= (x > 18) & (z < 40)
+    mask |= rng.random(shape) < 0.01
+
+    lab0 = seg._init_labels(jnp.asarray(mask))
+    ref, conv = seg._ccl_sweeps_jnp(lab0, jnp.asarray(~mask), 6)
+    assert bool(conv)
+
+    dists = compute_reset_distances(jnp.asarray((~mask).astype(np.int32)), interpret=True)
+    lab = lab0
+    chgs = []
+    for _ in range(6):
+        lab, chg = ccl_sweep_dist(lab, dists, interpret=True)
+        chgs.append(int(chg))
+    np.testing.assert_array_equal(np.asarray(lab), np.asarray(ref))
+    # certificate: converged -> trailing sweeps report no change
+    assert chgs[0] == 1 and chgs[-1] == 0 and sorted(chgs, reverse=True) == chgs
+
+
+def test_extract_root_candidates_interpret():
+    from mamri_tpu.perception.pallas_ops import ccl_sweep_dist, compute_reset_distances, extract_root_candidates
+    from mamri_tpu.perception import segmentation as seg
+
+    shape = (24, 16, 128)
+    x, y, z = np.mgrid[: shape[0], : shape[1], : shape[2]]
+    mask = np.zeros(shape, bool)
+    for c in [(5, 5, 20), (12, 8, 60), (20, 12, 100), (8, 3, 110), (3, 12, 90)]:
+        mask |= ((x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2) < 9
+    lab0 = seg._init_labels(jnp.asarray(mask))
+    dists = compute_reset_distances(jnp.asarray((~mask).astype(np.int32)), interpret=True)
+    lab = lab0
+    for _ in range(4):
+        lab, _ = ccl_sweep_dist(lab, dists, interpret=True)
+
+    cands, counts, num = extract_root_candidates(lab, shape[0], shape[1], k=8, interpret=True)
+    got = np.asarray(lab)
+    flat = got.transpose(2, 1, 0).reshape(-1)
+    lin = np.arange(flat.size)
+    is_root = (flat == lin) & (flat != 2**31 - 1)
+    true_roots = set(lin[is_root].tolist())
+    c = np.asarray(cands)
+    assert int(num) == len(true_roots) == 5
+    assert true_roots.issubset(set(c[c != 2**31 - 1].tolist()))
+    assert int(np.asarray(counts).sum()) == len(true_roots)
+
+
+def test_stats_xyz_kernel_parity_interpret():
+    from mamri_tpu.perception.pallas_ops import (
+        component_stats_matmul_reference,
+        component_stats_matmul_xyz,
+    )
+
+    rng = np.random.default_rng(4)
+    nx, ny, nz = 8, 16, 128
+    labels = rng.integers(0, 50, (nx, ny, nz)).astype(np.int32)
+    labels[labels > 40] = 2**31 - 1
+    roots = np.arange(40, dtype=np.int32)
+    got = component_stats_matmul_xyz(
+        jnp.asarray(labels.reshape(-1)), jnp.asarray(roots), nx, ny, nz, block=2048, interpret=True
+    )
+    flat_raster = labels.transpose(2, 1, 0).reshape(-1)
+    want = component_stats_matmul_reference(jnp.asarray(flat_raster), jnp.asarray(roots), nx, ny)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
