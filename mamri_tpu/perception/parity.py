@@ -1,0 +1,174 @@
+"""On-device parity checks for the Pallas segmentation kernels.
+
+Interpret-mode tests (tests/test_pallas_ops.py) pin kernel semantics on CPU,
+but Mosaic lowering quirks (roll directions, i1 vectors, sublane reshapes)
+are exactly where interpret mode and hardware can diverge. This module runs
+every kernel against its jnp reference ON THE CURRENT DEFAULT DEVICE and
+reports exact-match booleans — executed on a real TPU by tools/tpu_parity.py
+(which commits the TPUPARITY artifact) and by the TPU-gated test in
+tests/test_tpu_parity.py.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mamri_tpu.perception import pallas_ops as po
+from mamri_tpu.perception import segmentation as seg
+
+_BIG = np.iinfo(np.int32).max
+
+
+def _scene(size: int):
+    """Deterministic blobs + ellipsoid + sparse speckle scene."""
+    rng = np.random.default_rng(42)
+    x, y, z = np.mgrid[:size, :size, :size].astype(np.float32)
+    data = np.full((size,) * 3, 10.0, np.float32)
+    n = max(4, size // 24)
+    centers = rng.integers(8, size - 8, size=(n, 3))
+    for c in centers:
+        data[((x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2) < 16] = 120.0
+    data[
+        ((x - size / 2) ** 2 / (size / 3.2) ** 2)
+        + ((y - size / 2) ** 2 / (size / 4) ** 2)
+        + ((z - size / 1.7) ** 2 / (size / 3.6) ** 2)
+        < 1.0
+    ] = 90.0
+    sp = rng.random(data.shape) < 2.5e-5
+    data[sp] = 100.0
+    return data
+
+
+def run_parity_checks(size: int = 128, sweeps: int = 6) -> Dict:
+    """Run every Pallas kernel vs its jnp reference on the default device."""
+    data = jnp.asarray(_scene(size))
+    report: Dict = {
+        "device": str(jax.devices()[0]),
+        "backend": jax.default_backend(),
+        "size": size,
+    }
+
+    # --- fused threshold + closing + label init
+    mask_i32, lab0 = jax.jit(lambda d: po.fused_threshold_close_init(d, 65.0, 65535.0))(data)
+    mask_ref = seg.binary_close(jnp.logical_and(data >= 65.0, data <= 65535.0), 2)
+    lab0_ref = seg._init_labels(mask_ref)
+    report["fused_threshold_close_init"] = {
+        "mask_exact": bool(np.array_equal(np.asarray(mask_i32) != 0, np.asarray(mask_ref))),
+        "labels_exact": bool(np.array_equal(np.asarray(lab0), np.asarray(lab0_ref))),
+    }
+
+    # --- CCL: run-length dist sweeps vs jnp fixed point
+    reset_b = jnp.logical_not(mask_ref)
+    ref_labels, ref_conv = jax.jit(lambda l, r: seg._ccl_sweeps_jnp(l, r, sweeps))(lab0_ref, reset_b)
+    lab0_p, reset_p, _ = seg._pad_for_kernels(lab0_ref, reset_b)
+    got_labels_p, got_conv = jax.jit(lambda l, r: seg._ccl_sweeps_pallas(l, r, sweeps))(lab0_p, reset_p)
+    got_labels = seg._crop3(got_labels_p, ref_labels.shape)
+    report["ccl_sweep_dist"] = {
+        "labels_exact": bool(np.array_equal(np.asarray(got_labels), np.asarray(ref_labels))),
+        "converged_flag": bool(got_conv) == bool(ref_conv),
+    }
+
+    # --- legacy line-scan sweep kernel
+    legacy = jax.jit(
+        lambda l, r: jax.lax.scan(
+            lambda lab, _: (po.ccl_sweep_pallas(lab, r), None), l, None, length=sweeps
+        )[0]
+    )(lab0_ref, reset_b.astype(jnp.int32))
+    report["ccl_sweep_pallas"] = {
+        "labels_exact": bool(np.array_equal(np.asarray(legacy), np.asarray(ref_labels)))
+    }
+
+    # --- root extraction vs host numpy
+    cands, counts, num = jax.jit(
+        lambda l: po.extract_root_candidates(l, size, size, k=16)
+    )(got_labels_p)
+    flat = np.asarray(ref_labels).transpose(2, 1, 0).reshape(-1)
+    lin = np.arange(flat.size)
+    is_root = (flat == lin) & (flat != _BIG)
+    true_roots = set(map(int, lin[is_root]))
+    c = np.asarray(cands)
+    found = set(map(int, c[c != _BIG]))
+    report["extract_root_candidates"] = {
+        "count_exact": int(num) == len(true_roots),
+        "all_roots_found": true_roots.issubset(found)
+        or bool(np.asarray(counts).max() > 16),  # overflow is flagged, not silent
+        "no_slab_overflow": bool(np.asarray(counts).max() <= 16),
+    }
+
+    # --- stats kernels vs jnp reference
+    roots = np.full(128, _BIG, np.int32)
+    srt = np.sort(list(true_roots))[:128]
+    roots[: len(srt)] = srt
+    roots_j = jnp.asarray(roots)
+    ref_stats = np.asarray(
+        po.component_stats_matmul_reference(jnp.asarray(flat), roots_j, size, size)
+    )
+    got_raster = np.asarray(
+        jax.jit(lambda f, r: po.component_stats_matmul(f, r, size, size))(jnp.asarray(flat), roots_j)
+    )
+    got_xyz = np.asarray(
+        jax.jit(lambda l, r: po.component_stats_matmul_xyz(l.reshape(-1), r, size, size, size))(
+            ref_labels, roots_j
+        )
+    )
+    # Coordinate sums of the body component exceed 2^24, so f32 accumulation
+    # order shifts the last bits (relative ~5e-7) — fiducial-band components
+    # stay exact. Check a tight relative tolerance plus exactness of every
+    # row whose count is in the fiducial band.
+    def _stats_check(got):
+        small = ref_stats[:, 0] < (1 << 24) / max(size, 1)
+        return {
+            "max_abs_diff": float(np.abs(got - ref_stats).max()),
+            "max_rel_diff": float(
+                (np.abs(got - ref_stats) / np.maximum(np.abs(ref_stats), 1.0)).max()
+            ),
+            "within_f32_tolerance": bool(
+                np.allclose(got, ref_stats, rtol=2e-6, atol=0.5)
+            ),
+            "small_components_exact": bool(np.array_equal(got[small], ref_stats[small])),
+        }
+
+    report["component_stats_matmul"] = _stats_check(got_raster)
+    report["component_stats_matmul_xyz"] = _stats_check(got_xyz)
+
+    # --- end-to-end segment_volume: kernel path vs jnp path
+    params_k = seg.SegmentationParams(max_sweeps=sweeps, use_pallas=True, cand_k=16)
+    params_j = seg.SegmentationParams(max_sweeps=sweeps, use_pallas=False)
+    sp3 = jnp.ones(3, jnp.float32)
+    org = jnp.zeros(3, jnp.float32)
+    rk = jax.jit(lambda d: seg.segment_volume(d, sp3, org, params_k))(data)
+    rj = jax.jit(lambda d: seg.segment_volume(d, sp3, org, params_j))(data)
+    report["segment_volume_end_to_end"] = {
+        "centroids_max_diff_mm": float(
+            np.abs(np.asarray(rk.centroids_ras) - np.asarray(rj.centroids_ras)).max()
+        ),
+        "volumes_exact": bool(
+            np.array_equal(np.asarray(rk.volumes_mm3), np.asarray(rj.volumes_mm3))
+        ),
+        "num_components_exact": int(rk.num_components) == int(rj.num_components),
+        "body_mask_exact": bool(
+            np.array_equal(np.asarray(rk.body_mask), np.asarray(rj.body_mask))
+        ),
+        "certificates": {
+            "converged": bool(rk.ccl_converged),
+            "roots_complete": bool(rk.roots_complete),
+        },
+    }
+
+    def _collect(d):
+        oks = []
+        for v in d.values():
+            if isinstance(v, dict):
+                oks.extend(_collect(v))
+            elif isinstance(v, bool):
+                oks.append(v)
+        return oks
+
+    checks = _collect({k: v for k, v in report.items() if isinstance(v, dict)})
+    report["all_exact"] = all(checks)
+    report["num_checks"] = len(checks)
+    return report
