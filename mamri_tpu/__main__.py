@@ -1,6 +1,6 @@
 """Command-line surface for the framework (the headless counterpart of the
 reference's Slicer panel): pose estimation, entry search, and path planning
-over NIfTI volumes.
+over NIfTI volumes or DICOM series directories.
 
     python -m mamri_tpu estimate scan.nii.gz [--save-baseplate bp.npz] [--correction]
     python -m mamri_tpu entry    scan.nii.gz --target X Y Z
@@ -25,9 +25,15 @@ def _engine(args):
 
 
 def _load(path):
+    import os
+
     from mamri_tpu.perception.io import load_nifti
 
     try:
+        if os.path.isdir(path):  # DICOM series directory
+            from mamri_tpu.perception.dicom import load_dicom_series
+
+            return load_dicom_series(path)
         return load_nifti(path)
     except (OSError, ValueError) as e:
         print(json.dumps({"success": False, "message": f"cannot load volume: {e}"}))

@@ -1,5 +1,7 @@
 from mamri_tpu.perception.volume import Volume, synthetic_volume, lps_to_ras, ras_to_lps
 from mamri_tpu.perception.segmentation import SegmentationParams, SegmentationResult, segment_volume
+from mamri_tpu.perception.io import load_nifti, save_nifti, resample_to_axis_aligned, volume_from_affine
+from mamri_tpu.perception.dicom import load_dicom_series, save_dicom_series
 
 __all__ = [
     "Volume",
@@ -9,4 +11,10 @@ __all__ = [
     "SegmentationParams",
     "SegmentationResult",
     "segment_volume",
+    "load_nifti",
+    "save_nifti",
+    "resample_to_axis_aligned",
+    "volume_from_affine",
+    "load_dicom_series",
+    "save_dicom_series",
 ]

@@ -1,0 +1,339 @@
+"""DICOM series ingest/export, pure numpy (no pydicom in the image).
+
+The reference consumes scanner volumes through the Slicer scene
+(`sitkUtils.PullVolumeFromSlicer`, Mamri/Mamri.py:1306), whose DICOM plugin
+stack does the series assembly; standalone mamri_tpu does its own:
+
+  * `load_dicom_series(dir)` — uncompressed single-frame MR series, implicit
+    or explicit VR little endian; slices sorted by the projection of
+    ImagePositionPatient onto the slice normal (row x col direction), the
+    standard geometric sort; rescale slope/intercept applied. Axis-aligned
+    orientations (any axis permutation/flip) map directly onto the LPS
+    `Volume` grid; oblique series are trilinearly resampled
+    (perception.io.resample_to_axis_aligned).
+  * `save_dicom_series(dir, volume)` — explicit VR LE MR Image Storage, one
+    file per slice, int16 with exact rescale — the round-trip oracle for the
+    reader and a capability the reference lacks (export).
+
+DICOM patient coordinates are LPS, the same convention `Volume` stores, so no
+RAS flip happens here (the LPS->RAS flip lives at the segmentation boundary,
+Mamri/Mamri.py:1317).
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from mamri_tpu.perception.volume import Volume
+
+# transfer syntaxes
+_IMPLICIT_LE = "1.2.840.10008.1.2"
+_EXPLICIT_LE = "1.2.840.10008.1.2.1"
+_MR_STORAGE = "1.2.840.10008.5.1.4.1.1.4"
+
+_LONG_VRS = {b"OB", b"OW", b"OF", b"OL", b"OD", b"SQ", b"UC", b"UR", b"UT", b"UN"}
+
+
+class _Reader:
+    def __init__(self, buf: bytes, explicit: bool):
+        self.buf = buf
+        self.pos = 0
+        self.explicit = explicit
+
+    def eof(self) -> bool:
+        return self.pos >= len(self.buf)
+
+    def _u16(self):
+        v = struct.unpack_from("<H", self.buf, self.pos)[0]
+        self.pos += 2
+        return v
+
+    def _u32(self):
+        v = struct.unpack_from("<I", self.buf, self.pos)[0]
+        self.pos += 4
+        return v
+
+    def read_element(self) -> Tuple[Tuple[int, int], Optional[bytes]]:
+        """Returns ((group, elem), value_bytes). Sequences and undefined-length
+        items are skipped structurally (value None)."""
+        group = self._u16()
+        elem = self._u16()
+        tag = (group, elem)
+        if group == 0xFFFE:  # item / delimiters carry no VR ever
+            length = self._u32()
+            if length == 0xFFFFFFFF:
+                length = 0
+            self.pos += length
+            return tag, None
+        if self.explicit:
+            vr = self.buf[self.pos : self.pos + 2]
+            self.pos += 2
+            if vr in _LONG_VRS:
+                self.pos += 2  # reserved
+                length = self._u32()
+            else:
+                length = self._u16()
+        else:
+            vr = b"UN"
+            length = self._u32()
+        if length == 0xFFFFFFFF:
+            self._skip_undefined()
+            return tag, None
+        if vr == b"SQ":
+            self.pos += length
+            return tag, None
+        value = self.buf[self.pos : self.pos + length]
+        self.pos += length
+        return tag, value
+
+    def _skip_undefined(self):
+        """Skip an undefined-length value: scan items until the sequence
+        delimiter (FFFE, E0DD), recursing into undefined-length items."""
+        while not self.eof():
+            group = self._u16()
+            elem = self._u16()
+            length = self._u32()
+            if (group, elem) == (0xFFFE, 0xE0DD):
+                return
+            if (group, elem) == (0xFFFE, 0xE000):
+                if length == 0xFFFFFFFF:
+                    self._skip_item_undefined()
+                else:
+                    self.pos += length
+            else:  # malformed; bail to avoid infinite loop
+                raise ValueError("malformed undefined-length sequence")
+
+    def _skip_item_undefined(self):
+        while not self.eof():
+            group = self._u16()
+            elem = self._u16()
+            if (group, elem) == (0xFFFE, 0xE00D):
+                self._u32()
+                return
+            # nested element inside the item — reuse the normal path
+            self.pos -= 4
+            self.read_element()
+
+
+def _parse_file(path: str) -> Dict:
+    with open(path, "rb") as f:
+        raw = f.read()
+    if len(raw) > 132 and raw[128:132] == b"DICM":
+        # file meta group is always explicit VR LE
+        meta = _Reader(raw[132:], explicit=True)
+        transfer = _EXPLICIT_LE
+        meta_len = None
+        while not meta.eof():
+            tag, val = meta.read_element()
+            if tag == (0x0002, 0x0000):
+                meta_len = struct.unpack("<I", val)[0]
+                end = meta.pos + meta_len
+            elif tag == (0x0002, 0x0010):
+                transfer = val.decode("ascii").strip("\x00 ")
+            if meta_len is not None and meta.pos >= end:
+                break
+        body_off = 132 + meta.pos
+    else:
+        transfer = _IMPLICIT_LE
+        body_off = 0
+    if transfer not in (_IMPLICIT_LE, _EXPLICIT_LE):
+        raise ValueError(f"{path}: unsupported (compressed?) transfer syntax {transfer}")
+
+    r = _Reader(raw[body_off:], explicit=(transfer == _EXPLICIT_LE))
+    want = {
+        (0x0020, 0x000E): "series_uid",
+        (0x0020, 0x0032): "ipp",
+        (0x0020, 0x0037): "iop",
+        (0x0028, 0x0010): "rows",
+        (0x0028, 0x0011): "cols",
+        (0x0028, 0x0030): "pixel_spacing",
+        (0x0028, 0x0100): "bits_allocated",
+        (0x0028, 0x0103): "pixel_representation",
+        (0x0028, 0x1052): "intercept",
+        (0x0028, 0x1053): "slope",
+        (0x7FE0, 0x0010): "pixels",
+    }
+    out: Dict = {"path": path}
+    while not r.eof():
+        tag, val = r.read_element()
+        name = want.get(tag)
+        if name is None or val is None:
+            continue
+        if name in ("rows", "cols", "bits_allocated", "pixel_representation"):
+            out[name] = struct.unpack("<H", val[:2])[0]
+        elif name in ("ipp", "iop", "pixel_spacing", "intercept", "slope"):
+            out[name] = [float(x) for x in val.decode("ascii").strip("\x00 ").split("\\")]
+        elif name == "series_uid":
+            out[name] = val.decode("ascii").strip("\x00 ")
+        else:
+            out[name] = val
+    for req in ("ipp", "iop", "rows", "cols", "pixel_spacing", "pixels"):
+        if req not in out:
+            raise ValueError(f"{path}: missing required DICOM element for {req}")
+    return out
+
+
+def _slice_array(info: Dict) -> np.ndarray:
+    bits = info.get("bits_allocated", 16)
+    signed = info.get("pixel_representation", 0) == 1
+    if bits == 16:
+        dt = np.int16 if signed else np.uint16
+    elif bits == 8:
+        dt = np.int8 if signed else np.uint8
+    else:
+        raise ValueError(f"{info['path']}: unsupported BitsAllocated {bits}")
+    arr = np.frombuffer(info["pixels"], dtype=dt, count=info["rows"] * info["cols"])
+    arr = arr.reshape(info["rows"], info["cols"]).astype(np.float32)
+    slope = info.get("slope", [1.0])[0]
+    inter = info.get("intercept", [0.0])[0]
+    return arr * np.float32(slope) + np.float32(inter)
+
+
+def load_dicom_series(directory: str, series_uid: Optional[str] = None) -> Volume:
+    """Assemble one DICOM series from a directory into a `Volume` (LPS grid).
+
+    Files are geometrically sorted by ImagePositionPatient projected on the
+    slice normal. With several series present, pass `series_uid` (else the
+    largest series is taken).
+    """
+    files = [
+        os.path.join(directory, f)
+        for f in sorted(os.listdir(directory))
+        if not f.startswith(".") and os.path.isfile(os.path.join(directory, f))
+    ]
+    infos: List[Dict] = []
+    for p in files:
+        try:
+            infos.append(_parse_file(p))
+        except ValueError:
+            continue  # non-DICOM file in the directory
+    if not infos:
+        raise ValueError(f"{directory}: no readable DICOM slices")
+    by_series: Dict[str, List[Dict]] = {}
+    for i in infos:
+        by_series.setdefault(i.get("series_uid", ""), []).append(i)
+    if series_uid is not None:
+        if series_uid not in by_series:
+            raise ValueError(f"{directory}: series {series_uid} not found")
+        slices = by_series[series_uid]
+    else:
+        slices = max(by_series.values(), key=len)
+
+    iop = np.asarray(slices[0]["iop"], dtype=np.float64)
+    row_dir, col_dir = iop[:3], iop[3:]  # along +columns / along +rows
+    normal = np.cross(row_dir, col_dir)
+    slices.sort(key=lambda s: float(np.dot(np.asarray(s["ipp"]), normal)))
+
+    arrs = [_slice_array(s) for s in slices]
+    shp = {a.shape for a in arrs}
+    if len(shp) != 1:
+        raise ValueError(f"{directory}: inconsistent slice shapes {shp}")
+    stack = np.stack(arrs)  # (nslices, rows, cols)
+
+    ipp0 = np.asarray(slices[0]["ipp"], dtype=np.float64)
+    if len(slices) > 1:
+        step = (np.asarray(slices[-1]["ipp"]) - ipp0) / (len(slices) - 1)
+        # verify uniform spacing (scanner series are; reject gaps)
+        d = [float(np.dot(np.asarray(s["ipp"]) - ipp0, normal)) for s in slices]
+        dd = np.diff(d)
+        if dd.size and (np.abs(dd - dd.mean()).max() > 0.01 * max(abs(dd.mean()), 1e-6) + 1e-4):
+            raise ValueError(f"{directory}: non-uniform slice spacing {dd}")
+    else:
+        step = normal  # arbitrary unit thickness for single-slice
+    dr, dc = slices[0]["pixel_spacing"][0], slices[0]["pixel_spacing"][1]
+
+    # voxel index (c, r, s) -> LPS affine; choose index order (x=cols,
+    # y=rows, z=slices) so the fast axis matches typical in-plane reading
+    affine = np.zeros((3, 4), dtype=np.float64)
+    affine[:, 0] = row_dir * dc  # moving along columns
+    affine[:, 1] = col_dir * dr  # moving along rows
+    affine[:, 2] = step
+    affine[:, 3] = ipp0
+    data = np.ascontiguousarray(np.transpose(stack, (2, 1, 0)))  # (cols, rows, slices)
+
+    from mamri_tpu.perception.io import volume_from_affine
+
+    return volume_from_affine(data.astype(np.float32), affine)
+
+
+def _el(group: int, elem: int, vr: bytes, value: bytes) -> bytes:
+    if len(value) % 2:
+        value += b" " if vr not in (b"OB", b"OW", b"UI") else b"\x00"
+    if vr in _LONG_VRS:
+        return struct.pack("<HH2sHI", group, elem, vr, 0, len(value)) + value
+    return struct.pack("<HH2sH", group, elem, vr, len(value)) + value
+
+
+def _ds(vals) -> bytes:
+    return "\\".join(f"{v:.10g}" for v in np.atleast_1d(vals)).encode("ascii")
+
+
+def save_dicom_series(directory: str, volume: Volume, series_number: int = 1) -> List[str]:
+    """Write the volume as an explicit-VR-LE MR series (one file per z slice).
+
+    Intensities are stored as int16 with a lossless-for-rounded-data rescale;
+    the reader round-trips `load_dicom_series(save_dicom_series(v)) == v` to
+    rescale precision (exact for integer-valued data within range).
+    """
+    os.makedirs(directory, exist_ok=True)
+    data = np.asarray(volume.data, dtype=np.float32)
+    nx, ny, nz = data.shape
+    lo, hi = float(data.min()), float(data.max())
+    scale = max((hi - lo) / 65000.0, 1e-6) if hi > lo else 1.0
+    slope, inter = scale, lo + 32000.0 * scale
+    stored = np.clip(np.round((data - inter) / slope), -32768, 32767).astype(np.int16)
+
+    uid_base = "1.2.826.0.1.3680043.9.7431"  # arbitrary org root for synthetic data
+    series_uid = f"{uid_base}.{series_number}.1"
+    study_uid = f"{uid_base}.{series_number}.0"
+    paths = []
+    sx, sy, sz = [float(s) for s in volume.spacing]
+    ox, oy, oz = [float(o) for o in volume.origin]
+    for k in range(nz):
+        sl = stored[:, :, k]  # (nx, ny) = (cols-axis, rows-axis)
+        rows, cols = ny, nx
+        pixels = np.ascontiguousarray(sl.T).tobytes()  # (rows, cols) C-order
+        body = b"".join(
+            [
+                _el(0x0008, 0x0016, b"UI", _MR_STORAGE.encode()),
+                _el(0x0008, 0x0018, b"UI", f"{series_uid}.{k + 1}".encode()),
+                _el(0x0008, 0x0060, b"CS", b"MR"),
+                _el(0x0020, 0x000D, b"UI", study_uid.encode()),
+                _el(0x0020, 0x000E, b"UI", series_uid.encode()),
+                _el(0x0020, 0x0011, b"IS", str(series_number).encode()),
+                _el(0x0020, 0x0013, b"IS", str(k + 1).encode()),
+                _el(0x0020, 0x0032, b"DS", _ds([ox, oy, oz + sz * k])),
+                # rows run along +y LPS, columns along +x LPS
+                _el(0x0020, 0x0037, b"DS", _ds([1, 0, 0, 0, 1, 0])),
+                _el(0x0028, 0x0002, b"US", struct.pack("<H", 1)),
+                _el(0x0028, 0x0004, b"CS", b"MONOCHROME2"),
+                _el(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+                _el(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+                _el(0x0028, 0x0030, b"DS", _ds([sy, sx])),  # (row, col) spacing
+                _el(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+                _el(0x0028, 0x0101, b"US", struct.pack("<H", 16)),
+                _el(0x0028, 0x0102, b"US", struct.pack("<H", 15)),
+                _el(0x0028, 0x0103, b"US", struct.pack("<H", 1)),
+                _el(0x0028, 0x1052, b"DS", _ds([inter])),
+                _el(0x0028, 0x1053, b"DS", _ds([slope])),
+                _el(0x7FE0, 0x0010, b"OW", pixels),
+            ]
+        )
+        meta_body = b"".join(
+            [
+                _el(0x0002, 0x0001, b"OB", b"\x00\x01"),
+                _el(0x0002, 0x0002, b"UI", _MR_STORAGE.encode()),
+                _el(0x0002, 0x0003, b"UI", f"{series_uid}.{k + 1}".encode()),
+                _el(0x0002, 0x0010, b"UI", _EXPLICIT_LE.encode()),
+            ]
+        )
+        meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
+        path = os.path.join(directory, f"slice_{k:04d}.dcm")
+        with open(path, "wb") as f:
+            f.write(b"\x00" * 128 + b"DICM" + meta + body)
+        paths.append(path)
+    return paths

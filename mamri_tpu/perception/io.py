@@ -1,14 +1,13 @@
-"""Minimal medical-volume file IO: NIfTI-1 (.nii / .nii.gz), pure numpy.
+"""Medical-volume file IO: NIfTI-1 (.nii / .nii.gz) + geometry normalization.
 
 The reference receives volumes from the Slicer scene (sitkUtils.PullVolume...,
-Mamri/Mamri.py:1306); standalone mamri_tpu needs its own ingest. This reader
-supports the common case: single-file NIfTI-1, scalar volumes, axis-aligned
-(or sign-flipped) affines. NIfTI affines map voxel ijk -> RAS+; `Volume`
-stores LPS origin/spacing, so the conversion flips x/y. Oblique affines are
-rejected explicitly rather than silently resampled.
-
-DICOM series ingest is intentionally not implemented yet (needs a series
-sorter + decoder); convert to NIfTI upstream for now.
+Mamri/Mamri.py:1306); standalone mamri_tpu needs its own ingest. NIfTI affines
+map voxel ijk -> RAS+; `Volume` stores LPS origin/spacing. Axis-aligned
+affines (any permutation/flip of axes) are normalized by index reordering —
+lossless; oblique affines (clinical volumes are rarely perfectly aligned) are
+trilinearly resampled onto an axis-aligned LPS grid at the source spacing
+(`resample_to_axis_aligned`). DICOM series ingest/export lives in
+perception/dicom.py and shares the same normalization (`volume_from_affine`).
 """
 
 from __future__ import annotations
@@ -20,6 +19,103 @@ from typing import Tuple
 import numpy as np
 
 from mamri_tpu.perception.volume import Volume
+
+
+def _is_axis_aligned(rot: np.ndarray, tol: float = 1e-3) -> bool:
+    """True when each column of the 3x3 voxel-step matrix has a single
+    dominant entry (pure permutation/flip of axes, no shear/rotation)."""
+    for c in range(3):
+        col = np.abs(rot[:, c])
+        mx = col.max()
+        if mx <= 0 or (col.sum() - mx) > tol * mx:
+            return False
+    return True
+
+
+def volume_from_affine(data: np.ndarray, affine_lps: np.ndarray) -> Volume:
+    """Build an axis-aligned LPS `Volume` from (nx, ny, nz) data and a
+    voxel-index -> LPS affine (3x4). Permutation/flip affines are normalized
+    exactly by index reordering; oblique affines are resampled."""
+    affine_lps = np.asarray(affine_lps, dtype=np.float64)
+    rot = affine_lps[:, :3]
+    if not _is_axis_aligned(rot):
+        return resample_to_axis_aligned(data, affine_lps)
+    # permute indices so index axis a drives LPS axis a
+    perm = [int(np.argmax(np.abs(rot[:, c]))) for c in range(3)]  # col c -> LPS row
+    if sorted(perm) != [0, 1, 2]:
+        return resample_to_axis_aligned(data, affine_lps)  # degenerate
+    inv_perm = [perm.index(a) for a in range(3)]
+    data = np.transpose(data, inv_perm)
+    steps = np.array([rot[a, inv_perm[a]] for a in range(3)], dtype=np.float64)
+    origin = affine_lps[:, 3].copy()
+    for a in range(3):
+        if steps[a] < 0:
+            data = np.flip(data, axis=a)
+            origin[a] = origin[a] + steps[a] * (data.shape[a] - 1)
+            steps[a] = -steps[a]
+    return Volume(
+        data=np.ascontiguousarray(data, dtype=np.float32),
+        spacing=steps.astype(np.float32),
+        origin=origin.astype(np.float32),
+    )
+
+
+def resample_to_axis_aligned(data: np.ndarray, affine_lps: np.ndarray, fill: float = 0.0) -> Volume:
+    """Trilinearly resample an obliquely-oriented volume onto an axis-aligned
+    LPS grid at the source spacing (the reference never needs this because
+    Slicer's scene holds the IJK->RAS transform; a standalone pipeline must
+    normalize geometry itself)."""
+    data = np.asarray(data, dtype=np.float32)
+    affine_lps = np.asarray(affine_lps, dtype=np.float64)
+    rot = affine_lps[:, :3]
+    t = affine_lps[:, 3]
+    spacing = np.linalg.norm(rot, axis=0)
+    shape = np.array(data.shape)
+
+    corners_idx = np.array(
+        [[i, j, k] for i in (0, shape[0] - 1) for j in (0, shape[1] - 1) for k in (0, shape[2] - 1)],
+        dtype=np.float64,
+    )
+    corners = corners_idx @ rot.T + t
+    lo, hi = corners.min(axis=0), corners.max(axis=0)
+    out_shape = np.maximum(np.ceil((hi - lo) / spacing).astype(int) + 1, 1)
+
+    inv = np.linalg.inv(rot)
+    out = np.empty(tuple(out_shape), dtype=np.float32)
+    ys = lo[1] + spacing[1] * np.arange(out_shape[1])
+    zs = lo[2] + spacing[2] * np.arange(out_shape[2])
+    yy, zz = np.meshgrid(ys, zs, indexing="ij")
+    for i in range(out_shape[0]):  # chunk along x to bound memory
+        pts = np.stack(
+            [np.full(yy.shape, lo[0] + spacing[0] * i), yy, zz], axis=-1
+        )  # (ny, nz, 3) LPS
+        idx = (pts - t) @ inv.T  # voxel coords
+        i0 = np.floor(idx).astype(np.int64)
+        frac = (idx - i0).astype(np.float32)
+        val = np.zeros(yy.shape, dtype=np.float32)
+        inside = np.all((idx >= 0) & (idx <= shape - 1), axis=-1)
+        i0c = np.clip(i0, 0, shape - 2)
+        f = np.clip(frac, 0.0, 1.0)
+        acc = np.zeros(yy.shape, dtype=np.float32)
+        for di in (0, 1):
+            wi = (1 - f[..., 0]) if di == 0 else f[..., 0]
+            for dj in (0, 1):
+                wj = (1 - f[..., 1]) if dj == 0 else f[..., 1]
+                for dk in (0, 1):
+                    wk = (1 - f[..., 2]) if dk == 0 else f[..., 2]
+                    acc += (
+                        wi
+                        * wj
+                        * wk
+                        * data[i0c[..., 0] + di, i0c[..., 1] + dj, i0c[..., 2] + dk]
+                    )
+        val = np.where(inside, acc, np.float32(fill))
+        out[i] = val
+    return Volume(
+        data=out,
+        spacing=spacing.astype(np.float32),
+        origin=lo.astype(np.float32),
+    )
 
 _DTYPES = {
     2: np.uint8,
@@ -78,21 +174,12 @@ def load_nifti(path: str) -> Volume:
     data = np.asarray(data, dtype=np.float32) * scl_slope + scl_inter
 
     if sform_code > 0:
-        rot = srow[:, :3]
-        # accept only axis-aligned (diagonal, possibly sign-flipped) affines
-        for r in range(3):
-            row = np.abs(rot[r])
-            if row.sum() - row[r] > 1e-3 * max(row[r], 1e-6):
-                raise ValueError(f"{path}: oblique/permuted affine not supported (srow={srow})")
-        # NIfTI affine is voxel->RAS; Volume stores LPS with positive steps.
-        diag_lps = np.array([-rot[0, 0], -rot[1, 1], rot[2, 2]], dtype=np.float32)
-        origin_lps = srow[:, 3].astype(np.float32) * np.array([-1.0, -1.0, 1.0], dtype=np.float32)
-        for ax in range(3):
-            if diag_lps[ax] < 0:
-                data = np.flip(data, axis=ax)
-                origin_lps[ax] = origin_lps[ax] + diag_lps[ax] * (data.shape[ax] - 1)
-                diag_lps[ax] = -diag_lps[ax]
-        return Volume(data=np.ascontiguousarray(data), spacing=diag_lps, origin=origin_lps)
+        # NIfTI srow maps voxel ijk -> RAS; Volume is LPS = diag(-1,-1,1)@RAS.
+        affine_lps = srow.astype(np.float64).copy()
+        affine_lps[0] *= -1.0
+        affine_lps[1] *= -1.0
+        # permutation/flip affines normalize exactly; obliques resample
+        return volume_from_affine(data, affine_lps)
 
     # fall back to pixdim with origin at 0 (qform ignored)
     spacing = np.array([abs(pixdim[1]), abs(pixdim[2]), abs(pixdim[3])], dtype=np.float32)

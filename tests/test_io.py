@@ -45,3 +45,140 @@ def test_nifti_negative_z_flip(tmp_path):
     assert back.spacing[2] > 0
     np.testing.assert_allclose(back.data, v.data, atol=0)
     np.testing.assert_allclose(back.origin, v.origin, atol=1e-4)
+
+
+def test_oblique_nifti_resamples(tmp_path):
+    """An obliquely-rotated sform must resample, preserving world-space
+    structure (a sphere's centroid) instead of raising (VERDICT r1 #4)."""
+    import struct
+
+    v = synthetic_volume(shape=(40, 40, 40), fiducials_ras=np.array([[3.0, -4.0, 5.0]]),
+                         fiducial_radius_mm=4.0)
+    p = str(tmp_path / "obl.nii")
+    save_nifti(p, v)
+    raw = bytearray(open(p, "rb").read())
+    # rotate the (axis-aligned LPS->RAS) affine by 10 deg about z, RAS space
+    th = np.radians(10.0)
+    R = np.array([[np.cos(th), -np.sin(th), 0.0], [np.sin(th), np.cos(th), 0.0], [0.0, 0.0, 1.0]])
+    srow = np.array(struct.unpack_from("<12f", raw, 280)).reshape(3, 4)
+    new = np.zeros((3, 4))
+    new[:, :3] = R @ srow[:, :3]
+    new[:, 3] = R @ srow[:, 3]
+    struct.pack_into("<12f", raw, 280, *new.reshape(-1).tolist())
+    open(p, "wb").write(bytes(raw))
+
+    back = load_nifti(p)
+    # sphere centroid in the resampled grid must sit at the rotated position
+    target_ras = R @ np.array([3.0, -4.0, 5.0])
+    target_lps = target_ras * np.array([-1.0, -1.0, 1.0])
+    w = np.asarray(back.data) > 100.0
+    idx = np.argwhere(w)
+    centroid_lps = back.origin + back.spacing * idx.mean(axis=0)
+    assert np.linalg.norm(centroid_lps - target_lps) < 1.0, (centroid_lps, target_lps)
+
+
+def test_permuted_affine_normalizes_exactly():
+    from mamri_tpu.perception.io import volume_from_affine
+
+    v = synthetic_volume(shape=(10, 12, 14), fiducials_ras=np.array([[0.0, 0.0, 0.0]]))
+    # store data as (z, x, y) with a flip on x: index axes drive LPS (1,2,0)
+    data_perm = np.flip(np.transpose(v.data, (2, 0, 1)), axis=1)
+    aff = np.zeros((3, 4))
+    # index 0 (old z) -> LPS z; index 1 (old x, flipped) -> LPS x; index 2 -> y
+    aff[2, 0] = v.spacing[2]
+    aff[0, 1] = -v.spacing[0]
+    aff[1, 2] = v.spacing[1]
+    aff[:, 3] = v.origin + np.array([v.spacing[0] * (v.shape[0] - 1), 0.0, 0.0])
+    back = volume_from_affine(data_perm, aff)
+    np.testing.assert_array_equal(back.data, v.data)
+    np.testing.assert_allclose(back.spacing, v.spacing, atol=1e-6)
+    np.testing.assert_allclose(back.origin, v.origin, atol=1e-5)
+
+
+def test_dicom_series_roundtrip(tmp_path):
+    from mamri_tpu.perception.dicom import load_dicom_series, save_dicom_series
+
+    v = synthetic_volume(shape=(24, 32, 20), spacing=(1.0, 1.5, 2.0),
+                         fiducials_ras=np.array([[0.0, 0.0, 0.0]]))
+    d = str(tmp_path / "series")
+    paths = save_dicom_series(d, v)
+    assert len(paths) == 20
+    back = load_dicom_series(d)
+    assert back.data.shape == v.data.shape
+    np.testing.assert_allclose(back.spacing, v.spacing, atol=1e-5)
+    np.testing.assert_allclose(back.origin, v.origin, atol=1e-3)
+    # int16 + rescale quantization
+    assert np.abs(back.data - v.data).max() < 0.01 * (v.data.max() - v.data.min())
+
+
+def test_dicom_series_unsorted_and_multi(tmp_path):
+    """Slices shuffled on disk and a second decoy series: geometric sort +
+    largest-series selection must reassemble the right volume."""
+    import os
+    from mamri_tpu.perception.dicom import load_dicom_series, save_dicom_series
+
+    v = synthetic_volume(shape=(16, 16, 12), fiducials_ras=np.array([[0.0, 0.0, 0.0]]))
+    d = str(tmp_path / "series")
+    paths = save_dicom_series(d, v, series_number=7)
+    # shuffle filenames so lexical order != slice order
+    rng = np.random.default_rng(0)
+    names = [os.path.basename(p) for p in paths]
+    perm = rng.permutation(len(names))
+    for p, q in zip(names, [f"tmp_{i}.dcm" for i in range(len(names))]):
+        os.rename(os.path.join(d, p), os.path.join(d, q))
+    for i, j in enumerate(perm):
+        os.rename(os.path.join(d, f"tmp_{i}.dcm"), os.path.join(d, names[j]))
+    # decoy smaller series in the same directory
+    decoy = synthetic_volume(shape=(8, 8, 4))
+    for i, p in enumerate(save_dicom_series(str(tmp_path / "decoy"), decoy, series_number=9)):
+        os.rename(p, os.path.join(d, f"decoy_{i}.dcm"))
+    # non-DICOM junk too
+    with open(os.path.join(d, "notes.txt"), "w") as f:
+        f.write("not dicom")
+
+    back = load_dicom_series(d)
+    assert back.data.shape == v.data.shape
+    np.testing.assert_allclose(back.origin, v.origin, atol=1e-3)
+    # center sphere present
+    assert (np.abs(back.data - v.data).max()) < 0.01 * (v.data.max() - v.data.min())
+
+
+def test_dicom_oblique_series_resamples(tmp_path):
+    """Oblique IOP/IPP series resample onto an axis-aligned LPS grid with the
+    sphere centroid preserved in world space."""
+    import struct as _s
+    from mamri_tpu.perception.dicom import load_dicom_series, save_dicom_series, _ds, _el
+
+    v = synthetic_volume(shape=(32, 32, 24), fiducials_ras=np.array([[2.0, 1.0, -3.0]]),
+                         fiducial_radius_mm=4.0)
+    d = str(tmp_path / "obl")
+    save_dicom_series(d, v)
+    # rewrite IOP/IPP of each slice with a 12-deg rotation about LPS z
+    import os
+    th = np.radians(12.0)
+    R = np.array([[np.cos(th), -np.sin(th), 0.0], [np.sin(th), np.cos(th), 0.0], [0.0, 0.0, 1.0]])
+    row_dir = R @ np.array([1.0, 0.0, 0.0])
+    col_dir = R @ np.array([0.0, 1.0, 0.0])
+    for k, name in enumerate(sorted(os.listdir(d))):
+        p = os.path.join(d, name)
+        raw = open(p, "rb").read()
+        ipp = R @ (np.asarray(v.origin, dtype=np.float64) + [0.0, 0.0, float(v.spacing[2]) * k])
+        new_ipp = _el(0x0020, 0x0032, b"DS", _ds(ipp))
+        new_iop = _el(0x0020, 0x0037, b"DS", _ds(np.concatenate([row_dir, col_dir])))
+        # replace the fixed-size original elements by scanning for their tags
+        def _replace(buf, group, elem, new):
+            tagb = _s.pack("<HH", group, elem)
+            i = buf.index(tagb + b"DS")
+            ln = _s.unpack_from("<H", buf, i + 6)[0]
+            return buf[:i] + new + buf[i + 8 + ln:]
+        raw = _replace(raw, 0x0020, 0x0032, new_ipp)
+        raw = _replace(raw, 0x0020, 0x0037, new_iop)
+        open(p, "wb").write(raw)
+
+    back = load_dicom_series(d)
+    target_lps = R @ (np.array([2.0, 1.0, -3.0]) * np.array([-1.0, -1.0, 1.0]))
+    w = np.asarray(back.data) > 100.0
+    assert w.any()
+    idx = np.argwhere(w)
+    centroid_lps = back.origin + back.spacing * idx.mean(axis=0)
+    assert np.linalg.norm(centroid_lps - target_lps) < 1.0, (centroid_lps, target_lps)
