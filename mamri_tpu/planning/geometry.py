@@ -58,7 +58,7 @@ def _capsule_points(length: float, radius: float, n: int, seed: int) -> np.ndarr
 def build_arm_geometry(
     model: RobotModel,
     mesh_dir: Optional[str] = None,
-    points_per_part: int = 1024,
+    points_per_part: int = 2048,
     radius_mm: float = DEFAULT_PART_RADIUS_MM,
 ) -> ArmGeometry:
     """Build the stacked per-part collision point clouds.
