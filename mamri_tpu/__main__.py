@@ -137,17 +137,41 @@ def cmd_plan(args) -> int:
 
 
 def cmd_export(args) -> int:
+    if not args.out_dir and not args.scene:
+        print(json.dumps({"success": False, "message": "give --out-dir (posed STLs) and/or --scene (assembled OBJ)"}))
+        return 2
     eng = _engine(args)
     vol = _load(args.volume)
     pose = eng.estimate_pose(vol, apply_correction=args.correction)
     if not pose.success:
         print(json.dumps({"success": False, "message": f"pose estimation failed: {pose.message}"}))
         return 1
-    paths = eng.export_posed_meshes(args.out_dir, args.mesh_dir)
-    if not paths:
-        print(json.dumps({"success": False, "message": f"no mesh files found under {args.mesh_dir}"}))
-        return 1
-    print(json.dumps({"success": True, "angles_deg": np.rad2deg(pose.angles_rad).round(3).tolist(), "meshes": paths}, indent=2))
+    out = {"success": True, "angles_deg": np.rad2deg(pose.angles_rad).round(3).tolist()}
+    if args.out_dir:
+        if not args.mesh_dir:
+            print(json.dumps({"success": False, "message": "--out-dir requires --mesh-dir"}))
+            return 2
+        paths = eng.export_posed_meshes(args.out_dir, args.mesh_dir)
+        if not paths:
+            print(json.dumps({"success": False, "message": f"no mesh files found under {args.mesh_dir}"}))
+            return 1
+        out["meshes"] = paths
+    if args.scene:
+        target = np.asarray(args.target, dtype=np.float32) if args.target else None
+        entry = np.asarray(args.entry, dtype=np.float32) if args.entry else None
+        if target is not None and entry is None:
+            ep = eng.find_entry_point(target)
+            if bool(ep.found):
+                entry = np.asarray(ep.point_ras)
+        if target is not None and entry is not None:
+            plan = eng.plan_heuristic_path(target, entry, args.safety, start_pose_steps=pose.steps)
+            out["trajectory_planned"] = bool(plan.success)
+        counts = eng.export_scene(
+            args.scene, mesh_dir=args.mesh_dir, target_ras=target, entry_ras=entry
+        )
+        out["scene"] = args.scene
+        out["scene_objects"] = counts
+    print(json.dumps(out, indent=2))
     return 0
 
 
@@ -178,10 +202,14 @@ def main(argv=None) -> int:
     pp.add_argument("--out", default=None, help="write path/keyframes to .npz")
     pp.add_argument("--mesh-dir", default=None)
 
-    px = sub.add_parser("export", help="write FK-posed robot meshes as STL")
+    px = sub.add_parser("export", help="write FK-posed robot meshes (STL) and/or an assembled scene (OBJ)")
     px.add_argument("volume", help="scan to estimate the pose from")
-    px.add_argument("--mesh-dir", required=True, help="directory with the robot STL meshes")
-    px.add_argument("--out-dir", required=True)
+    px.add_argument("--mesh-dir", default=None, help="directory with the robot STL meshes (optional for --scene: capsules stand in)")
+    px.add_argument("--out-dir", default=None, help="write per-link FK-posed STLs here")
+    px.add_argument("--scene", default=None, help="write one assembled OBJ scene (robot + needle + body + trajectory)")
+    px.add_argument("--target", nargs=3, type=float, default=None, metavar=("X", "Y", "Z"), help="plan + include a trajectory in the scene")
+    px.add_argument("--entry", nargs=3, type=float, default=None, metavar=("X", "Y", "Z"))
+    px.add_argument("--safety", type=float, default=5.0)
     px.add_argument("--correction", action="store_true")
 
     args = ap.parse_args(argv)

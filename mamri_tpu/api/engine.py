@@ -35,7 +35,10 @@ from mamri_tpu.planning.geometry import ArmGeometry, build_arm_geometry
 from mamri_tpu.planning.heuristic import check_path_collisions, heuristic_keyframes, interpolate_path
 from mamri_tpu.planning.trajectory import solve_trajectory_ik
 from mamri_tpu.registration.kabsch import kabsch_rigid_transform
-from mamri_tpu.registration.lshape import match_l_shaped_triplets
+from mamri_tpu.registration.lshape import (
+    match_l_shaped_triplets,
+    match_l_shaped_triplets_global,
+)
 from mamri_tpu.api.types import PoseEstimate, TrajectoryPlan
 from mamri_tpu.utils.trace import Tracer
 
@@ -54,7 +57,14 @@ class MamriEngine:
         tracer: Optional[Tracer] = None,
         ik_iters: int = 24,
         ik_restarts: int = 2,
+        match_mode: str = "best",
     ):
+        if match_mode not in ("best", "strict", "global"):
+            raise ValueError(
+                f"match_mode must be 'best' (min-error greedy), 'strict' "
+                f"(reference first-match greedy) or 'global' (exhaustive "
+                f"assignment), got {match_mode!r}"
+            )
         self.model: RobotModel = load_robot_model(config_path)
         self.geometry: ArmGeometry = build_arm_geometry(self.model, mesh_dir)
         # default: the fast certified settings — 4 CCL sweeps with an in-kernel
@@ -69,6 +79,7 @@ class MamriEngine:
         self.tracer = tracer or Tracer(enabled=False)
         self.ik_iters = ik_iters
         self.ik_restarts = ik_restarts
+        self.match_mode = match_mode
 
         self._arm_lengths = [self.model.spec(ln).arm_lengths for ln in MARKER_LINKS]
         # mutable scene state (the reference keeps this in MRML nodes)
@@ -97,9 +108,21 @@ class MamriEngine:
         ik_iters = self.ik_iters
         ik_restarts = self.ik_restarts
 
+        match_mode = self.match_mode
+
         def pipeline(data, spacing, origin, saved_tf, use_saved, have_saved, apply_correction, current_angles):
             seg = segment_volume(data, spacing, origin, seg_params)
-            matches = match_l_shaped_triplets(seg.centroids_ras, seg.blob_valid, arm_lengths)
+            if match_mode == "global":
+                matches = match_l_shaped_triplets_global(
+                    seg.centroids_ras, seg.blob_valid, arm_lengths
+                )
+            else:
+                matches = match_l_shaped_triplets(
+                    seg.centroids_ras,
+                    seg.blob_valid,
+                    arm_lengths,
+                    strict_reference_order=(match_mode == "strict"),
+                )
             bp_found = matches.found[0]
 
             # baseplate: Y-flatten detected markers (Mamri.py:1371-1373), Kabsch
@@ -403,6 +426,88 @@ class MamriEngine:
             save_stl(dst, tris)
             written.append(dst)
         return written
+
+    def export_scene(
+        self,
+        path: str,
+        mesh_dir: Optional[str] = None,
+        angles_rad=None,
+        include_body: bool = True,
+        include_trajectory: bool = True,
+        target_ras=None,
+        entry_ras=None,
+        needle_length_mm: float = 100.0,
+        needle_radius_mm: float = 1.5,
+    ) -> dict:
+        """Write the assembled 3-D scene as one OBJ file — the headless
+        counterpart of the reference's Slicer 3-D view: FK-posed robot links
+        (STL when `mesh_dir` is given, procedural capsules otherwise), a
+        generated needle cylinder, the segmented body surface, the planned
+        path as the needle-tip polyline, and the entry->target insertion
+        segment (`_build_robot_model` Mamri/Mamri.py:1449-1471, trajectory
+        markup :1924-1935). Returns {object name: triangle/segment count}.
+        """
+        from mamri_tpu.planning.geometry import DEFAULT_PART_RADIUS_MM, MIN_PART_LENGTH_MM
+        from mamri_tpu.utils.scene import (
+            capsule_mesh,
+            cylinder_mesh,
+            voxel_surface_mesh,
+            write_obj,
+        )
+        from mamri_tpu.utils.stl import load_stl, transform_triangles
+
+        tfs = self.link_world_transforms(angles_rad)
+        objects = []
+        for i, spec in enumerate(self.model.specs):
+            if spec.name == "Needle":
+                continue  # generated cylinder below (reference's Needle.STL is stripped)
+            tris = None
+            if mesh_dir is not None and spec.visual_mesh:
+                src = os.path.join(mesh_dir, spec.visual_mesh)
+                if os.path.exists(src):
+                    tris = load_stl(src)
+            if tris is None:
+                child = next((s for s in self.model.specs if s.parent == i), None)
+                length = float(np.linalg.norm(child.offset_mm)) if child is not None else 0.0
+                tris = capsule_mesh(max(length, MIN_PART_LENGTH_MM), DEFAULT_PART_RADIUS_MM)
+            objects.append((spec.name, transform_triangles(tris, tfs[i])))
+
+        # needle shaft from the config's tip/axis on the Needle link frame
+        ntf = tfs[self.model.link_index("Needle")]
+        tip = (ntf[:3, :3] @ np.asarray(self.model.needle_tip)) + ntf[:3, 3]
+        axis = ntf[:3, :3] @ np.asarray(self.model.needle_axis)
+        axis = axis / max(float(np.linalg.norm(axis)), 1e-9)
+        objects.append(("Needle", cylinder_mesh(tip, tip + axis * needle_length_mm, needle_radius_mm)))
+
+        if include_body and self.last_segmentation is not None and bool(self.last_segmentation["body_found"]):
+            spacing, origin = self.last_volume_geom
+            objects.append(
+                ("Body", voxel_surface_mesh(self.last_segmentation["body_mask"], spacing, origin))
+            )
+
+        polylines = []
+        if include_trajectory and self.trajectory_path is not None:
+            needle_idx = self.model.link_index("Needle")
+            tip_local = jnp.asarray(self.model.needle_tip)
+            base = jnp.asarray(
+                self.baseplate_tf if self.baseplate_tf is not None else np.eye(4, dtype=np.float32)
+            )
+
+            def tip_at(a):
+                tf = fk_all_links(self.model, a, base)[needle_idx]
+                return tf[:3, :3] @ tip_local + tf[:3, 3]
+
+            tips = np.asarray(jax.vmap(tip_at)(jnp.asarray(self.trajectory_path, dtype=jnp.float32)))
+            polylines.append(("TrajectoryTipPath", tips))
+        if target_ras is not None and entry_ras is not None:
+            polylines.append(
+                ("InsertionSegment", np.stack([np.asarray(entry_ras), np.asarray(target_ras)]).astype(np.float32))
+            )
+
+        write_obj(path, objects, polylines)
+        summary = {name: int(len(t)) for name, t in objects}
+        summary.update({name: int(len(p)) for name, p in polylines})
+        return summary
 
     def target_in_base_frame(self, target_ras) -> np.ndarray:
         """Re-express a world RAS point in the robot base frame — the widget's

@@ -2,6 +2,7 @@ from mamri_tpu.registration.kabsch import kabsch_rigid_transform
 from mamri_tpu.registration.lshape import (
     LShapeMatches,
     match_l_shaped_triplets,
+    match_l_shaped_triplets_global,
     order_l_shape,
 )
 
@@ -9,5 +10,6 @@ __all__ = [
     "kabsch_rigid_transform",
     "LShapeMatches",
     "match_l_shaped_triplets",
+    "match_l_shaped_triplets_global",
     "order_l_shape",
 ]

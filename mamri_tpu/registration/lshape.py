@@ -19,6 +19,7 @@ import math
 from functools import lru_cache
 from typing import NamedTuple, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -155,6 +156,130 @@ def match_l_shaped_triplets(
         # consume blob ids only on a real match
         consume = jnp.zeros((k,), dtype=bool).at[idx].set(found)
         used = used | consume
+        out_points.append(jnp.where(found, ordered, jnp.zeros_like(ordered)))
+        out_found.append(found)
+        out_ids.append(jnp.where(found, idx, -1))
+
+    return LShapeMatches(
+        points=jnp.stack(out_points),
+        found=jnp.stack(out_found),
+        member_ids=jnp.stack(out_ids),
+    )
+
+
+def match_l_shaped_triplets_global(
+    points,
+    valid,
+    arm_lengths: Sequence[Tuple[float, float]],
+    tol: float = 5.0,
+    top_m: int = 8,
+) -> LShapeMatches:
+    """Globally optimal link<->triplet assignment (third matching mode).
+
+    Even the min-error greedy can mis-assign when signatures overlap within
+    the 5 mm tolerance AND a link's own triplet is missing: an earlier link
+    in the consumption order steals a later link's triplet (e.g. a missing
+    Baseplate (40,20) absorbing Joint6's (45,20) markers), leaving the
+    rightful owner unmatched. The reference has exactly this failure mode
+    (first-match greedy, Mamri/Mamri.py:1343-1363). This mode solves the
+    joint assignment instead: per link, the `top_m` lowest-signature-error
+    in-tolerance combinations are shortlisted, then every (top_m+1)^J
+    combination of {shortlisted triplet | unmatched} is scored under the
+    pairwise-disjointness constraint. The objective is lexicographic —
+    maximize the number of matched links, then minimize total signature
+    error. Exhaustive over the shortlist, so it IS the global optimum
+    whenever each link's true triplet ranks in its own top-`top_m` (with
+    K <= 32 blobs and 4 links that always holds in practice).
+
+    Fully vectorized and jit/vmap-compatible: (top_m+1)^J static assignment
+    table, blob sets as uint32 bitmasks, disjointness via population counts.
+    """
+    points = jnp.asarray(points)
+    valid = jnp.asarray(valid)
+    k = points.shape[0]
+    if k > 32:
+        raise ValueError("global matching supports at most 32 candidate blobs (uint32 bitmask)")
+    nlinks = len(arm_lengths)
+    combos = jnp.asarray(_combo_table(k))  # (C, 3)
+
+    p0 = points[combos[:, 0]]
+    p1 = points[combos[:, 1]]
+    p2 = points[combos[:, 2]]
+    dists = jnp.stack(
+        [
+            jnp.linalg.norm(p0 - p1, axis=-1),
+            jnp.linalg.norm(p0 - p2, axis=-1),
+            jnp.linalg.norm(p1 - p2, axis=-1),
+        ],
+        axis=-1,
+    )
+    sig = jnp.sort(dists, axis=-1)  # (C, 3)
+    members_valid = valid[combos[:, 0]] & valid[combos[:, 1]] & valid[combos[:, 2]]
+    combo_mask = (
+        (jnp.uint32(1) << combos[:, 0].astype(jnp.uint32))
+        | (jnp.uint32(1) << combos[:, 1].astype(jnp.uint32))
+        | (jnp.uint32(1) << combos[:, 2].astype(jnp.uint32))
+    )  # (C,) blob-membership bitmask
+
+    _INF = jnp.float32(jnp.inf)
+    cand_idx, cand_err, cand_ok, cand_mask = [], [], [], []
+    for l1, l2 in arm_lengths:
+        expected = jnp.asarray(expected_distances(l1, l2), dtype=points.dtype)
+        sig_err = jnp.abs(sig - expected[None, :])
+        fits = jnp.all(sig_err <= tol, axis=-1) & members_valid
+        err = jnp.sum(sig_err, axis=-1)
+        keys = jnp.where(fits, -err, -_INF)
+        vals, idx = jax.lax.top_k(keys, top_m)  # best = least error first
+        cand_idx.append(idx)
+        cand_err.append(-vals)  # inf where not fitting
+        cand_ok.append(vals > -_INF)
+        cand_mask.append(jnp.where(vals > -_INF, combo_mask[idx], jnp.uint32(0)))
+    cand_idx = jnp.stack(cand_idx)  # (J, M)
+    cand_err = jnp.stack(cand_err)
+    cand_ok = jnp.stack(cand_ok)
+    cand_mask = jnp.stack(cand_mask)
+
+    # option M (the last) = "leave this link unmatched": always legal, zero
+    # error, empty blob set — scored below matched options by the lexicographic
+    # objective.
+    m1 = top_m + 1
+    opt_err = jnp.concatenate([jnp.where(cand_ok, cand_err, _INF), jnp.zeros((nlinks, 1))], axis=1)
+    opt_mask = jnp.concatenate([cand_mask, jnp.zeros((nlinks, 1), jnp.uint32)], axis=1)
+    opt_matched = jnp.concatenate(
+        [cand_ok, jnp.zeros((nlinks, 1), bool)], axis=1
+    )
+
+    n_assign = m1**nlinks
+    a = jnp.arange(n_assign, dtype=jnp.int32)
+    digits = jnp.stack([(a // (m1**j)) % m1 for j in range(nlinks)], axis=1)  # (A, J)
+    link_ids = jnp.arange(nlinks)[None, :]
+    a_err = opt_err[link_ids, digits]  # (A, J)
+    a_mask = opt_mask[link_ids, digits]
+    a_matched = opt_matched[link_ids, digits]
+
+    pop = jax.lax.population_count
+    union = jnp.zeros(n_assign, jnp.uint32)
+    popsum = jnp.zeros(n_assign, jnp.int32)
+    for j in range(nlinks):
+        union = union | a_mask[:, j]
+        popsum = popsum + pop(a_mask[:, j]).astype(jnp.int32)
+    disjoint = pop(union).astype(jnp.int32) == popsum
+
+    n_matched = jnp.sum(a_matched, axis=1)
+    total_err = jnp.sum(a_err, axis=1)
+    feasible = disjoint & jnp.isfinite(total_err)
+    # lexicographic: more matches always beats any error difference (total
+    # error is bounded by J * 3 * tol << the 1e6 step)
+    score = jnp.where(feasible, -n_matched.astype(jnp.float32) * 1e6 + total_err, _INF)
+    best = jnp.argmin(score)
+
+    out_points, out_found, out_ids = [], [], []
+    for j, (l1, l2) in enumerate(arm_lengths):
+        opt = digits[best, j]
+        found = opt_matched[j, opt]
+        idx = combos[cand_idx[j, jnp.minimum(opt, top_m - 1)]]  # (3,)
+        triplet = points[idx]
+        ordered, _ = order_l_shape(triplet, l1, l2, tol)
         out_points.append(jnp.where(found, ordered, jnp.zeros_like(ordered)))
         out_found.append(found)
         out_ids.append(jnp.where(found, idx, -1))

@@ -318,3 +318,50 @@ def test_estimate_pose_sweep_escalation(caplog):
     err_deg = np.rad2deg(np.abs(res.angles_rad - TRUE_ANGLES))
     assert err_deg.max() < 1.0, err_deg
     assert bool(eng.last_segmentation["seg_converged"])
+
+
+def test_export_scene_obj(engine, estimated, tmp_path):
+    """Assembled scene: every link posed (capsules without mesh_dir), generated
+    needle, body voxel surface, and a trajectory polyline when one is planned."""
+    from mamri_tpu.utils.scene import read_obj_summary
+
+    result, base = estimated
+    path = str(tmp_path / "scene.obj")
+    counts = engine.export_scene(path)
+    summary = read_obj_summary(path)
+    for spec in engine.model.specs:
+        if spec.name == "Needle":
+            continue
+        assert spec.name in summary and summary[spec.name]["f"] > 0, spec.name
+    assert summary["Needle"]["f"] > 0
+    assert summary["Body"]["f"] > 0 and counts["Body"] > 0
+    if engine.trajectory_path is not None:
+        assert summary["TrajectoryTipPath"]["l"] == 1
+        assert summary["TrajectoryTipPath"]["v"] == len(engine.trajectory_path)
+    # the Body surface must enclose the body volume: divergence-theorem volume
+    # of the voxel faces == voxel count * voxel volume
+    import jax.numpy as jnp
+    from mamri_tpu.utils.scene import voxel_surface_mesh
+
+    spacing, origin = engine.last_volume_geom
+    mask = np.asarray(engine.last_segmentation["body_mask"])
+    tris = voxel_surface_mesh(mask, spacing, origin)
+    vol = float(np.einsum("ij,ij->", tris[:, 0], np.cross(tris[:, 1], tris[:, 2])) / 6.0)
+    want = mask.sum() * float(np.prod(np.asarray(spacing)))
+    assert abs(vol - want) / want < 1e-4
+
+
+def test_global_match_mode_end_to_end():
+    """match_mode='global' recovers the same pose on the demo scene."""
+    eng = MamriEngine(ik_iters=60, ik_restarts=6, match_mode="global")
+    vol, base = _make_scene(eng)
+    result = eng.estimate_pose(vol)
+    assert result.success, result.message
+    assert all(result.markers_found.values())
+    assert result.rmse_mm < 0.5
+    np.testing.assert_allclose(result.angles_rad, TRUE_ANGLES, atol=0.02)
+
+
+def test_match_mode_validation():
+    with pytest.raises(ValueError):
+        MamriEngine(match_mode="hungarian")

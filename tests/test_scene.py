@@ -1,0 +1,71 @@
+"""Assembled scene export: exact voxel surface geometry, closed primitive
+meshes, and the OBJ writer (reference parity: the Slicer 3-D view,
+Mamri/Mamri.py:1449-1471, 1924-1935)."""
+
+import numpy as np
+
+from mamri_tpu.utils.scene import (
+    capsule_mesh,
+    cylinder_mesh,
+    read_obj_summary,
+    voxel_surface_mesh,
+    write_obj,
+)
+
+
+def _signed_volume(tris):
+    """Divergence-theorem volume; positive iff windings are outward."""
+    a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+    return float(np.einsum("ij,ij->", a, np.cross(b, c)) / 6.0)
+
+
+def test_single_voxel_surface_exact():
+    mask = np.zeros((5, 5, 5), bool)
+    mask[2, 2, 2] = True
+    spacing = np.array([2.0, 3.0, 4.0], np.float32)
+    origin = np.array([10.0, -20.0, 5.0], np.float32)
+    tris = voxel_surface_mesh(mask, spacing, origin)
+    assert tris.shape == (12, 3, 3)
+    # signed volume equals the voxel volume, sign certifies outward normals in RAS
+    assert abs(_signed_volume(tris) - 2.0 * 3.0 * 4.0) < 1e-3
+    # centroid at the voxel center, LPS->RAS flipped
+    center_lps = origin + spacing * 2
+    center_ras = center_lps * np.array([-1.0, -1.0, 1.0])
+    np.testing.assert_allclose(tris.reshape(-1, 3).mean(0), center_ras, atol=1e-4)
+
+
+def test_voxel_bar_surface_merges_internal_faces():
+    mask = np.zeros((6, 4, 4), bool)
+    mask[1:4, 1, 1] = True  # 3-voxel bar: 3*6 - 2*2 = 14 faces = 28 tris
+    tris = voxel_surface_mesh(mask, np.ones(3, np.float32), np.zeros(3, np.float32))
+    assert tris.shape == (28, 3, 3)
+    assert abs(_signed_volume(tris) - 3.0) < 1e-4
+
+
+def test_capsule_and_cylinder_closed():
+    cap = capsule_mesh(50.0, 10.0)
+    # closed solid: volume = cylinder + sphere
+    want = np.pi * 10.0**2 * 50.0 + 4.0 / 3.0 * np.pi * 10.0**3
+    assert abs(_signed_volume(cap) - want) / want < 0.08  # faceting error only
+    cyl = cylinder_mesh([0, 0, 0], [0, 0, 30.0], 5.0, n_seg=64)
+    want = np.pi * 25.0 * 30.0
+    assert abs(_signed_volume(cyl) - want) / want < 0.01
+    # degenerate cylinder
+    assert cylinder_mesh([1, 2, 3], [1, 2, 3], 5.0).shape == (0, 3, 3)
+
+
+def test_write_obj_roundtrip(tmp_path):
+    tris = capsule_mesh(20.0, 5.0, n_seg=8, n_rings=2)
+    line = np.array([[0, 0, 0], [1, 1, 1], [2, 2, 2]], np.float32)
+    path = str(tmp_path / "scene.obj")
+    write_obj(path, [("PartA", tris), ("Empty", np.zeros((0, 3, 3), np.float32))], [("Path", line)])
+    summary = read_obj_summary(path)
+    assert summary["PartA"] == {"v": 3 * len(tris), "f": len(tris), "l": 0}
+    assert summary["Empty"] == {"v": 0, "f": 0, "l": 0}
+    assert summary["Path"] == {"v": 3, "f": 0, "l": 1}
+    # face indices must all be in range (1-based OBJ)
+    max_v = 3 * len(tris) + 3
+    with open(path) as f:
+        for ln in f:
+            if ln.startswith(("f ", "l ")):
+                assert all(0 < int(tok) <= max_v for tok in ln.split()[1:])
