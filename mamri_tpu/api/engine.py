@@ -98,11 +98,17 @@ class MamriEngine:
         self._batch_cache: Dict[Tuple, callable] = {}
 
     # ------------------------------------------------------------------ compute core
-    def _pipeline_fn(self, seg_params: Optional[SegmentationParams] = None):
+    def _pipeline_fn(self, seg_params: Optional[SegmentationParams] = None, seg_fn=None):
         """The fused per-volume program: segmentation -> matching -> baseplate
-        -> full-chain IK. One trace, one XLA program, no host round-trips."""
+        -> full-chain IK. One trace, one XLA program, no host round-trips.
+
+        `seg_fn` swaps the segmentation stage (same signature as
+        `segment_volume`) — the shard_map'd sp path injects
+        `segment_volume_sharded` here; everything downstream operates on the
+        replicated blob stats and stays identical."""
         model = self.model
         seg_params = seg_params if seg_params is not None else self.seg_params
+        seg_fn = seg_fn if seg_fn is not None else segment_volume
         arm_lengths = self._arm_lengths
         bp_local = model.marker_local[model.link_index("Baseplate")]
         ik_iters = self.ik_iters
@@ -111,7 +117,7 @@ class MamriEngine:
         match_mode = self.match_mode
 
         def pipeline(data, spacing, origin, saved_tf, use_saved, have_saved, apply_correction, current_angles):
-            seg = segment_volume(data, spacing, origin, seg_params)
+            seg = seg_fn(data, spacing, origin, seg_params)
             if match_mode == "global":
                 matches = match_l_shaped_triplets_global(
                     seg.centroids_ras, seg.blob_valid, arm_lengths

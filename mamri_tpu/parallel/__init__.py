@@ -3,5 +3,11 @@ from mamri_tpu.parallel.mesh import (
     make_mesh,
     sharded_batched_pipeline,
 )
+from mamri_tpu.parallel.shard_seg import segment_volume_sharded
 
-__all__ = ["make_mesh", "batch_sharding", "sharded_batched_pipeline"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "sharded_batched_pipeline",
+    "segment_volume_sharded",
+]

@@ -73,6 +73,13 @@ def batch_sharding(mesh: Mesh, dp_axis: str = "dp", sp_axis: Optional[str] = Non
     return NamedSharding(mesh, P(dp_axis, sp_axis))
 
 
+_OUT_KEYS = (
+    "success", "angles", "steps", "rmse", "base_tf", "base_ok", "base_source",
+    "markers_found", "num_blobs", "body_found", "num_components",
+    "seg_converged", "roots_complete",
+)
+
+
 def sharded_batched_pipeline(engine, mesh: Mesh, dp_axis: str = "dp", sp_axis: Optional[str] = None):
     """jit the engine's fused batched pipeline with mesh shardings.
 
@@ -80,52 +87,73 @@ def sharded_batched_pipeline(engine, mesh: Mesh, dp_axis: str = "dp", sp_axis: O
     sharded outputs (per-volume results sharded over dp). The batch size must
     be a multiple of the dp axis (and nx of the sp axis when spatial sharding
     is on).
-    """
-    if sp_axis is not None and engine.seg_params.use_pallas is None:
-        # Spatially-sharded volumes cannot route through pallas_call (XLA
-        # cannot auto-partition custom kernels); pin the jnp path, whose
-        # shifts/scans lower to sharded ops with ICI halo exchanges.
-        import copy
 
-        engine = copy.copy(engine)
-        engine.seg_params = engine.seg_params._replace(use_pallas=False)
-    pipeline = engine._pipeline_fn()
+    dp-only: plain jit + NamedSharding (XLA partitions the batch axis).
+    dp x sp: manual SPMD via shard_map — the segmentation stage runs
+    `segment_volume_sharded` (explicit ppermute halo exchange for the
+    closing, all_gather'd summary prefix for the cross-shard CCL scans,
+    psum'd stats; parallel/shard_seg.py), so the Pallas kernels stay on the
+    hot path instead of being pinned to the jnp fallback.
+    """
     nj = engine.model.num_joints
 
-    def one(data, spacing, origin, apply_correction):
-        out = pipeline(
-            data,
-            spacing,
-            origin,
-            jnp.eye(4, dtype=jnp.float32),
-            jnp.asarray(False),
-            jnp.asarray(False),
-            apply_correction,
-            jnp.zeros(nj, dtype=jnp.float32),
-        )
-        out.pop("body_mask")
-        return out
+    if sp_axis is None:
+        pipeline = engine._pipeline_fn()
 
-    batched = jax.vmap(one, in_axes=(0, None, None, None))
-    data_sh = batch_sharding(mesh, dp_axis, sp_axis)
-    repl = NamedSharding(mesh, P())
-    out_sh = NamedSharding(mesh, P(dp_axis))
-    return jax.jit(
-        batched,
-        in_shardings=(data_sh, repl, repl, repl),
-        out_shardings={
-            "success": out_sh,
-            "angles": out_sh,
-            "steps": out_sh,
-            "rmse": out_sh,
-            "base_tf": out_sh,
-            "base_ok": out_sh,
-            "base_source": out_sh,
-            "markers_found": out_sh,
-            "num_blobs": out_sh,
-            "body_found": out_sh,
-            "num_components": out_sh,
-            "seg_converged": out_sh,
-            "roots_complete": out_sh,
-        },
+        def one(data, spacing, origin, apply_correction):
+            out = pipeline(
+                data,
+                spacing,
+                origin,
+                jnp.eye(4, dtype=jnp.float32),
+                jnp.asarray(False),
+                jnp.asarray(False),
+                apply_correction,
+                jnp.zeros(nj, dtype=jnp.float32),
+            )
+            out.pop("body_mask")
+            return out
+
+        batched = jax.vmap(one, in_axes=(0, None, None, None))
+        data_sh = batch_sharding(mesh, dp_axis)
+        repl = NamedSharding(mesh, P())
+        out_sh = NamedSharding(mesh, P(dp_axis))
+        return jax.jit(
+            batched,
+            in_shardings=(data_sh, repl, repl, repl),
+            out_shardings={k: out_sh for k in _OUT_KEYS},
+        )
+
+    from mamri_tpu.parallel.shard_seg import segment_volume_sharded
+
+    def seg_fn(data, spacing, origin, params):
+        return segment_volume_sharded(data, spacing, origin, params, axis_name=sp_axis)
+
+    pipeline = engine._pipeline_fn(seg_fn=seg_fn)
+
+    def local_fn(data, spacing, origin, apply_correction):
+        # data: (B/dp, nx/sp, ny, nz) local block; collectives ride sp only
+        def one(d):
+            out = pipeline(
+                d,
+                spacing,
+                origin,
+                jnp.eye(4, dtype=jnp.float32),
+                jnp.asarray(False),
+                jnp.asarray(False),
+                apply_correction,
+                jnp.zeros(nj, dtype=jnp.float32),
+            )
+            out.pop("body_mask")  # stays device-side; per-volume results only
+            return out
+
+        return jax.vmap(one)(data)
+
+    shmapped = jax.shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(dp_axis, sp_axis), P(), P(), P()),
+        out_specs={k: P(dp_axis) for k in _OUT_KEYS},
+        check_vma=False,  # outputs are replicated over sp by construction
     )
+    return jax.jit(shmapped)

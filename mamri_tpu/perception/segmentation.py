@@ -413,6 +413,21 @@ def segment_volume(data, spacing, origin, params: SegmentationParams = Segmentat
             labels, closed, params.max_roots, pallas_on, exhaustive=params.exhaustive_roots
         )
 
+    return finalize_segmentation(
+        labels, roots, root_valid, counts, sums_ijk, num_components, complete,
+        converged, spacing, origin, params,
+    )
+
+
+def finalize_segmentation(
+    labels, roots, root_valid, counts, sums_ijk, num_components, complete,
+    converged, spacing, origin, params: SegmentationParams,
+) -> SegmentationResult:
+    """Blob-band selection + body extraction from per-component stats.
+
+    Shared tail of `segment_volume` and the shard_map'd sharded path
+    (parallel/shard_seg.py): stats arrays are replicated/global; `labels`
+    may be the local shard (body_mask then stays sharded)."""
     voxvol = spacing[0] * spacing[1] * spacing[2]
     vols = counts * voxvol
     in_band = jnp.logical_and(
