@@ -137,8 +137,8 @@ def cmd_plan(args) -> int:
 
 
 def cmd_export(args) -> int:
-    if not args.out_dir and not args.scene:
-        print(json.dumps({"success": False, "message": "give --out-dir (posed STLs) and/or --scene (assembled OBJ)"}))
+    if not args.out_dir and not args.scene and not args.render:
+        print(json.dumps({"success": False, "message": "give --out-dir (posed STLs), --scene (assembled OBJ) and/or --render (PNG snapshot)"}))
         return 2
     eng = _engine(args)
     vol = _load(args.volume)
@@ -156,7 +156,7 @@ def cmd_export(args) -> int:
             print(json.dumps({"success": False, "message": f"no mesh files found under {args.mesh_dir}"}))
             return 1
         out["meshes"] = paths
-    if args.scene:
+    if args.scene or args.render:
         target = np.asarray(args.target, dtype=np.float32) if args.target else None
         entry = np.asarray(args.entry, dtype=np.float32) if args.entry else None
         if target is not None and entry is None:
@@ -166,11 +166,20 @@ def cmd_export(args) -> int:
         if target is not None and entry is not None:
             plan = eng.plan_heuristic_path(target, entry, args.safety, start_pose_steps=pose.steps)
             out["trajectory_planned"] = bool(plan.success)
-        counts = eng.export_scene(
-            args.scene, mesh_dir=args.mesh_dir, target_ras=target, entry_ras=entry
-        )
-        out["scene"] = args.scene
-        out["scene_objects"] = counts
+        if args.scene:
+            counts = eng.export_scene(
+                args.scene, mesh_dir=args.mesh_dir, target_ras=target, entry_ras=entry
+            )
+            out["scene"] = args.scene
+            out["scene_objects"] = counts
+        if args.render:
+            az, el = args.view
+            size = eng.render_scene(
+                args.render, mesh_dir=args.mesh_dir, target_ras=target,
+                entry_ras=entry, azim_deg=az, elev_deg=el,
+            )
+            out["render"] = args.render
+            out["render_size"] = list(size)
     print(json.dumps(out, indent=2))
     return 0
 
@@ -207,6 +216,8 @@ def main(argv=None) -> int:
     px.add_argument("--mesh-dir", default=None, help="directory with the robot STL meshes (optional for --scene: capsules stand in)")
     px.add_argument("--out-dir", default=None, help="write per-link FK-posed STLs here")
     px.add_argument("--scene", default=None, help="write one assembled OBJ scene (robot + needle + body + trajectory)")
+    px.add_argument("--render", default=None, help="write a PNG snapshot of the scene (software rasterizer)")
+    px.add_argument("--view", nargs=2, type=float, default=(35.0, 22.0), metavar=("AZIM", "ELEV"))
     px.add_argument("--target", nargs=3, type=float, default=None, metavar=("X", "Y", "Z"), help="plan + include a trajectory in the scene")
     px.add_argument("--entry", nargs=3, type=float, default=None, metavar=("X", "Y", "Z"))
     px.add_argument("--safety", type=float, default=5.0)

@@ -433,9 +433,8 @@ class MamriEngine:
             written.append(dst)
         return written
 
-    def export_scene(
+    def _scene_objects(
         self,
-        path: str,
         mesh_dir: Optional[str] = None,
         angles_rad=None,
         include_body: bool = True,
@@ -444,21 +443,18 @@ class MamriEngine:
         entry_ras=None,
         needle_length_mm: float = 100.0,
         needle_radius_mm: float = 1.5,
-    ) -> dict:
-        """Write the assembled 3-D scene as one OBJ file — the headless
-        counterpart of the reference's Slicer 3-D view: FK-posed robot links
-        (STL when `mesh_dir` is given, procedural capsules otherwise), a
-        generated needle cylinder, the segmented body surface, the planned
-        path as the needle-tip polyline, and the entry->target insertion
-        segment (`_build_robot_model` Mamri/Mamri.py:1449-1471, trajectory
-        markup :1924-1935). Returns {object name: triangle/segment count}.
-        """
+    ):
+        """Assemble the 3-D scene as (named triangle soups, named polylines):
+        FK-posed robot links (STL when `mesh_dir` is given, procedural
+        capsules otherwise), a generated needle cylinder, the segmented body
+        surface, the planned path as the needle-tip polyline, and the
+        entry->target insertion segment (`_build_robot_model`
+        Mamri/Mamri.py:1449-1471, trajectory markup :1924-1935)."""
         from mamri_tpu.planning.geometry import DEFAULT_PART_RADIUS_MM, MIN_PART_LENGTH_MM
         from mamri_tpu.utils.scene import (
             capsule_mesh,
             cylinder_mesh,
             voxel_surface_mesh,
-            write_obj,
         )
         from mamri_tpu.utils.stl import load_stl, transform_triangles
 
@@ -509,11 +505,49 @@ class MamriEngine:
             polylines.append(
                 ("InsertionSegment", np.stack([np.asarray(entry_ras), np.asarray(target_ras)]).astype(np.float32))
             )
+        return objects, polylines
 
+    def export_scene(self, path: str, **scene_kw) -> dict:
+        """Write the assembled 3-D scene (see `_scene_objects`) as one OBJ
+        file. Returns {object name: triangle/segment count}."""
+        from mamri_tpu.utils.scene import write_obj
+
+        objects, polylines = self._scene_objects(**scene_kw)
         write_obj(path, objects, polylines)
         summary = {name: int(len(t)) for name, t in objects}
         summary.update({name: int(len(p)) for name, p in polylines})
         return summary
+
+    def render_scene(
+        self,
+        path: str,
+        mesh_dir: Optional[str] = None,
+        angles_rad=None,
+        width: int = 960,
+        height: int = 720,
+        azim_deg: float = 35.0,
+        elev_deg: float = 22.0,
+        target_ras=None,
+        entry_ras=None,
+    ) -> Tuple[int, int]:
+        """Render the assembled scene to a PNG via the built-in software
+        rasterizer (utils/render.py) — the headless counterpart of looking at
+        the reference's Slicer 3-D viewport. Same scene contents as
+        `export_scene`. Returns the (width, height) written."""
+        from mamri_tpu.utils.render import rasterize, write_png
+
+        objects, polylines = self._scene_objects(
+            mesh_dir=mesh_dir,
+            angles_rad=angles_rad,
+            target_ras=target_ras,
+            entry_ras=entry_ras,
+        )
+        img = rasterize(
+            objects, polylines, width=width, height=height,
+            azim_deg=azim_deg, elev_deg=elev_deg,
+        )
+        write_png(path, img)
+        return (width, height)
 
     def target_in_base_frame(self, target_ras) -> np.ndarray:
         """Re-express a world RAS point in the robot base frame — the widget's

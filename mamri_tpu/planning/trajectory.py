@@ -27,6 +27,17 @@ from mamri_tpu.planning.geometry import ArmGeometry
 
 COLLISION_PENALTY_WEIGHT = 20.0  # mm of penetration -> residual units
 
+# Success gate on the winner's tip position error. The reference accepts any
+# scipy-TRF run whose `result.success` is set (Mamri/Mamri.py:931) — but TRF
+# reports success at ANY stationary point, so an out-of-workspace target can
+# "succeed" tens of mm away from the goal. The fixed-iteration LM here has no
+# convergence status, so the gate is explicit instead: reachable targets
+# converge sub-mm (see tests/test_planning.py), while out-of-reach local
+# minima sit tens of mm off; any cut in [1, 50] separates the two regimes.
+# 10 mm = 2x the pipeline's DISTANCE_TOLERANCE (5 mm, Mamri.py:813) keeps a
+# wide margin on both sides. Override via `success_threshold_mm`.
+SUCCESS_POSITION_ERROR_MM = 10.0
+
 
 class TrajectoryIKResult(NamedTuple):
     angles: jnp.ndarray  # (J,)
@@ -69,6 +80,7 @@ def solve_trajectory_ik(
     num_iters: int = 100,
     num_random_restarts: int = 6,
     restart_seed: int = 0,
+    success_threshold_mm: float = SUCCESS_POSITION_ERROR_MM,
 ) -> TrajectoryIKResult:
     nj = model.num_joints
     dtype = model.limits_rad.dtype
@@ -115,6 +127,8 @@ def solve_trajectory_ik(
         position_error_mm=pos_errs[best],
         orientation_error=orient_errs[best],
         collides=colls[best],
-        success=jnp.logical_and(jnp.logical_not(colls[best]), pos_errs[best] < 10.0),
+        success=jnp.logical_and(
+            jnp.logical_not(colls[best]), pos_errs[best] < success_threshold_mm
+        ),
         target_tf=target_tf,
     )

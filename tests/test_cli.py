@@ -68,3 +68,12 @@ def test_cli_export_no_meshes(scan_path, tmp_path, capsys):
     # partial scene: pose fails before export
     assert rc == 1
     assert not out["success"]
+
+
+def test_cli_export_requires_an_output(scan_path, capsys):
+    """`export` with no --out-dir/--scene/--render is rejected before any
+    compute happens."""
+    rc = main(["export", scan_path])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 2 and not out["success"]
+    assert "--scene" in out["message"] and "--render" in out["message"]

@@ -365,3 +365,27 @@ def test_global_match_mode_end_to_end():
 def test_match_mode_validation():
     with pytest.raises(ValueError):
         MamriEngine(match_mode="hungarian")
+
+
+def test_render_scene_png(engine, estimated, tmp_path):
+    from mamri_tpu.utils.render import read_png_size
+
+    result, base = estimated
+    p = str(tmp_path / "scene.png")
+    w, h = engine.render_scene(p, width=320, height=240)
+    assert read_png_size(p) == (320, 240) == (w, h)
+    # the scene must actually cover a meaningful part of the frame
+    import struct as _s, zlib as _z
+
+    with open(p, "rb") as f:
+        data = f.read()
+    pos, idat = 8, b""
+    while pos < len(data):
+        ln, tag = _s.unpack(">I4s", data[pos : pos + 8])
+        if tag == b"IDAT":
+            idat += data[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raw = _z.decompress(idat)
+    img = np.frombuffer(raw, np.uint8).reshape(240, 320 * 3 + 1)[:, 1:].reshape(240, 320, 3)
+    nonbg = (img != (252, 252, 252)).any(axis=2).mean()
+    assert 0.05 < nonbg < 0.95, nonbg
