@@ -6,7 +6,7 @@ O(100 ms) on CPU and segmentation O(seconds) in SimpleITK); vs_baseline is
 measured against the 64 vol/s target.
 
 HONEST SETTINGS: the engine's defaults, exactly what `estimate_pose` runs —
-4 CCL sweeps WITH the in-kernel convergence certificate, 128 candidate roots
+3 CCL sweeps WITH the in-kernel convergence certificate, 128 candidate roots
 WITH the completeness certificate, analytic-seeded 24-iteration IK. The run
 asserts both certificates held (no silent reduced-fidelity computation) and
 that the recovered joint angles match the scene's ground truth sub-degree.
@@ -167,7 +167,7 @@ def main():
                 "pipeline_success": pipeline_success,
                 "certified": {"ccl_converged": converged, "roots_complete": complete},
                 "max_angle_err_deg": round(angle_err_deg, 4),
-                "settings": "engine defaults (certified): 4 sweeps, 128 roots, IK 24 iters analytic-seeded",
+                "settings": "engine defaults (certified): 3 sweeps, 128 roots, IK 24 iters analytic-seeded, i16 run-lengths, bf16 stats",
                 "device": str(jax.devices()[0]),
             }
         )

@@ -67,14 +67,16 @@ class MamriEngine:
             )
         self.model: RobotModel = load_robot_model(config_path)
         self.geometry: ArmGeometry = build_arm_geometry(self.model, mesh_dir)
-        # default: the fast certified settings — 4 CCL sweeps with an in-kernel
+        # default: the fast certified settings — 3 CCL sweeps with an in-kernel
         # convergence certificate and 128 candidate roots with a completeness
         # certificate; estimate_pose escalates automatically when either
-        # certificate fails, so results match the conservative settings
+        # certificate fails, so results match the conservative settings.
+        # (Anatomical scenes settle in 2 sweeps; the 3rd certifies. A scene
+        # needing more reruns at 6 via the escalation path.)
         self.seg_params = (
             seg_params
             if seg_params is not None
-            else SegmentationParams(max_sweeps=4, max_roots=128)
+            else SegmentationParams(max_sweeps=3, max_roots=128)
         )
         self.tracer = tracer or Tracer(enabled=False)
         self.ik_iters = ik_iters

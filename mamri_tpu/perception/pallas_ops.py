@@ -323,7 +323,9 @@ def ccl_sweep_pallas_3d(lab, reset_i32, interpret: bool = False):
 
 
 def _dist_kernel(reset_ref, *out_refs, axes):
-    """last-reset / next-reset doubling scans -> run-length distances."""
+    """last-reset / next-reset doubling scans -> run-length distances.
+    Scan arithmetic stays int32; the write narrows to the output ref's dtype
+    (int16 by default — run lengths are bounded by the axis extent)."""
     r = reset_ref[...]
     refs = list(out_refs)
     for axis in axes:
@@ -336,22 +338,29 @@ def _dist_kernel(reset_ref, *out_refs, axes):
             rolled = jnp.where(idx < d, -1, pltpu.roll(c, d, axis=axis))
             c = jnp.maximum(c, rolled)
             d *= 2
-        df_ref[...] = idx - c
+        df_ref[...] = (idx - c).astype(df_ref.dtype)
         c2 = jnp.where(r == 1, idx, n)  # index of next reset at-or-after i
         d = 1
         while d < n:
             rolled = jnp.where(idx >= n - d, n, pltpu.roll(c2, n - d, axis=axis))
             c2 = jnp.minimum(c2, rolled)
             d *= 2
-        db_ref[...] = c2 - idx
+        db_ref[...] = (c2 - idx).astype(db_ref.dtype)
 
 
-def compute_reset_distances(reset_i32, interpret: bool = False):
+def compute_reset_distances(reset_i32, interpret: bool = False, dtype=None):
     """(nx, ny, nz) int32 0/1 -> 6 run-length arrays (dfx, dbx, dfy, dby,
-    dfz, dbz). Dims must be multiples of (8, 8, 128)."""
+    dfz, dbz). Dims must be multiples of (8, 8, 128).
+
+    Distances are bounded by the axis extent + 1, so int16 (the default for
+    volumes under 32k per side) is exact and HALVES the sweep kernels' HBM
+    read traffic — the distance arrays are 6 of the 8 full-volume streams
+    each sweep reads."""
     nx, ny, nz = reset_i32.shape
+    if dtype is None:
+        dtype = jnp.int16 if max(nx, ny, nz) < 32767 else jnp.int32
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-    shp = jax.ShapeDtypeStruct(reset_i32.shape, jnp.int32)
+    shp = jax.ShapeDtypeStruct(reset_i32.shape, dtype)
 
     yz = functools.partial(_dist_kernel, axes=(1, 2))
     blk_yz = pl.BlockSpec((8, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
@@ -381,14 +390,16 @@ def compute_reset_distances(reset_i32, interpret: bool = False):
 
 def _sweep_dist_kernel(lab_ref, *refs, axes, first_block):
     """One CCL sweep over `axes` using precomputed run lengths; accumulates a
-    global any-changed flag across grid steps."""
+    global any-changed flag across grid steps. Distance inputs may be int16
+    (halved HBM traffic); they widen to int32 in VMEM because Mosaic's
+    comparison ops on this target are 32-bit only."""
     in_refs = list(refs[:-2])
     out_ref, chg_ref = refs[-2], refs[-1]
     lab = lab_ref[...]
     orig = lab
     for axis in axes:
-        df = in_refs.pop(0)[...]
-        db = in_refs.pop(0)[...]
+        df = in_refs.pop(0)[...].astype(jnp.int32)
+        db = in_refs.pop(0)[...].astype(jnp.int32)
         n = lab.shape[axis]
         v = lab
         d = 1
@@ -571,10 +582,16 @@ def component_stats_matmul(flat_labels, roots, nx: int, ny: int, block: int = 81
     )(roots.reshape(r, 1), lab2d)
 
 
-def _stats_kernel_xyz(roots_ref, lab_ref, out_ref, *, nx, ny, nz, block):
+def _stats_kernel_xyz(roots_ref, lab_ref, out_ref, *, nx, ny, nz, block, compute_dtype):
     """Like _stats_kernel but for labels flattened in their ORIGINAL (x, y, z)
     C-order — no transpose pass; (i, j, k) and the raster linear index are
-    decoded from the flat position."""
+    decoded from the flat position.
+
+    `compute_dtype=bfloat16` is EXACT for volumes with every dim <= 256: the
+    one-hot is 0/1 and the coordinate features are integers <= 256, all
+    exactly representable in bf16's 8-bit mantissa; accumulation stays f32
+    (`preferred_element_type`). It halves the (R, block) one-hot's VMEM
+    footprint and feeds the MXU at its native bf16 rate."""
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -587,13 +604,13 @@ def _stats_kernel_xyz(roots_ref, lab_ref, out_ref, *, nx, ny, nz, block):
     rem = f - gi * (ny * nz)
     gj = rem // nz
     gk = rem - gj * nz
-    eq = (lab == roots_ref[:, :]).astype(jnp.float32)  # (R, block)
+    eq = (lab == roots_ref[:, :]).astype(compute_dtype)  # (R, block)
     feats = jnp.concatenate(
         [
-            jnp.ones((1, block), jnp.float32),
-            gi.astype(jnp.float32),
-            gj.astype(jnp.float32),
-            gk.astype(jnp.float32),
+            jnp.ones((1, block), compute_dtype),
+            gi.astype(compute_dtype),
+            gj.astype(compute_dtype),
+            gk.astype(compute_dtype),
         ],
         axis=0,
     )
@@ -606,18 +623,31 @@ def _stats_kernel_xyz(roots_ref, lab_ref, out_ref, *, nx, ny, nz, block):
 
 
 def component_stats_matmul_xyz(
-    flat_labels, roots, nx: int, ny: int, nz: int, block: int = 0, interpret: bool = False
+    flat_labels,
+    roots,
+    nx: int,
+    ny: int,
+    nz: int,
+    block: int = 0,
+    interpret: bool = False,
+    compute_dtype=None,
 ):
     """(R, 4) [count, sum_i, sum_j, sum_k] per root, from labels flattened in
     original (x, y, z) C-order (len nx*ny*nz, possibly padded with sentinel).
 
     Skips the (z, y, x) transpose pass of `component_stats_matmul`. Block size
     auto-scales so the (R, block) one-hot stays within ~32 MB of VMEM.
+    `compute_dtype=None` auto-selects bfloat16 when it is exact (all dims
+    <= 256 and count <= 2^24 — bf16 inputs, f32 accumulation; see
+    _stats_kernel_xyz) and float32 otherwise.
     """
     n = flat_labels.shape[0]
     r = roots.shape[0]
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if max(nx, ny, nz) <= 256 else jnp.float32
+    esize = jnp.dtype(compute_dtype).itemsize
     if block <= 0:
-        block = max(8192, min(131072, ((32 * 1024 * 1024 // (4 * max(r, 1))) // 8192) * 8192))
+        block = max(8192, min(262144, ((32 * 1024 * 1024 // (esize * max(r, 1))) // 8192) * 8192))
     npad = -(-n // block) * block
     if npad != n:
         flat_labels = jnp.pad(flat_labels, (0, npad - n), constant_values=_BIG)
@@ -625,7 +655,9 @@ def component_stats_matmul_xyz(
     bc = block // br
     lab2d = flat_labels.reshape(npad // bc, bc)
     grid = (npad // block,)
-    kernel = functools.partial(_stats_kernel_xyz, nx=nx, ny=ny, nz=nz, block=block)
+    kernel = functools.partial(
+        _stats_kernel_xyz, nx=nx, ny=ny, nz=nz, block=block, compute_dtype=compute_dtype
+    )
     return pl.pallas_call(
         kernel,
         grid=grid,
