@@ -166,9 +166,11 @@ def cmd_export(args) -> int:
         if target is not None and entry is not None:
             plan = eng.plan_heuristic_path(target, entry, args.safety, start_pose_steps=pose.steps)
             out["trajectory_planned"] = bool(plan.success)
+        body = "smooth" if args.smooth_body else "voxel"
         if args.scene:
             counts = eng.export_scene(
-                args.scene, mesh_dir=args.mesh_dir, target_ras=target, entry_ras=entry
+                args.scene, mesh_dir=args.mesh_dir, target_ras=target,
+                entry_ras=entry, body_surface=body,
             )
             out["scene"] = args.scene
             out["scene_objects"] = counts
@@ -176,7 +178,7 @@ def cmd_export(args) -> int:
             az, el = args.view
             size = eng.render_scene(
                 args.render, mesh_dir=args.mesh_dir, target_ras=target,
-                entry_ras=entry, azim_deg=az, elev_deg=el,
+                entry_ras=entry, azim_deg=az, elev_deg=el, body_surface=body,
             )
             out["render"] = args.render
             out["render_size"] = list(size)
@@ -215,9 +217,10 @@ def main(argv=None) -> int:
     px.add_argument("volume", help="scan to estimate the pose from")
     px.add_argument("--mesh-dir", default=None, help="directory with the robot STL meshes (optional for --scene: capsules stand in)")
     px.add_argument("--out-dir", default=None, help="write per-link FK-posed STLs here")
-    px.add_argument("--scene", default=None, help="write one assembled OBJ scene (robot + needle + body + trajectory)")
+    px.add_argument("--scene", default=None, help="write one assembled scene (robot + needle + body + trajectory); OBJ, or binary glTF if the path ends in .glb")
     px.add_argument("--render", default=None, help="write a PNG snapshot of the scene (software rasterizer)")
     px.add_argument("--view", nargs=2, type=float, default=(35.0, 22.0), metavar=("AZIM", "ELEV"))
+    px.add_argument("--smooth-body", action="store_true", help="marching-tetrahedra body surface instead of exact voxel faces")
     px.add_argument("--target", nargs=3, type=float, default=None, metavar=("X", "Y", "Z"), help="plan + include a trajectory in the scene")
     px.add_argument("--entry", nargs=3, type=float, default=None, metavar=("X", "Y", "Z"))
     px.add_argument("--safety", type=float, default=5.0)

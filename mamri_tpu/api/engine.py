@@ -445,17 +445,23 @@ class MamriEngine:
         entry_ras=None,
         needle_length_mm: float = 100.0,
         needle_radius_mm: float = 1.5,
+        body_surface: str = "voxel",
     ):
         """Assemble the 3-D scene as (named triangle soups, named polylines):
         FK-posed robot links (STL when `mesh_dir` is given, procedural
         capsules otherwise), a generated needle cylinder, the segmented body
         surface, the planned path as the needle-tip polyline, and the
         entry->target insertion segment (`_build_robot_model`
-        Mamri/Mamri.py:1449-1471, trajectory markup :1924-1935)."""
+        Mamri/Mamri.py:1449-1471, trajectory markup :1924-1935).
+
+        `body_surface`: "voxel" = exact exposed-face geometry (default);
+        "smooth" = marching-tetrahedra mesh, visually closer to the
+        reference's closed-surface representation."""
         from mamri_tpu.planning.geometry import DEFAULT_PART_RADIUS_MM, MIN_PART_LENGTH_MM
         from mamri_tpu.utils.scene import (
             capsule_mesh,
             cylinder_mesh,
+            marching_tetrahedra_mesh,
             voxel_surface_mesh,
         )
         from mamri_tpu.utils.stl import load_stl, transform_triangles
@@ -485,8 +491,9 @@ class MamriEngine:
 
         if include_body and self.last_segmentation is not None and bool(self.last_segmentation["body_found"]):
             spacing, origin = self.last_volume_geom
+            surface_fn = marching_tetrahedra_mesh if body_surface == "smooth" else voxel_surface_mesh
             objects.append(
-                ("Body", voxel_surface_mesh(self.last_segmentation["body_mask"], spacing, origin))
+                ("Body", surface_fn(self.last_segmentation["body_mask"], spacing, origin))
             )
 
         polylines = []
@@ -510,12 +517,15 @@ class MamriEngine:
         return objects, polylines
 
     def export_scene(self, path: str, **scene_kw) -> dict:
-        """Write the assembled 3-D scene (see `_scene_objects`) as one OBJ
-        file. Returns {object name: triangle/segment count}."""
+        """Write the assembled 3-D scene (see `_scene_objects`) as one file —
+        Wavefront OBJ, or binary glTF when `path` ends in `.glb`. Returns
+        {object name: triangle/segment count}."""
+        from mamri_tpu.utils.glb import write_glb
         from mamri_tpu.utils.scene import write_obj
 
         objects, polylines = self._scene_objects(**scene_kw)
-        write_obj(path, objects, polylines)
+        writer = write_glb if path.lower().endswith(".glb") else write_obj
+        writer(path, objects, polylines)
         summary = {name: int(len(t)) for name, t in objects}
         summary.update({name: int(len(p)) for name, p in polylines})
         return summary
@@ -531,6 +541,7 @@ class MamriEngine:
         elev_deg: float = 22.0,
         target_ras=None,
         entry_ras=None,
+        body_surface: str = "voxel",
     ) -> Tuple[int, int]:
         """Render the assembled scene to a PNG via the built-in software
         rasterizer (utils/render.py) — the headless counterpart of looking at
@@ -543,6 +554,7 @@ class MamriEngine:
             angles_rad=angles_rad,
             target_ras=target_ras,
             entry_ras=entry_ras,
+            body_surface=body_surface,
         )
         img = rasterize(
             objects, polylines, width=width, height=height,

@@ -184,3 +184,116 @@ def read_obj_summary(path: str) -> dict:
             elif tag in ("v", "f", "l") and cur is not None:
                 objects[cur][tag] += 1
     return objects
+
+
+# ----------------------------------------------------------- smooth surface
+# Kuhn 6-tetrahedra decomposition of each grid cube (all tets share the main
+# diagonal c0-c7, which makes shared cube faces split identically in adjacent
+# cubes -> the extracted surface is watertight). Corner numbering: bit 0 = +i,
+# bit 1 = +j, bit 2 = +k.
+_KUHN_TETS = (
+    (0, 1, 3, 7),
+    (0, 3, 2, 7),
+    (0, 2, 6, 7),
+    (0, 6, 4, 7),
+    (0, 4, 5, 7),
+    (0, 5, 1, 7),
+)
+_CORNER_OFF = np.array(
+    [[(c >> 0) & 1, (c >> 1) & 1, (c >> 2) & 1] for c in range(8)], dtype=np.float32
+)
+
+
+def marching_tetrahedra_mesh(mask, spacing, origin, max_tris: int = 4_000_000) -> Tris:
+    """Smooth(er) closed surface of a boolean volume via marching tetrahedra,
+    in RAS mm — the table-free alternative to `voxel_surface_mesh` (45-degree
+    facets instead of axis-aligned steps; the reference's closed-surface
+    representation is likewise a smooth mesh, Mamri/Mamri.py:1330-1341).
+
+    Vertices sit at edge midpoints of inside/outside edges; both tets (and
+    cubes) adjacent to an edge agree on the midpoint, so the mesh is
+    watertight. Winding is oriented outward by construction check: each
+    case's triangle normal is flipped to point from the inside corners
+    toward the outside corners.
+    """
+    mask = np.asarray(mask, dtype=bool)
+    spacing = np.asarray(spacing, dtype=np.float32)
+    origin = np.asarray(origin, dtype=np.float32)
+    # pad so the surface closes at the volume border
+    m = np.pad(mask, 1)
+    nx, ny, nz = m.shape
+
+    # inside flags at the 8 corners of each cube: (8, cx, cy, cz)
+    corners = np.stack(
+        [
+            m[dx : nx - 1 + dx, dy : ny - 1 + dy, dz : nz - 1 + dz]
+            for dx, dy, dz in _CORNER_OFF.astype(int)
+        ]
+    )
+    base_idx = np.stack(
+        np.meshgrid(
+            np.arange(nx - 1, dtype=np.float32),
+            np.arange(ny - 1, dtype=np.float32),
+            np.arange(nz - 1, dtype=np.float32),
+            indexing="ij",
+        ),
+        axis=-1,
+    )  # (cx, cy, cz, 3) cube-base voxel index in PADDED coords
+
+    tris_out = []
+    total = 0
+    for tet in _KUHN_TETS:
+        b = [corners[c] for c in tet]  # 4 bool grids
+        code = (
+            b[0].astype(np.int8)
+            + 2 * b[1].astype(np.int8)
+            + 4 * b[2].astype(np.int8)
+            + 8 * b[3].astype(np.int8)
+        )
+        pos = [_CORNER_OFF[c] for c in tet]  # 4 corner offsets (3,)
+        for case in range(1, 15):
+            sel = np.argwhere(code == case)
+            if len(sel) == 0:
+                continue
+            inside = [t for t in range(4) if (case >> t) & 1]
+            outside = [t for t in range(4) if not (case >> t) & 1]
+            cube = base_idx[sel[:, 0], sel[:, 1], sel[:, 2]]  # (N, 3)
+
+            def edge_mid(a, bb):
+                return cube + (pos[a] + pos[bb]) / 2.0
+
+            if len(inside) == 1 or len(inside) == 3:
+                apex = inside[0] if len(inside) == 1 else outside[0]
+                others = [t for t in range(4) if t != apex]
+                v = [edge_mid(apex, o) for o in others]
+                cand = [np.stack([v[0], v[1], v[2]], axis=1)]
+            else:  # 2 inside, 2 outside -> quad on 4 edges
+                i0, i1 = inside
+                o0, o1 = outside
+                q = [edge_mid(i0, o0), edge_mid(i0, o1), edge_mid(i1, o1), edge_mid(i1, o0)]
+                cand = [
+                    np.stack([q[0], q[1], q[2]], axis=1),
+                    np.stack([q[0], q[2], q[3]], axis=1),
+                ]
+            # outward orientation: normal must point inside -> outside
+            d = np.mean([pos[o] for o in outside], axis=0) - np.mean(
+                [pos[t] for t in inside], axis=0
+            )  # constant per case
+            for t3 in cand:
+                n = np.cross(t3[:, 1] - t3[:, 0], t3[:, 2] - t3[:, 0])
+                flip = (n @ d) < 0
+                t3[flip] = t3[flip][:, ::-1]
+                tris_out.append(t3)
+                total += len(t3)
+                if total > max_tris:
+                    raise ValueError(
+                        f"marching tetrahedra exceeds {max_tris} triangles; downsample first"
+                    )
+
+    if not tris_out:
+        return np.zeros((0, 3, 3), dtype=np.float32)
+    tris_idx = np.concatenate(tris_out)  # PADDED voxel-index space
+    # padded index -> LPS mm -> RAS: voxel centers sit at origin + spacing*idx,
+    # padding shifted indices by +1
+    pts_lps = origin[None, None, :] + spacing[None, None, :] * (tris_idx - 1.0)
+    return (pts_lps * np.array([-1.0, -1.0, 1.0], dtype=np.float32)).astype(np.float32)

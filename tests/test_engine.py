@@ -351,6 +351,25 @@ def test_export_scene_obj(engine, estimated, tmp_path):
     assert abs(vol - want) / want < 1e-4
 
 
+def test_export_scene_glb(engine, estimated, tmp_path):
+    """The .glb path writes the same scene as a valid binary glTF: every
+    posed link, the needle, the body surface, and the trajectory line."""
+    from mamri_tpu.utils.glb import read_glb_summary
+
+    path = str(tmp_path / "scene.glb")
+    counts = engine.export_scene(path, body_surface="smooth")
+    summary = read_glb_summary(path)  # validates accessors against payload
+    for spec in engine.model.specs:
+        if spec.name == "Needle":
+            continue
+        assert spec.name in summary and summary[spec.name]["mode"] == 4, spec.name
+    assert summary["Needle"]["count"] > 0
+    assert summary["Body"]["count"] == 3 * counts["Body"] > 0
+    if engine.trajectory_path is not None:
+        assert summary["TrajectoryTipPath"]["mode"] == 3
+        assert summary["TrajectoryTipPath"]["count"] == len(engine.trajectory_path)
+
+
 def test_global_match_mode_end_to_end():
     """match_mode='global' recovers the same pose on the demo scene."""
     eng = MamriEngine(ik_iters=60, ik_restarts=6, match_mode="global")

@@ -127,3 +127,94 @@ def test_png_roundtrip(tmp_path):
     assert len(raw) == 20 * (30 * 3 + 1)
     rows = np.frombuffer(raw, np.uint8).reshape(20, 91)[:, 1:].reshape(20, 30, 3)
     np.testing.assert_array_equal(rows, img)
+
+
+# -------------------------------------------------------- marching tetrahedra
+def test_marching_tetrahedra_watertight_sphere():
+    from mamri_tpu.utils.scene import marching_tetrahedra_mesh
+
+    n = 40
+    idx = np.arange(n)
+    x, y, z = np.meshgrid(idx, idx, idx, indexing="ij")
+    mask = (x - 20.0) ** 2 + (y - 20.0) ** 2 + (z - 20.0) ** 2 <= 12.0**2
+    spacing = np.array([1.5, 1.0, 2.0], np.float32)
+    origin = np.array([-5.0, 3.0, -7.0], np.float32)
+    tris = marching_tetrahedra_mesh(mask, spacing, origin)
+    assert len(tris) > 0
+
+    # watertight: every edge is shared by exactly two triangles
+    v = tris.reshape(-1, 3)
+    vq = np.round(v / 0.0625).astype(np.int64)  # quantize exact midpoints
+    _, inv = np.unique(vq, axis=0, return_inverse=True)
+    f = inv.reshape(-1, 3)
+    edges = np.concatenate([f[:, [0, 1]], f[:, [1, 2]], f[:, [2, 0]]])
+    edges_undirected = np.sort(edges, axis=1)
+    _, counts = np.unique(edges_undirected, axis=0, return_counts=True)
+    assert np.all(counts == 2), np.unique(counts)
+    # and orientation-consistent: each directed edge appears exactly once
+    _, dcounts = np.unique(edges, axis=0, return_counts=True)
+    assert np.all(dcounts == 1), np.unique(dcounts)
+
+    # outward winding + volume close to the voxel volume
+    vol = float(np.einsum("ij,ij->", tris[:, 0], np.cross(tris[:, 1], tris[:, 2])) / 6.0)
+    want = mask.sum() * float(np.prod(spacing))
+    assert vol > 0
+    assert abs(vol - want) / want < 0.05, (vol, want)
+
+
+def test_marching_tetrahedra_empty_and_full():
+    from mamri_tpu.utils.scene import marching_tetrahedra_mesh
+
+    sp = np.ones(3, np.float32)
+    og = np.zeros(3, np.float32)
+    assert marching_tetrahedra_mesh(np.zeros((8, 8, 8), bool), sp, og).shape == (0, 3, 3)
+    # a fully-set volume still closes at the (padded) border
+    tris = marching_tetrahedra_mesh(np.ones((6, 6, 6), bool), sp, og)
+    vol = float(np.einsum("ij,ij->", tris[:, 0], np.cross(tris[:, 1], tris[:, 2])) / 6.0)
+    assert abs(vol - 216.0) / 216.0 < 0.15
+
+
+# ------------------------------------------------------------------ GLB
+def test_write_glb_roundtrip(tmp_path):
+    from mamri_tpu.utils.glb import read_glb, read_glb_summary, write_glb
+
+    tris = capsule_mesh(20.0, 5.0, n_seg=8, n_rings=2)
+    line = np.array([[0, 0, 0], [1, 1, 1], [2, 2, 2]], np.float32)
+    path = str(tmp_path / "scene.glb")
+    write_glb(
+        path,
+        [("PartA", tris), ("Empty", np.zeros((0, 3, 3), np.float32)), ("Body", tris * 2)],
+        [("Trajectory", line), ("Short", line[:1])],
+    )
+    summary = read_glb_summary(path)  # validates accessor min/max vs payload
+    assert summary["PartA"] == {"mode": 4, "count": 3 * len(tris)}
+    assert summary["Body"] == {"mode": 4, "count": 3 * len(tris)}
+    assert summary["Trajectory"] == {"mode": 3, "count": 3}
+    assert "Empty" not in summary and "Short" not in summary
+
+    gltf, bin_blob = read_glb(path)
+    assert gltf["asset"]["version"] == "2.0"
+    assert len(gltf["scenes"][0]["nodes"]) == 3
+    # 4-byte alignment contract of the container
+    assert len(bin_blob) % 4 == 0
+    # materials: body translucent, parts opaque, colors distinct
+    mats = {m["name"]: m for m in gltf["materials"]}
+    assert mats["Body_mat"]["alphaMode"] == "BLEND"
+    assert "alphaMode" not in mats["PartA_mat"]
+    # exact payload round-trip for the triangle soup
+    acc = gltf["accessors"][gltf["meshes"][0]["primitives"][0]["attributes"]["POSITION"]]
+    view = gltf["bufferViews"][acc["bufferView"]]
+    pts = np.frombuffer(
+        bin_blob[view["byteOffset"] : view["byteOffset"] + view["byteLength"]], "<f4"
+    ).reshape(-1, 3)
+    np.testing.assert_array_equal(pts, tris.reshape(-1, 3))
+
+
+def test_write_glb_empty_scene(tmp_path):
+    from mamri_tpu.utils.glb import read_glb, write_glb
+
+    path = str(tmp_path / "empty.glb")
+    write_glb(path, [], [])
+    gltf, bin_blob = read_glb(path)
+    assert bin_blob == b""
+    assert "nodes" not in gltf and "buffers" not in gltf
