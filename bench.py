@@ -167,7 +167,7 @@ def main():
                 "pipeline_success": pipeline_success,
                 "certified": {"ccl_converged": converged, "roots_complete": complete},
                 "max_angle_err_deg": round(angle_err_deg, 4),
-                "settings": "engine defaults (certified): 3 sweeps, 128 roots, IK 24 iters analytic-seeded, i16 run-lengths, bf16 stats",
+                "settings": "engine defaults (certified): 3 sweeps, 128 roots, run_k=8 run-length stats, IK 24 iters analytic-seeded",
                 "device": str(jax.devices()[0]),
             }
         )

@@ -209,11 +209,12 @@ class MamriEngine:
                 return None
             new = new._replace(max_sweeps=min(params.max_sweeps * 2, 256))
         if not complete:
-            if params.max_roots >= 4096 and params.cand_k >= 256:
+            if params.max_roots >= 4096 and params.cand_k >= 256 and params.run_k >= 128:
                 return None
             new = new._replace(
                 max_roots=min(max(params.max_roots * 8, 1024), 4096),
                 cand_k=min(max(params.cand_k * 8, 64), 256),
+                run_k=min(max(params.run_k * 4, 64), 128),
                 exhaustive_roots=True,  # jnp path: exact flat top_k
             )
         return None if new == params else new

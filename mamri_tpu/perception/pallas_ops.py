@@ -522,6 +522,176 @@ def extract_root_candidates(labels, nx: int, ny: int, k: int = 8, interpret: boo
     return cands, counts, jnp.sum(counts)
 
 
+# ------------------------------------------------------------- z-run extraction
+def _runs_kernel(lab_ref, dfz_ref, dbz_ref, lab_out, z0_out, len_out, mx_ref, *, k):
+    """Per (8, ny, nz) slab: the first `k` maximal z-runs of every (x, y)
+    line, as (label, z_start, length) triples, plus the global max
+    runs-per-line (completeness certificate: exact iff max <= k).
+
+    A z-run start is exactly `dfz == 1` (foreground whose -z neighbour is
+    background) and its length is `dbz` at the start voxel (distance to the
+    next background). Every voxel of a converged component's z-run carries
+    the same label, so the start voxel's label is the run's label."""
+    lab = lab_ref[...]
+    df = dfz_ref[...].astype(jnp.int32)
+    db = dbz_ref[...].astype(jnp.int32)
+    nz = lab.shape[2]
+    idx = lax.broadcasted_iota(jnp.int32, lab.shape, 2)
+    start = (df == 1).astype(jnp.int32)
+
+    # inclusive prefix count of starts along z -> 1-based run rank at starts
+    rank = start
+    d = 1
+    while d < nz:
+        rank = rank + jnp.where(idx < d, 0, pltpu.roll(rank, d, axis=2))
+        d *= 2
+
+    labs, z0s, lens = [], [], []
+    for r in range(k):
+        sel = jnp.logical_and(start == 1, rank == r + 1)
+        cnt = jnp.sum(sel.astype(jnp.int32), axis=2)  # 0/1 per line
+        labv = jnp.sum(jnp.where(sel, lab, 0), axis=2)
+        labs.append(jnp.where(cnt == 1, labv, _BIG))
+        z0s.append(jnp.sum(jnp.where(sel, idx, 0), axis=2))
+        lens.append(jnp.sum(jnp.where(sel, db, 0), axis=2))
+    # one contiguous store per output (k strided single-row stores blow up
+    # the Mosaic lowering at full-volume block sizes)
+    lab_out[...] = jnp.stack(labs, axis=1)
+    z0_out[...] = jnp.stack(z0s, axis=1)
+    len_out[...] = jnp.stack(lens, axis=1)
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _():
+        mx_ref[:, :] = jnp.zeros((1, 1), jnp.int32)
+
+    # rank is nondecreasing along z, so its slab max = max runs-per-line
+    mx_ref[:, :] = jnp.maximum(mx_ref[:, :], jnp.max(rank).reshape(1, 1))
+
+
+def extract_z_runs(labels, dfz, dbz, k: int = 16, interpret: bool = False):
+    """(run_labels, run_z0, run_len, max_runs_per_line) for a padded label
+    volume — each (nx, k, ny) int32, slot r of line (x, y) holding the r-th
+    maximal z-run (label sentinel / zeros where the line has fewer runs).
+
+    Inputs are the tile-padded label volume and the z-axis run-length
+    distances from `compute_reset_distances` (padding is background, so no
+    run starts or extends there). Exact and complete iff
+    `max_runs_per_line <= k`; callers escalate k otherwise.
+
+    Lines are independent, so the grid blocks y as well as x (8 x 128 lines
+    per step) — full-(ny, nz) blocks at 256^3 overwhelm the Mosaic
+    compiler's vector lowering. y is padded to a 128 multiple (background:
+    df=0 means no run starts there), because the (8, k, by) output block
+    needs a 128-divisible lane dimension; the padded slots stay empty and
+    contribute nothing downstream."""
+    nx, ny, nz = labels.shape
+    pad_y = (-ny) % 128
+    if pad_y:
+        cfg = ((0, 0), (0, pad_y), (0, 0))
+        labels = jnp.pad(labels, cfg, constant_values=_BIG)
+        dfz = jnp.pad(dfz, cfg, constant_values=jnp.zeros((), dfz.dtype))
+        dbz = jnp.pad(dbz, cfg, constant_values=jnp.zeros((), dbz.dtype))
+        ny = ny + pad_y
+    by = 128
+    kernel = functools.partial(_runs_kernel, k=k)
+    blk_in = pl.BlockSpec((8, by, nz), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
+    blk_out = pl.BlockSpec((8, k, by), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
+    mx_blk = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    shp = jax.ShapeDtypeStruct((nx, k, ny), jnp.int32)
+    lab_r, z0_r, len_r, mx = pl.pallas_call(
+        kernel,
+        grid=(nx // 8, ny // by),
+        in_specs=[blk_in, blk_in, blk_in],
+        out_specs=(blk_out, blk_out, blk_out, mx_blk),
+        out_shape=(shp, shp, shp, jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(labels, dfz, dbz)
+    return lab_r, z0_r, len_r, mx[0, 0]
+
+
+def _run_stats_kernel(roots_ref, lab_ref, len_ref, z0_ref, out_ref, *, kny: int, ny: int, block: int):
+    """Per-component stats from runs: one (R, block) compare + one MXU
+    contraction per grid step, with run features computed analytically
+    (i, j constant along a z-run; sum of k over the run is an arithmetic
+    series). All-f32: every product is <= extent^2 < 2^24, hence exact."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    lab = lab_ref[:, :].reshape(1, block)
+    ln = len_ref[:, :].reshape(1, block).astype(jnp.float32)
+    z0 = z0_ref[:, :].reshape(1, block).astype(jnp.float32)
+    p = i * block + lax.broadcasted_iota(jnp.int32, (1, block), 1)
+    gi = (p // kny).astype(jnp.float32)
+    gj = (p % ny).astype(jnp.float32)
+    eq = (lab == roots_ref[:, :]).astype(jnp.float32)  # (R, block)
+    feats = jnp.concatenate(
+        [ln, gi * ln, gj * ln, z0 * ln + ln * (ln - 1.0) * 0.5], axis=0
+    )
+    # run features reach extent^2 (~65k), beyond bf16's exact-integer range —
+    # the platform's default single-pass-bf16 matmul is NOT exact here (unlike
+    # the voxel kernels, whose features are <= 256); force the f32 passes.
+    out_ref[:, :] += lax.dot_general(
+        eq,
+        feats,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+def run_stats_matmul(
+    run_labels, run_len, run_z0, roots, block: int = 0, interpret: bool = False
+):
+    """(R, 4) [count, sum_i, sum_j, sum_k] per root from the (nx, k, ny)
+    z-run tables of `extract_z_runs`.
+
+    The compare + contraction is O(R * nx*ny*k) instead of the voxel
+    kernel's O(R * nx*ny*nz) — ~nz/k times cheaper, which is what makes
+    escalated root budgets (noisy scans, thousands of components) as cheap
+    as the clean path. Empty slots carry len=0 and contribute nothing."""
+    nx, k, ny = run_labels.shape
+    r = roots.shape[0]
+    n = nx * k * ny
+    if block <= 0:
+        # size the (R, block) one-hot to ~32 MB: larger blocks mean fewer
+        # grid steps, which dominate cost at escalated R
+        block = max(1024, min(65536, ((32 * 1024 * 1024 // (4 * max(r, 1))) // 1024) * 1024))
+    npad = -(-n // block) * block
+
+    def flat(a, fill):
+        a = a.reshape(-1)
+        if npad != n:
+            a = jnp.pad(a, (0, npad - n), constant_values=fill)
+        br = 8
+        return a.reshape(npad // (block // br), block // br)
+
+    lab2d = flat(run_labels, _BIG)
+    len2d = flat(run_len, 0)
+    z02d = flat(run_z0, 0)
+    br = 8
+    bc = block // br
+    kernel = functools.partial(_run_stats_kernel, kny=k * ny, ny=ny, block=block)
+    blk = pl.BlockSpec((br, bc), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(npad // block,),
+        in_specs=[
+            pl.BlockSpec((r, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            blk,
+            blk,
+            blk,
+        ],
+        out_specs=pl.BlockSpec((r, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, 4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(roots.reshape(r, 1), lab2d, len2d, z02d)
+
+
 # --------------------------------------------------------------------------- stats
 def _stats_kernel(roots_ref, lab_ref, out_ref, *, nx: int, ny: int, block: int):
     """One (8, bc) label block flattened to a (1, block) row, compared against
@@ -541,11 +711,14 @@ def _stats_kernel(roots_ref, lab_ref, out_ref, *, nx: int, ny: int, block: int):
     gj = ((lin // nx) % ny).astype(jnp.float32)
     gk = (lin // (nx * ny)).astype(jnp.float32)
     feats = jnp.concatenate([jnp.ones((1, block), jnp.float32), gi, gj, gk], axis=0)
+    # exact under default bf16 matmul only while coordinates are <= 256;
+    # HIGHEST keeps it exact for any volume extent (negligible cost at R<=4k)
     out_ref[:, :] += lax.dot_general(
         eq,
         feats,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     )
 
 
@@ -614,11 +787,17 @@ def _stats_kernel_xyz(roots_ref, lab_ref, out_ref, *, nx, ny, nz, block, compute
         ],
         axis=0,
     )
+    # bf16 inputs: single MXU pass, exact for dims <= 256 (see docstring).
+    # f32 inputs (dims > 256): force the multi-pass f32 product — the
+    # platform default would silently round operands to bf16.
     out_ref[:, :] += lax.dot_general(
         eq,
         feats,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=(
+            lax.Precision.HIGHEST if compute_dtype == jnp.float32 else lax.Precision.DEFAULT
+        ),
     )
 
 

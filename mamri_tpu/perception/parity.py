@@ -135,6 +135,36 @@ def run_parity_checks(size: int = 128, sweeps: int = 6) -> Dict:
     report["component_stats_matmul"] = _stats_check(got_raster)
     report["component_stats_matmul_xyz"] = _stats_check(got_xyz)
 
+    # --- z-run extraction + run-length stats vs the same reference
+    reset_p_i32 = reset_p.astype(jnp.int32)
+    dists = jax.jit(po.compute_reset_distances)(reset_p_i32)
+    run_lab, run_z0, run_len, max_runs = jax.jit(
+        lambda l, a, b: po.extract_z_runs(l, a, b, k=16)
+    )(got_labels_p, dists[4], dists[5])
+    mask_np = np.asarray(mask_ref)
+    starts_np = mask_np & ~np.concatenate(
+        [np.zeros_like(mask_np[:, :, :1]), mask_np[:, :, :-1]], axis=2
+    )
+    got_run_stats = np.asarray(
+        jax.jit(lambda a, b, c, r: po.run_stats_matmul(a, b, c, r))(
+            run_lab, run_len, run_z0, roots_j
+        )
+    )
+    report["extract_z_runs"] = {
+        "max_runs_exact": int(max_runs) == int(starts_np.sum(axis=2).max()),
+        "total_length_exact": int(np.asarray(run_len).sum()) == int(mask_np.sum()),
+        "no_line_overflow": bool(int(max_runs) <= 16),
+    }
+    # compare only defined (valid-root) rows: the voxel reference accumulates
+    # background voxels into sentinel rows (masked by root_valid downstream),
+    # while the run path leaves them exactly zero (len=0 slots).
+    nvalid = len(srt)
+    run_check = _stats_check(
+        np.concatenate([got_run_stats[:nvalid], ref_stats[nvalid:]])
+    )
+    run_check["sentinel_rows_zero"] = bool(np.all(got_run_stats[nvalid:] == 0.0))
+    report["run_stats_matmul"] = run_check
+
     # --- end-to-end segment_volume: kernel path vs jnp path
     params_k = seg.SegmentationParams(max_sweeps=sweeps, use_pallas=True, cand_k=16)
     params_j = seg.SegmentationParams(max_sweeps=sweeps, use_pallas=False)

@@ -12,7 +12,11 @@ an on-device jnp/XLA implementation designed for the TPU's memory system:
     propagation, and avoids the irregular union-find of CPU CCL;
   * per-component statistics come from a candidate-root reduction (bounded
     fan-out einsum onto the MXU) instead of scatter-adds, which serialize on
-    TPU.
+    TPU. The kernel fast path reduces over the volume's z-RUN decomposition
+    (one slot per maximal foreground run, built from the same run-length
+    distance arrays the CCL sweeps use) rather than over voxels — ~nz/run_k
+    times less compare/matmul work, which also keeps escalated root budgets
+    (noisy scans with thousands of components) at clean-scan cost.
 
 Labels are the minimum linear voxel index of each component, so candidate
 ordering matches ITK's raster-scan label order (first voxel encountered).
@@ -56,6 +60,9 @@ class SegmentationParams(NamedTuple):
     cand_k: int = 8  # kernel-path root candidates per 8-voxel x-slab; the
     # completeness certificate verifies no slab overflowed, and the engine
     # escalates cand_k alongside max_roots on noisy volumes.
+    run_k: int = 8  # kernel-path z-runs per (x, y) line for run-length
+    # component stats; certified (max runs-per-line <= run_k) and escalated
+    # alongside max_roots/cand_k (clean anatomy needs 2-4).
 
 
 class SegmentationResult(NamedTuple):
@@ -227,9 +234,16 @@ def _ccl_sweeps_pallas(lab0, reset, max_sweeps: int):
     Returns (labels, converged): converged certifies the exact fixed point
     (the final sweep changed nothing, and sweeps are idempotent past
     convergence)."""
-    from mamri_tpu.perception.pallas_ops import ccl_sweep_dist, compute_reset_distances
+    from mamri_tpu.perception.pallas_ops import compute_reset_distances
 
     dists = compute_reset_distances(reset.astype(jnp.int32))
+    return _ccl_sweeps_pallas_from_dists(lab0, dists, max_sweeps)
+
+
+def _ccl_sweeps_pallas_from_dists(lab0, dists, max_sweeps: int):
+    """Sweep loop over precomputed run-length distances (shared with the
+    run-based stats path, which reuses the z distances)."""
+    from mamri_tpu.perception.pallas_ops import ccl_sweep_dist
 
     def body(lab, _):
         lab, changed = ccl_sweep_dist(lab, dists)
@@ -338,23 +352,37 @@ def _component_stats(
     return roots, root_valid, counts, sums_ijk, num_components, complete
 
 
-def _component_stats_fast(labels_padded, shape, max_roots: int, cand_k: int = 8):
-    """TPU fast path: per-slab root extraction kernel + transpose-free stats.
+def _component_stats_fast(
+    labels_padded, dists, shape, max_roots: int, cand_k: int = 8, run_k: int = 8
+):
+    """TPU fast path: per-slab root extraction kernel + run-length stats.
 
     `labels_padded` is the tile-padded label volume straight out of the sweep
-    kernels; `shape` the original (nx, ny, nz). Exact whenever `complete` is
-    True (num_components <= max_roots and every 8-voxel x-slab held <=
-    `cand_k` roots); the engine escalates to the exhaustive path otherwise.
+    kernels; `dists` the run-length distances already computed for the
+    sweeps (the z pair doubles as the run table); `shape` the original
+    (nx, ny, nz). Stats are computed over the ~nz/run_k-times-smaller z-run
+    decomposition (`run_stats_matmul`), so escalated root budgets stay
+    cheap. Exact whenever `complete` is True (num_components <= max_roots,
+    every 8-voxel x-slab held <= `cand_k` roots, and every (x, y) line held
+    <= `run_k` z-runs); the engine escalates otherwise.
     """
     from mamri_tpu.perception.pallas_ops import (
-        component_stats_matmul_xyz,
         extract_root_candidates,
+        extract_z_runs,
+        run_stats_matmul,
     )
 
     nx, ny, nz = shape
     cands, block_counts, num_components = extract_root_candidates(labels_padded, nx, ny, k=cand_k)
-    complete = jnp.logical_and(
-        num_components <= max_roots, jnp.all(block_counts <= cand_k)
+    dfz, dbz = dists[4], dists[5]
+    run_lab, run_z0, run_len, max_runs = extract_z_runs(labels_padded, dfz, dbz, k=run_k)
+    complete = functools.reduce(
+        jnp.logical_and,
+        (
+            num_components <= max_roots,
+            jnp.all(block_counts <= cand_k),
+            max_runs <= run_k,
+        ),
     )
     r_eff = min(max_roots, cands.shape[0])
     keys, _ = lax.top_k(-cands, r_eff)
@@ -364,7 +392,7 @@ def _component_stats_fast(labels_padded, shape, max_roots: int, cand_k: int = 8)
     root_valid = roots != _BIG
 
     labels = _crop3(labels_padded, shape)
-    stats = component_stats_matmul_xyz(labels.reshape(-1), roots, nx, ny, nz)
+    stats = run_stats_matmul(run_lab, run_len, run_z0, roots)
     counts = stats[:, 0]
     sums_ijk = stats[:, 1:4]
     return labels, roots, root_valid, counts, sums_ijk, num_components, complete
@@ -387,15 +415,25 @@ def segment_volume(data, spacing, origin, params: SegmentationParams = Segmentat
         # fused threshold + ball(2) closing + label init in one kernel pass
         from mamri_tpu.perception.pallas_ops import fused_threshold_close_init
 
+        from mamri_tpu.perception.pallas_ops import compute_reset_distances
+
         mask_i32, lab0 = fused_threshold_close_init(
             data, params.intensity_low, params.intensity_high
         )
         closed = mask_i32 != 0
         lab0, reset, _ = _pad_for_kernels(lab0, mask_i32 == 0)
-        labels_padded, converged = _ccl_sweeps_pallas(lab0, reset, params.max_sweeps)
+        dists = compute_reset_distances(reset.astype(jnp.int32))
+        labels_padded, converged = _ccl_sweeps_pallas_from_dists(
+            lab0, dists, params.max_sweeps
+        )
         labels, roots, root_valid, counts, sums_ijk, num_components, complete = (
             _component_stats_fast(
-                labels_padded, data.shape, params.max_roots, cand_k=params.cand_k
+                labels_padded,
+                dists,
+                data.shape,
+                params.max_roots,
+                cand_k=params.cand_k,
+                run_k=params.run_k,
             )
         )
     else:

@@ -142,3 +142,84 @@ def test_stats_xyz_kernel_parity_interpret():
     flat_raster = labels.transpose(2, 1, 0).reshape(-1)
     want = component_stats_matmul_reference(jnp.asarray(flat_raster), jnp.asarray(roots), nx, ny)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-3)
+
+
+def _run_stats_oracle(labels, roots):
+    """Per-root [count, sum_i, sum_j, sum_k] by direct numpy accumulation."""
+    out = np.zeros((len(roots), 4), np.float64)
+    nx, ny, nz = labels.shape
+    i, j, k = np.mgrid[:nx, :ny, :nz]
+    for s, r in enumerate(roots):
+        sel = labels == r
+        out[s] = [sel.sum(), i[sel].sum(), j[sel].sum(), k[sel].sum()]
+    return out
+
+
+def test_z_runs_stats_parity_interpret():
+    """Run-length stats == voxel oracle on a converged random-blob volume."""
+    from mamri_tpu.perception import segmentation as seg
+    from mamri_tpu.perception.pallas_ops import (
+        ccl_sweep_dist,
+        compute_reset_distances,
+        extract_z_runs,
+        run_stats_matmul,
+    )
+
+    rng = np.random.default_rng(7)
+    shape = (16, 16, 128)
+    x, y, z = np.mgrid[: shape[0], : shape[1], : shape[2]]
+    mask = np.zeros(shape, bool)
+    for c in [(5, 5, 20), (12, 8, 60), (10, 12, 100), (8, 3, 110), (3, 12, 90)]:
+        mask |= ((x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2) < 14
+    # plus speckles to exercise multiple runs per line
+    for _ in range(60):
+        i, j, k = rng.integers(0, shape[0]), rng.integers(0, shape[1]), rng.integers(0, shape[2])
+        mask[i, j, k] = True
+
+    lab = seg._init_labels(jnp.asarray(mask))
+    dists = compute_reset_distances(jnp.asarray((~mask).astype(np.int32)), interpret=True)
+    for _ in range(6):
+        lab, chg = ccl_sweep_dist(lab, dists, interpret=True)
+    assert int(chg) == 0  # converged: run labels are uniform
+
+    labels = np.asarray(lab)
+    flat = labels.transpose(2, 1, 0).reshape(-1)
+    lin = np.arange(flat.size)
+    true_roots = lin[(flat == lin) & (flat != 2**31 - 1)]
+    roots = np.full(64, 2**31 - 1, np.int32)
+    roots[: len(true_roots)] = np.sort(true_roots)
+
+    run_lab, run_z0, run_len, max_runs = extract_z_runs(
+        lab, dists[4], dists[5], k=8, interpret=True
+    )
+    # certificate: max runs per (x, y) line, verified against numpy
+    starts = mask & ~np.roll(mask, 1, axis=2)
+    starts[:, :, 0] = mask[:, :, 0]
+    assert int(max_runs) == int(starts.sum(axis=2).max()) <= 8
+    # total run length recovers the voxel count
+    assert int(np.asarray(run_len).sum()) == int(mask.sum())
+
+    got = run_stats_matmul(run_lab, run_len, run_z0, jnp.asarray(roots), block=2048, interpret=True)
+    want = _run_stats_oracle(labels, roots[: len(true_roots)])
+    np.testing.assert_allclose(np.asarray(got)[: len(true_roots)], want, atol=1e-3)
+    # invalid root slots: nothing matches the sentinel with len>0
+    assert np.all(np.asarray(got)[len(true_roots):, 0] == 0)
+
+
+def test_z_runs_overflow_certificate_interpret():
+    """A line with more z-runs than run_k must trip the certificate."""
+    from mamri_tpu.perception import segmentation as seg
+    from mamri_tpu.perception.pallas_ops import compute_reset_distances, extract_z_runs
+
+    shape = (8, 8, 128)
+    mask = np.zeros(shape, bool)
+    mask[2, 3, ::2] = True  # 64 single-voxel runs on one line
+    lab = seg._init_labels(jnp.asarray(mask))
+    dists = compute_reset_distances(jnp.asarray((~mask).astype(np.int32)), interpret=True)
+    run_lab, run_z0, run_len, max_runs = extract_z_runs(lab, dists[4], dists[5], k=8, interpret=True)
+    assert int(max_runs) == 64 > 8
+    # the k kept runs are still the FIRST k, exact as far as they go
+    kept = np.asarray(run_lab)[2, :, 3]
+    assert np.all(kept != 2**31 - 1)
+    np.testing.assert_array_equal(np.asarray(run_z0)[2, :, 3], np.arange(0, 16, 2))
+    np.testing.assert_array_equal(np.asarray(run_len)[2, :, 3], np.ones(8))
