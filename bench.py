@@ -153,6 +153,55 @@ def main():
         samples.append((time.perf_counter() - t0) / K)
     p50_device_ms = sorted(samples)[len(samples) // 2] * 1e3
 
+    # ---- robustness: dense-speckle noisy variant at the noisy-scan settings
+    # (the caps the engine's certificate escalation would land on, pre-set so
+    # the measurement is one compile). ~1500 single-voxel speckle components
+    # + sub-threshold gaussian noise: the ITK reference has no component cap,
+    # so neither may we — certificates must hold WITHOUT truncation.
+    from mamri_tpu.perception.segmentation import SegmentationParams
+
+    rng = np.random.default_rng(5)
+    noisy = np.array(data, copy=True)
+    n_speckle = 1500
+    idx = rng.integers(2, SIZE - 2, size=(n_speckle, 3))
+    bright = noisy > 60.0
+    for i, j, k in idx:
+        if not bright[i - 2 : i + 3, j - 2 : j + 3, k - 2 : k + 3].any():
+            noisy[i, j, k] = 100.0
+    noisy = noisy + rng.normal(0.0, 5.0, noisy.shape).astype(np.float32)
+
+    noisy_params = SegmentationParams(max_sweeps=3, max_roots=2048, cand_k=128, run_k=16)
+    pipeline_n = engine._pipeline_fn(seg_params=noisy_params)
+
+    def one_noisy(d):
+        out = pipeline_n(
+            d,
+            jnp.asarray(spacing),
+            jnp.asarray(origin),
+            jnp.eye(4, dtype=jnp.float32),
+            jnp.asarray(False),
+            jnp.asarray(False),
+            jnp.asarray(False),
+            jnp.zeros(engine.model.num_joints, dtype=jnp.float32),
+        )
+        keep = ("angles", "rmse", "success", "seg_converged", "roots_complete", "num_components")
+        return {k: out[k] for k in keep}
+
+    fbn = jax.jit(jax.vmap(one_noisy))
+    dev_noisy = jnp.asarray(np.broadcast_to(noisy, (BATCH,) + noisy.shape))
+    resn = jax.device_get(fbn(dev_noisy))  # compile + honesty checks
+    noisy_certified = bool(
+        np.asarray(resn["seg_converged"]).all() and np.asarray(resn["roots_complete"]).all()
+    )
+    noisy_ok = bool(np.asarray(resn["success"]).all())
+    noisy_err_deg = float(
+        np.degrees(np.abs(np.asarray(resn["angles"]) - true_angles[None])).max()
+    )
+    t0 = time.perf_counter()
+    outs = [fbn(dev_noisy) for _ in range(max(REPS // 2, 2))]
+    jax.device_get(outs[-1]["rmse"])
+    noisy_vols_per_s = BATCH * len(outs) / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -167,6 +216,14 @@ def main():
                 "pipeline_success": pipeline_success,
                 "certified": {"ccl_converged": converged, "roots_complete": complete},
                 "max_angle_err_deg": round(angle_err_deg, 4),
+                "noisy_scan": {
+                    "vols_per_s": round(noisy_vols_per_s, 3),
+                    "speckle_components": int(np.asarray(resn["num_components"]).max()),
+                    "certified_no_truncation": noisy_certified,
+                    "success": noisy_ok,
+                    "max_angle_err_deg": round(noisy_err_deg, 4),
+                    "settings": "max_roots=2048, cand_k=128, run_k=16 (noisy-scan escalation caps, one compile)",
+                },
                 "settings": "engine defaults (certified): 3 sweeps, 128 roots, run_k=8 run-length stats, IK 24 iters analytic-seeded",
                 "device": str(jax.devices()[0]),
             }

@@ -733,6 +733,9 @@ def component_stats_matmul(flat_labels, roots, nx: int, ny: int, block: int = 81
     """
     n = flat_labels.shape[0]
     r = roots.shape[0]
+    # keep the (R, block) one-hot within ~32 MB of VMEM at escalated R
+    # (a fixed 8192 block would need 134 MB at R=4096)
+    block = max(1024, min(block, ((32 * 1024 * 1024 // (4 * max(r, 1))) // 1024) * 1024))
     npad = -(-n // block) * block
     if npad != n:
         flat_labels = jnp.pad(flat_labels, (0, npad - n), constant_values=_BIG)
