@@ -67,16 +67,18 @@ class MamriEngine:
             )
         self.model: RobotModel = load_robot_model(config_path)
         self.geometry: ArmGeometry = build_arm_geometry(self.model, mesh_dir)
-        # default: the fast certified settings — 3 CCL sweeps with an in-kernel
-        # convergence certificate and 128 candidate roots with a completeness
-        # certificate; estimate_pose escalates automatically when either
-        # certificate fails, so results match the conservative settings.
-        # (Anatomical scenes settle in 2 sweeps; the 3rd certifies. A scene
-        # needing more reruns at 6 via the escalation path.)
+        # default: the fast certified settings — 2 CCL sweeps plus the
+        # local-consistency convergence certificate (a d=1 check pass that
+        # proves the exact fixed point at ~1/4 sweep cost, so no sweep is
+        # spent proving rather than propagating) and 128 candidate roots with
+        # a completeness certificate; estimate_pose escalates automatically
+        # when either certificate fails, so results match the conservative
+        # settings. (Anatomical scenes settle in 2 sweeps; a scene needing
+        # more reruns at 4 via the escalation path.)
         self.seg_params = (
             seg_params
             if seg_params is not None
-            else SegmentationParams(max_sweeps=3, max_roots=128)
+            else SegmentationParams(max_sweeps=2, max_roots=128)
         )
         self.tracer = tracer or Tracer(enabled=False)
         self.ik_iters = ik_iters

@@ -522,6 +522,71 @@ def extract_root_candidates(labels, nx: int, ny: int, k: int = 8, interpret: boo
     return cands, counts, jnp.sum(counts)
 
 
+def _check_kernel(lab_ref, *refs, axes, first_block):
+    """Local-consistency certificate for one or more axes: a label volume is
+    the exact CCL fixed point iff every within-run adjacent pair is equal
+    (labels are monotone non-increasing member indices, so a uniform label on
+    a component can only be its minimum). One d=1 roll + compare per axis —
+    ~1/8 of a sweep's doubling ladder."""
+    in_refs = list(refs[:-1])
+    bad_ref = refs[-1]
+    lab = lab_ref[...]
+    bad = jnp.zeros((), jnp.int32)
+    for axis in axes:
+        df = in_refs.pop(0)[...].astype(jnp.int32)
+        neighbor = pltpu.roll(lab, 1, axis=axis)
+        # df >= 2 <=> the -axis neighbor is in the same foreground run
+        bad = jnp.maximum(bad, jnp.max(((df >= 2) & (lab != neighbor)).astype(jnp.int32)))
+
+    @pl.when(first_block())
+    def _():
+        bad_ref[:, :] = jnp.zeros((1, 1), jnp.int32)
+
+    bad_ref[:, :] = jnp.maximum(bad_ref[:, :], bad.reshape(1, 1))
+
+
+def ccl_check_consistency(lab, dists, interpret: bool = False):
+    """() int32 0/1: 1 iff any within-run adjacent pair of labels differs —
+    i.e. 0 certifies `lab` is the exact CCL fixed point (see _check_kernel).
+    Dims must be multiples of (8, 8, 128) like the sweep kernels."""
+    nx, ny, nz = lab.shape
+    dfx, _, dfy, _, dfz, _ = dists
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    bad_shp = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+    bad_blk = pl.BlockSpec((1, 1), lambda *_: (0, 0), memory_space=pltpu.VMEM)
+
+    yz = functools.partial(
+        _check_kernel, axes=(1, 2), first_block=lambda: pl.program_id(0) == 0
+    )
+    blk_yz = pl.BlockSpec((8, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    bad_yz = pl.pallas_call(
+        yz,
+        grid=(nx // 8,),
+        in_specs=[blk_yz, blk_yz, blk_yz],
+        out_specs=bad_blk,
+        out_shape=bad_shp,
+        compiler_params=params,
+        interpret=interpret,
+    )(lab, dfy, dfz)
+
+    x = functools.partial(
+        _check_kernel,
+        axes=(0,),
+        first_block=lambda: jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0),
+    )
+    blk_x = pl.BlockSpec((nx, 8, 128), lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
+    bad_x = pl.pallas_call(
+        x,
+        grid=(ny // 8, nz // 128),
+        in_specs=[blk_x, blk_x],
+        out_specs=bad_blk,
+        out_shape=bad_shp,
+        compiler_params=params,
+        interpret=interpret,
+    )(lab, dfx)
+    return jnp.maximum(bad_yz[0, 0], bad_x[0, 0])
+
+
 # ------------------------------------------------------------- z-run extraction
 def _runs_kernel(lab_ref, dfz_ref, dbz_ref, lab_out, z0_out, len_out, mx_ref, *, k):
     """Per (8, ny, nz) slab: the first `k` maximal z-runs of every (x, y)

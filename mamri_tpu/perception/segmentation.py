@@ -242,19 +242,30 @@ def _ccl_sweeps_pallas(lab0, reset, max_sweeps: int):
 
 def _ccl_sweeps_pallas_from_dists(lab0, dists, max_sweeps: int):
     """Sweep loop over precomputed run-length distances (shared with the
-    run-based stats path, which reuses the z distances)."""
-    from mamri_tpu.perception.pallas_ops import ccl_sweep_dist
+    run-based stats path, which reuses the z distances).
+
+    Convergence is certified by the LOCAL-CONSISTENCY check, not an extra
+    sweep: labels are monotone non-increasing member indices, so "every
+    within-run adjacent pair equal" holds iff the labels are the exact CCL
+    fixed point (uniformity on a component forces its minimum). The check is
+    one d=1 roll per axis (~1/4 sweep), which lets the default budget be the
+    sweeps that do work (2 for convex-ish anatomy) instead of work + 1."""
+    from mamri_tpu.perception.pallas_ops import ccl_check_consistency, ccl_sweep_dist
 
     def body(lab, _):
         lab, changed = ccl_sweep_dist(lab, dists)
         return lab, changed
 
-    lab, changed = lax.scan(body, lab0, None, length=max_sweeps)
-    return lab, changed[-1] == 0
+    lab, _ = lax.scan(body, lab0, None, length=max_sweeps)
+    return lab, ccl_check_consistency(lab, dists) == 0
 
 
 def _ccl_sweeps_jnp(lab0, reset, max_sweeps: int):
-    """XLA associative-scan sweep path (CPU tests, sp-sharded execution)."""
+    """XLA associative-scan sweep path (CPU tests, sp-sharded execution).
+
+    Certified by the same local-consistency check as the kernel path (see
+    `_ccl_sweeps_pallas_from_dists`): the last sweep's budget can do real
+    work instead of proving a fixed point the cheap check proves directly."""
 
     def body(lab, _):
         prev = lab
@@ -264,8 +275,25 @@ def _ccl_sweeps_jnp(lab0, reset, max_sweeps: int):
             lab = jnp.minimum(jnp.minimum(fwd, bwd), lab)
         return lab, jnp.any(lab != prev)
 
-    lab, changed = lax.scan(body, lab0, None, length=max_sweeps)
-    return lab, jnp.logical_not(changed[-1])
+    lab, _ = lax.scan(body, lab0, None, length=max_sweeps)
+    return lab, _labels_consistent_jnp(lab, reset)
+
+
+def _labels_consistent_jnp(lab, reset):
+    """() bool: True iff every within-run adjacent label pair is equal along
+    every axis — i.e. `lab` is the exact CCL fixed point."""
+    fg = jnp.logical_not(reset)
+    bad = jnp.zeros((), jnp.bool_)
+    for axis in range(3):
+        pair = jnp.logical_and(
+            jnp.take(fg, jnp.arange(1, fg.shape[axis]), axis=axis),
+            jnp.take(fg, jnp.arange(0, fg.shape[axis] - 1), axis=axis),
+        )
+        diff = jnp.take(lab, jnp.arange(1, lab.shape[axis]), axis=axis) != jnp.take(
+            lab, jnp.arange(0, lab.shape[axis] - 1), axis=axis
+        )
+        bad = jnp.logical_or(bad, jnp.any(jnp.logical_and(pair, diff)))
+    return jnp.logical_not(bad)
 
 
 def _ccl_sweeps(lab0, reset, max_sweeps: int, use_pallas: bool):

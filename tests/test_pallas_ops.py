@@ -223,3 +223,45 @@ def test_z_runs_overflow_certificate_interpret():
     assert np.all(kept != 2**31 - 1)
     np.testing.assert_array_equal(np.asarray(run_z0)[2, :, 3], np.arange(0, 16, 2))
     np.testing.assert_array_equal(np.asarray(run_len)[2, :, 3], np.ones(8))
+
+
+def test_consistency_certificate_interpret():
+    """The d=1 local-consistency check == the exact-fixed-point property:
+    fails mid-convergence, passes at the fixed point, and agrees with the
+    sweep-based changed flags."""
+    from mamri_tpu.perception import segmentation as seg
+    from mamri_tpu.perception.pallas_ops import (
+        ccl_check_consistency,
+        ccl_sweep_dist,
+        compute_reset_distances,
+    )
+
+    # an S-shaped component: needs several sweeps to converge
+    shape = (16, 16, 128)
+    mask = np.zeros(shape, bool)
+    mask[2, 2, 10:60] = True
+    mask[2:10, 2, 59] = True
+    mask[9, 2, 20:60] = True
+    mask[9:14, 2, 20] = True
+    mask[13, 2, 20:100] = True
+
+    lab = seg._init_labels(jnp.asarray(mask))
+    reset = jnp.asarray((~mask).astype(np.int32))
+    dists = compute_reset_distances(reset, interpret=True)
+
+    flags = []
+    for _ in range(6):
+        bad = int(ccl_check_consistency(lab, dists, interpret=True))
+        # jnp twin must agree exactly
+        assert bool(seg._labels_consistent_jnp(lab, reset != 0)) == (bad == 0)
+        flags.append(bad)
+        lab, chg = ccl_sweep_dist(lab, dists, interpret=True)
+    final_bad = int(ccl_check_consistency(lab, dists, interpret=True))
+    assert int(chg) == 0 and final_bad == 0  # converged and certified
+    assert flags[0] == 1  # pre-convergence states are rejected
+    # the check flips to 0 exactly when the labels stop changing: validate
+    # against the ground-truth single-component labeling
+    want = np.full(shape, 2**31 - 1, np.int64)
+    lin = np.arange(np.prod(shape)).reshape(shape[2], shape[1], shape[0]).transpose(2, 1, 0)
+    want[mask] = lin[mask].min()
+    np.testing.assert_array_equal(np.asarray(lab), want)
