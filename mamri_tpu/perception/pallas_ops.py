@@ -588,15 +588,24 @@ def ccl_check_consistency(lab, dists, interpret: bool = False):
 
 
 # ------------------------------------------------------------- z-run extraction
-def _runs_kernel(lab_ref, dfz_ref, dbz_ref, lab_out, z0_out, len_out, mx_ref, *, k):
-    """Per (8, ny, nz) slab: the first `k` maximal z-runs of every (x, y)
-    line, as (label, z_start, length) triples, plus the global max
-    runs-per-line (completeness certificate: exact iff max <= k).
+def _runs_kernel(
+    lab_ref, dfz_ref, dbz_ref, lab_out, z0_out, len_out, root_out, mx_ref, *, k, nx, ny, cand_k
+):
+    """Per (8, by, nz) block: the first `k` maximal z-runs of every (x, y)
+    line as (label, z_start, length) triples, per-run ROOT keys, and the
+    global max runs-per-line (completeness certificate: exact iff max <= k).
 
     A z-run start is exactly `dfz == 1` (foreground whose -z neighbour is
     background) and its length is `dbz` at the start voxel (distance to the
     next background). Every voxel of a converged component's z-run carries
-    the same label, so the start voxel's label is the run's label."""
+    the same label, so the start voxel's label is the run's label.
+
+    Root detection rides along for free: a component's root (min (z,y,x)
+    raster index) has no -z neighbour in the component, so every root IS a
+    z-run start — a run is the root's run iff its label equals the start
+    voxel's own raster index (computed from nx/ny, the ORIGINAL dims the
+    labels encode)."""
+    pi, pj = pl.program_id(0), pl.program_id(1)
     lab = lab_ref[...]
     df = dfz_ref[...].astype(jnp.int32)
     db = dbz_ref[...].astype(jnp.int32)
@@ -619,13 +628,36 @@ def _runs_kernel(lab_ref, dfz_ref, dbz_ref, lab_out, z0_out, len_out, mx_ref, *,
         labs.append(jnp.where(cnt == 1, labv, _BIG))
         z0s.append(jnp.sum(jnp.where(sel, idx, 0), axis=2))
         lens.append(jnp.sum(jnp.where(sel, db, 0), axis=2))
+    lab_tab = jnp.stack(labs, axis=1)  # (8, k, by)
+    z0_tab = jnp.stack(z0s, axis=1)
     # one contiguous store per output (k strided single-row stores blow up
     # the Mosaic lowering at full-volume block sizes)
-    lab_out[...] = jnp.stack(labs, axis=1)
-    z0_out[...] = jnp.stack(z0s, axis=1)
+    lab_out[...] = lab_tab
+    z0_out[...] = z0_tab
     len_out[...] = jnp.stack(lens, axis=1)
 
-    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    # Root extraction rides along at (8, k, by)-table cost, no extra
+    # z-reductions: a run is its component's ROOT run iff its label equals
+    # its start voxel's raster index (the root has no -z neighbour in the
+    # component, so every root is a z-run start). Each block's cand_k
+    # smallest roots + root count go to the shared SMEM table (row = grid
+    # step). Roots in runs with rank > k are not in the table, so the
+    # run-budget certificate (max_runs <= k) also gates root completeness
+    # and the exactness of the count.
+    gi2 = pi * lab_tab.shape[0] + lax.broadcasted_iota(jnp.int32, lab_tab.shape, 0)
+    gj2 = pj * lab_tab.shape[2] + lax.broadcasted_iota(jnp.int32, lab_tab.shape, 2)
+    lin_tab = z0_tab * (nx * ny) + gj2 * nx + gi2
+    v = jnp.where(
+        jnp.logical_and(lab_tab != _BIG, lab_tab == lin_tab), lab_tab, _BIG
+    )
+    row = pi * pl.num_programs(1) + pj
+    root_out[row, cand_k] = jnp.sum((v != _BIG).astype(jnp.int32))
+    for t in range(cand_k):
+        mv = jnp.min(v)
+        root_out[row, t] = mv
+        v = jnp.where(v == mv, _BIG, v)
+
+    @pl.when(jnp.logical_and(pi == 0, pj == 0))
     def _():
         mx_ref[:, :] = jnp.zeros((1, 1), jnp.int32)
 
@@ -633,10 +665,17 @@ def _runs_kernel(lab_ref, dfz_ref, dbz_ref, lab_out, z0_out, len_out, mx_ref, *,
     mx_ref[:, :] = jnp.maximum(mx_ref[:, :], jnp.max(rank).reshape(1, 1))
 
 
-def extract_z_runs(labels, dfz, dbz, k: int = 16, interpret: bool = False):
-    """(run_labels, run_z0, run_len, max_runs_per_line) for a padded label
-    volume — each (nx, k, ny) int32, slot r of line (x, y) holding the r-th
-    maximal z-run (label sentinel / zeros where the line has fewer runs).
+def extract_z_runs(
+    labels, dfz, dbz, nx: int, ny: int, k: int = 16, cand_k: int = 8, interpret: bool = False
+):
+    """(run_labels, run_z0, run_len, root_cands, block_counts, num_components,
+    max_runs_per_line) for a padded label volume — the run tables are
+    (nxp, k, nyp) int32, slot r of line (x, y) holding the r-th maximal z-run
+    (label sentinel / zeros where the line has fewer runs). Root extraction
+    rides along: `root_cands` is the flat (nblocks*cand_k,) array of each
+    grid block's `cand_k` smallest component roots (complete iff every
+    block_count <= cand_k), and `num_components` is the exact global root
+    count. `nx`/`ny` are the ORIGINAL volume dims the labels encode.
 
     Inputs are the tile-padded label volume and the z-axis run-length
     distances from `compute_reset_distances` (padding is background, so no
@@ -649,30 +688,40 @@ def extract_z_runs(labels, dfz, dbz, k: int = 16, interpret: bool = False):
     df=0 means no run starts there), because the (8, k, by) output block
     needs a 128-divisible lane dimension; the padded slots stay empty and
     contribute nothing downstream."""
-    nx, ny, nz = labels.shape
-    pad_y = (-ny) % 128
+    nxp, nyp, nz = labels.shape
+    pad_y = (-nyp) % 128
     if pad_y:
         cfg = ((0, 0), (0, pad_y), (0, 0))
         labels = jnp.pad(labels, cfg, constant_values=_BIG)
         dfz = jnp.pad(dfz, cfg, constant_values=jnp.zeros((), dfz.dtype))
         dbz = jnp.pad(dbz, cfg, constant_values=jnp.zeros((), dbz.dtype))
-        ny = ny + pad_y
+        nyp = nyp + pad_y
     by = 128
-    kernel = functools.partial(_runs_kernel, k=k)
+    nblocks = (nxp // 8) * (nyp // by)
+    kernel = functools.partial(_runs_kernel, k=k, nx=nx, ny=ny, cand_k=cand_k)
     blk_in = pl.BlockSpec((8, by, nz), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
     blk_out = pl.BlockSpec((8, k, by), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
+    root_blk = pl.BlockSpec((nblocks, cand_k + 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
     mx_blk = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-    shp = jax.ShapeDtypeStruct((nx, k, ny), jnp.int32)
-    lab_r, z0_r, len_r, mx = pl.pallas_call(
+    shp = jax.ShapeDtypeStruct((nxp, k, nyp), jnp.int32)
+    lab_r, z0_r, len_r, root_tab, mx = pl.pallas_call(
         kernel,
-        grid=(nx // 8, ny // by),
+        grid=(nxp // 8, nyp // by),
         in_specs=[blk_in, blk_in, blk_in],
-        out_specs=(blk_out, blk_out, blk_out, mx_blk),
-        out_shape=(shp, shp, shp, jax.ShapeDtypeStruct((1, 1), jnp.int32)),
+        out_specs=(blk_out, blk_out, blk_out, root_blk, mx_blk),
+        out_shape=(
+            shp,
+            shp,
+            shp,
+            jax.ShapeDtypeStruct((nblocks, cand_k + 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),
+        ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(labels, dfz, dbz)
-    return lab_r, z0_r, len_r, mx[0, 0]
+    cands = root_tab[:, :cand_k].reshape(-1)
+    counts = root_tab[:, cand_k]
+    return lab_r, z0_r, len_r, cands, counts, jnp.sum(counts), mx[0, 0]
 
 
 def _run_stats_kernel(roots_ref, lab_ref, len_ref, z0_ref, out_ref, *, kny: int, ny: int, block: int):

@@ -138,8 +138,8 @@ def run_parity_checks(size: int = 128, sweeps: int = 6) -> Dict:
     # --- z-run extraction + run-length stats vs the same reference
     reset_p_i32 = reset_p.astype(jnp.int32)
     dists = jax.jit(po.compute_reset_distances)(reset_p_i32)
-    run_lab, run_z0, run_len, max_runs = jax.jit(
-        lambda l, a, b: po.extract_z_runs(l, a, b, k=16)
+    run_lab, run_z0, run_len, root_cands, _, num_roots, max_runs = jax.jit(
+        lambda l, a, b: po.extract_z_runs(l, a, b, size, size, k=16, cand_k=16)
     )(got_labels_p, dists[4], dists[5])
     mask_np = np.asarray(mask_ref)
     starts_np = mask_np & ~np.concatenate(
@@ -150,10 +150,13 @@ def run_parity_checks(size: int = 128, sweeps: int = 6) -> Dict:
             run_lab, run_len, run_z0, roots_j
         )
     )
+    rk = np.asarray(root_cands)
     report["extract_z_runs"] = {
         "max_runs_exact": int(max_runs) == int(starts_np.sum(axis=2).max()),
         "total_length_exact": int(np.asarray(run_len).sum()) == int(mask_np.sum()),
         "no_line_overflow": bool(int(max_runs) <= 16),
+        "fused_roots_exact": set(map(int, rk[rk != _BIG])) == true_roots
+        and int(num_roots) == len(true_roots),
     }
     # compare only defined (valid-root) rows: the voxel reference accumulates
     # background voxels into sentinel rows (masked by root_valid downstream),

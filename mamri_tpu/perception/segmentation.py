@@ -57,9 +57,10 @@ class SegmentationParams(NamedTuple):
     exhaustive_roots: bool = False  # jnp-path escalation: exact flat top_k
     # root selection instead of the blocked two-level top_k (used by the
     # engine when a result reports roots_complete=False).
-    cand_k: int = 8  # kernel-path root candidates per 8-voxel x-slab; the
-    # completeness certificate verifies no slab overflowed, and the engine
-    # escalates cand_k alongside max_roots on noisy volumes.
+    cand_k: int = 8  # kernel-path root candidates per (8 x, 128 y)-line
+    # grid block (extracted inside the z-runs kernel); the completeness
+    # certificate verifies no block overflowed, and the engine escalates
+    # cand_k alongside max_roots on noisy volumes.
     run_k: int = 8  # kernel-path z-runs per (x, y) line for run-length
     # component stats; certified (max runs-per-line <= run_k) and escalated
     # alongside max_roots/cand_k (clean anatomy needs 2-4).
@@ -394,16 +395,23 @@ def _component_stats_fast(
     every 8-voxel x-slab held <= `cand_k` roots, and every (x, y) line held
     <= `run_k` z-runs); the engine escalates otherwise.
     """
-    from mamri_tpu.perception.pallas_ops import (
-        extract_root_candidates,
-        extract_z_runs,
-        run_stats_matmul,
-    )
+    from mamri_tpu.perception.pallas_ops import extract_z_runs, run_stats_matmul
 
     nx, ny, nz = shape
-    cands, block_counts, num_components = extract_root_candidates(labels_padded, nx, ny, k=cand_k)
     dfz, dbz = dists[4], dists[5]
-    run_lab, run_z0, run_len, max_runs = extract_z_runs(labels_padded, dfz, dbz, k=run_k)
+    run_lab, run_z0, run_len, cands, block_counts, num_components, max_runs = extract_z_runs(
+        labels_padded, dfz, dbz, nx, ny, k=run_k, cand_k=cand_k
+    )
+    # root candidates ride along inside the runs kernel (the block is already
+    # in VMEM — no second labels pass); complete iff no grid block exceeded
+    # its cand_k root budget AND no line exceeded its run_k run budget.
+    r_eff = min(max_roots, cands.shape[0])
+    keys, _ = lax.top_k(-cands, r_eff)
+    roots = -keys
+    if r_eff < max_roots:
+        roots = jnp.pad(roots, (0, max_roots - r_eff), constant_values=_BIG)
+    root_valid = roots != _BIG
+
     complete = functools.reduce(
         jnp.logical_and,
         (
@@ -412,12 +420,6 @@ def _component_stats_fast(
             max_runs <= run_k,
         ),
     )
-    r_eff = min(max_roots, cands.shape[0])
-    keys, _ = lax.top_k(-cands, r_eff)
-    roots = -keys
-    if r_eff < max_roots:
-        roots = jnp.pad(roots, (0, max_roots - r_eff), constant_values=_BIG)
-    root_valid = roots != _BIG
 
     labels = _crop3(labels_padded, shape)
     stats = run_stats_matmul(run_lab, run_len, run_z0, roots)

@@ -189,9 +189,22 @@ def test_z_runs_stats_parity_interpret():
     roots = np.full(64, 2**31 - 1, np.int32)
     roots[: len(true_roots)] = np.sort(true_roots)
 
-    run_lab, run_z0, run_len, max_runs = extract_z_runs(
-        lab, dists[4], dists[5], k=8, interpret=True
+    run_lab, run_z0, run_len, cands, bcounts, num, max_runs = extract_z_runs(
+        lab, dists[4], dists[5], shape[0], shape[1], k=8, cand_k=64, interpret=True
     )
+    # fused root extraction: exactly the component roots, nothing else
+    rk = np.asarray(cands)
+    assert set(rk[rk != 2**31 - 1].tolist()) == set(true_roots.tolist())
+    assert int(num) == len(true_roots)
+    assert int(np.asarray(bcounts).sum()) == len(true_roots)
+    # and a starved candidate budget is flagged, not silent: counts stay
+    # exact while the kept candidates are the smallest per block
+    _, _, _, c2, bc2, num2, _ = extract_z_runs(
+        lab, dists[4], dists[5], shape[0], shape[1], k=8, cand_k=4, interpret=True
+    )
+    assert int(num2) == len(true_roots) and np.asarray(bc2).max() > 4
+    kept = np.asarray(c2)
+    assert set(kept[kept != 2**31 - 1].tolist()) <= set(true_roots.tolist())
     # certificate: max runs per (x, y) line, verified against numpy
     starts = mask & ~np.roll(mask, 1, axis=2)
     starts[:, :, 0] = mask[:, :, 0]
@@ -216,7 +229,9 @@ def test_z_runs_overflow_certificate_interpret():
     mask[2, 3, ::2] = True  # 64 single-voxel runs on one line
     lab = seg._init_labels(jnp.asarray(mask))
     dists = compute_reset_distances(jnp.asarray((~mask).astype(np.int32)), interpret=True)
-    run_lab, run_z0, run_len, max_runs = extract_z_runs(lab, dists[4], dists[5], k=8, interpret=True)
+    run_lab, run_z0, run_len, _, _, _, max_runs = extract_z_runs(
+        lab, dists[4], dists[5], shape[0], shape[1], k=8, interpret=True
+    )
     assert int(max_runs) == 64 > 8
     # the k kept runs are still the FIRST k, exact as far as they go
     kept = np.asarray(run_lab)[2, :, 3]
