@@ -1,3 +1,5 @@
+import os
+
 import numpy as np
 import pytest
 
@@ -182,3 +184,58 @@ def test_dicom_oblique_series_resamples(tmp_path):
     idx = np.argwhere(w)
     centroid_lps = back.origin + back.spacing * idx.mean(axis=0)
     assert np.linalg.norm(centroid_lps - target_lps) < 1.0, (centroid_lps, target_lps)
+
+
+def test_dicom_series_to_pose_end_to_end(tmp_path):
+    """BASELINE config 2: a DICOM series straight into estimate_pose — the
+    reference's Add-DICOM-Data -> Start-Pose-Estimation workflow
+    (Mamri/Mamri.py:1306 via Slicer's DICOM ingest)."""
+    import jax.numpy as jnp
+
+    from mamri_tpu.api import MamriEngine
+    from mamri_tpu.core import transforms as T
+    from mamri_tpu.core.robot import marker_world_positions
+    from mamri_tpu.perception.dicom import load_dicom_series, save_dicom_series
+    from mamri_tpu.perception.volume import synthetic_volume
+
+    eng = MamriEngine(ik_iters=60, ik_restarts=6)
+    true_angles = np.array([0.3, -0.7, 0.5, 0.2, -0.4, 0.6], dtype=np.float32)
+    base = np.asarray(
+        T.translate(jnp.asarray(np.array([-60.0, -120.0, 0.0], np.float32)))
+        @ T.rot_x(jnp.float32(-np.pi / 2))
+        @ T.rot_z(jnp.float32(0.15))
+    )
+    pts = np.concatenate(
+        [
+            np.asarray(marker_world_positions(eng.model, jnp.asarray(true_angles), ln, jnp.asarray(base)))
+            for ln in ["Baseplate", "Joint2", "Joint4", "Joint6"]
+        ]
+    )
+    lo, hi = pts.min(0) - 40, pts.max(0) + 40
+    body_center = [-60.0, -40.0, 130.0]
+    lo = np.minimum(lo, np.array(body_center) - 70)
+    hi = np.maximum(hi, np.array(body_center) + 70)
+    sp = np.full(3, 2.5, np.float32)
+    lps_lo = np.array([-hi[0], -hi[1], lo[2]], np.float32)
+    lps_hi = np.array([-lo[0], -lo[1], hi[2]], np.float32)
+    shape = tuple(int(np.ceil(e)) for e in (lps_hi - lps_lo) / sp)
+    vol = synthetic_volume(
+        shape=shape,
+        spacing=sp,
+        origin=lps_lo,
+        fiducials_ras=pts,
+        fiducial_radius_mm=4.0,
+        body_center_ras=body_center,
+        body_radii_mm=[45.0, 55.0, 65.0],
+    )
+
+    d = str(tmp_path / "series")
+    os.makedirs(d)
+    save_dicom_series(d, vol)
+    loaded = load_dicom_series(d)
+    np.testing.assert_allclose(np.asarray(loaded.spacing), sp, atol=1e-4)
+
+    res = eng.estimate_pose(loaded)
+    assert res.success, res.message
+    err_deg = np.rad2deg(np.abs(res.angles_rad - true_angles))
+    assert err_deg.max() < 1.0, err_deg
