@@ -6,7 +6,7 @@ O(100 ms) on CPU and segmentation O(seconds) in SimpleITK); vs_baseline is
 measured against the 64 vol/s target.
 
 HONEST SETTINGS: the engine's defaults, exactly what `estimate_pose` runs —
-2 CCL sweeps WITH the in-kernel fixed-point certificate, 128 candidate roots
+a 3-half-sweep CCL schedule WITH the in-kernel fixed-point certificate, 128 candidate roots
 WITH the completeness certificate, analytic-seeded 24-iteration IK. The run
 asserts both certificates held (no silent reduced-fidelity computation) and
 that the recovered joint angles match the scene's ground truth sub-degree.
@@ -170,7 +170,7 @@ def main():
             noisy[i, j, k] = 100.0
     noisy = noisy + rng.normal(0.0, 5.0, noisy.shape).astype(np.float32)
 
-    noisy_params = SegmentationParams(max_sweeps=2, max_roots=2048, cand_k=128, run_k=16)
+    noisy_params = SegmentationParams(max_sweeps=2, passes=3, max_roots=2048, cand_k=128, run_k=16)
     pipeline_n = engine._pipeline_fn(seg_params=noisy_params)
 
     def one_noisy(d):
@@ -224,7 +224,7 @@ def main():
                     "max_angle_err_deg": round(noisy_err_deg, 4),
                     "settings": "max_roots=2048, cand_k=128, run_k=16 (noisy-scan escalation caps, one compile)",
                 },
-                "settings": "engine defaults (certified): 2 sweeps + local-consistency certificate, 128 roots, run_k=8 run-length stats, IK 24 iters analytic-seeded",
+                "settings": "engine defaults (certified): [yz,x,yz] half-sweep schedule + local-consistency certificate, 128 roots, run_k=8 run-length stats, IK 24 iters analytic-seeded",
                 "device": str(jax.devices()[0]),
             }
         )

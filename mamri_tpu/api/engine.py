@@ -67,18 +67,19 @@ class MamriEngine:
             )
         self.model: RobotModel = load_robot_model(config_path)
         self.geometry: ArmGeometry = build_arm_geometry(self.model, mesh_dir)
-        # default: the fast certified settings — 2 CCL sweeps plus the
-        # local-consistency convergence certificate (a d=1 check pass that
-        # proves the exact fixed point at ~1/4 sweep cost, so no sweep is
-        # spent proving rather than propagating) and 128 candidate roots with
-        # a completeness certificate; estimate_pose escalates automatically
-        # when either certificate fails, so results match the conservative
-        # settings. (Anatomical scenes settle in 2 sweeps; a scene needing
-        # more reruns at 4 via the escalation path.)
+        # default: the fast certified settings — a 3-half-sweep CCL schedule
+        # [yz, x, yz] plus the local-consistency convergence certificate (a
+        # d=1 check pass that proves the exact fixed point at ~1/4 sweep
+        # cost, so no pass is spent proving rather than propagating, and the
+        # final x half-sweep convex-ish anatomy never needs is dropped) and
+        # 128 candidate roots with a completeness certificate; estimate_pose
+        # escalates automatically when either certificate fails, so results
+        # match the conservative settings. (A scene needing more reruns at 6
+        # half-sweeps via the escalation path.)
         self.seg_params = (
             seg_params
             if seg_params is not None
-            else SegmentationParams(max_sweeps=2, max_roots=128)
+            else SegmentationParams(max_sweeps=2, passes=3, max_roots=128)
         )
         self.tracer = tracer or Tracer(enabled=False)
         self.ik_iters = ik_iters
@@ -207,9 +208,14 @@ class MamriEngine:
         silent truncation. Returns None when nothing further can be done."""
         new = params
         if not converged:
-            if params.max_sweeps >= 256:
-                return None
-            new = new._replace(max_sweeps=min(params.max_sweeps * 2, 256))
+            if params.passes is not None:
+                if params.passes >= 512:
+                    return None
+                new = new._replace(passes=min(params.passes * 2, 512))
+            else:
+                if params.max_sweeps >= 256:
+                    return None
+                new = new._replace(max_sweeps=min(params.max_sweeps * 2, 256))
         if not complete:
             if params.max_roots >= 4096 and params.cand_k >= 256 and params.run_k >= 128:
                 return None

@@ -422,12 +422,10 @@ def _sweep_dist_kernel(lab_ref, *refs, axes, first_block):
     chg_ref[:, :] = jnp.maximum(chg_ref[:, :], changed)
 
 
-def ccl_sweep_dist(lab, dists, interpret: bool = False):
-    """One full CCL sweep (y, z, then x) with run-length masks. Returns
-    (labels, changed) where changed is a () int32 0/1 for THIS sweep.
-    Dims must be multiples of (8, 8, 128)."""
+def ccl_half_sweep_yz(lab, dists, interpret: bool = False):
+    """The y+z half of a CCL sweep. Returns (labels, changed)."""
     nx, ny, nz = lab.shape
-    dfx, dbx, dfy, dby, dfz, dbz = dists
+    _, _, dfy, dby, dfz, dbz = dists
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     shp = jax.ShapeDtypeStruct(lab.shape, jnp.int32)
     chg_shp = jax.ShapeDtypeStruct((1, 1), jnp.int32)
@@ -446,6 +444,17 @@ def ccl_sweep_dist(lab, dists, interpret: bool = False):
         compiler_params=params,
         interpret=interpret,
     )(lab, dfy, dby, dfz, dbz)
+    return lab, chg_yz[0, 0]
+
+
+def ccl_half_sweep_x(lab, dists, interpret: bool = False):
+    """The x half of a CCL sweep. Returns (labels, changed)."""
+    nx, ny, nz = lab.shape
+    dfx, dbx = dists[0], dists[1]
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    shp = jax.ShapeDtypeStruct(lab.shape, jnp.int32)
+    chg_shp = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+    chg_blk = pl.BlockSpec((1, 1), lambda *_: (0, 0), memory_space=pltpu.VMEM)
 
     x = functools.partial(
         _sweep_dist_kernel,
@@ -462,8 +471,16 @@ def ccl_sweep_dist(lab, dists, interpret: bool = False):
         compiler_params=params,
         interpret=interpret,
     )(lab, dfx, dbx)
-    changed = jnp.maximum(chg_yz[0, 0], chg_x[0, 0])
-    return lab, changed
+    return lab, chg_x[0, 0]
+
+
+def ccl_sweep_dist(lab, dists, interpret: bool = False):
+    """One full CCL sweep (y, z, then x) with run-length masks. Returns
+    (labels, changed) where changed is a () int32 0/1 for THIS sweep.
+    Dims must be multiples of (8, 8, 128)."""
+    lab, chg_yz = ccl_half_sweep_yz(lab, dists, interpret=interpret)
+    lab, chg_x = ccl_half_sweep_x(lab, dists, interpret=interpret)
+    return lab, jnp.maximum(chg_yz, chg_x)
 
 
 # ------------------------------------------------------------- root extraction

@@ -64,6 +64,12 @@ class SegmentationParams(NamedTuple):
     run_k: int = 8  # kernel-path z-runs per (x, y) line for run-length
     # component stats; certified (max runs-per-line <= run_k) and escalated
     # alongside max_roots/cand_k (clean anatomy needs 2-4).
+    passes: Optional[int] = None  # explicit HALF-SWEEP schedule length:
+    # alternating [yz, x, yz, x, ...] passes. None = 2*max_sweeps (classic
+    # full sweeps). The local-consistency certificate proves the fixed point
+    # regardless of schedule, so an odd count (trailing yz, no final x) is
+    # valid and the engine defaults to passes=3 — convex-ish anatomy
+    # converges with [yz, x, yz] and the certificate escalates the rest.
 
 
 class SegmentationResult(NamedTuple):
@@ -230,7 +236,7 @@ def _crop3(a, shape):
     return a[: shape[0], : shape[1], : shape[2]]
 
 
-def _ccl_sweeps_pallas(lab0, reset, max_sweeps: int):
+def _ccl_sweeps_pallas(lab0, reset, max_sweeps: int, passes: Optional[int] = None):
     """Fixed sweeps with the run-length Pallas kernels on PADDED arrays.
     Returns (labels, converged): converged certifies the exact fixed point
     (the final sweep changed nothing, and sweeps are idempotent past
@@ -238,10 +244,10 @@ def _ccl_sweeps_pallas(lab0, reset, max_sweeps: int):
     from mamri_tpu.perception.pallas_ops import compute_reset_distances
 
     dists = compute_reset_distances(reset.astype(jnp.int32))
-    return _ccl_sweeps_pallas_from_dists(lab0, dists, max_sweeps)
+    return _ccl_sweeps_pallas_from_dists(lab0, dists, max_sweeps, passes=passes)
 
 
-def _ccl_sweeps_pallas_from_dists(lab0, dists, max_sweeps: int):
+def _ccl_sweeps_pallas_from_dists(lab0, dists, max_sweeps: int, passes: Optional[int] = None):
     """Sweep loop over precomputed run-length distances (shared with the
     run-based stats path, which reuses the z distances).
 
@@ -249,34 +255,63 @@ def _ccl_sweeps_pallas_from_dists(lab0, dists, max_sweeps: int):
     sweep: labels are monotone non-increasing member indices, so "every
     within-run adjacent pair equal" holds iff the labels are the exact CCL
     fixed point (uniformity on a component forces its minimum). The check is
-    one d=1 roll per axis (~1/4 sweep), which lets the default budget be the
-    sweeps that do work (2 for convex-ish anatomy) instead of work + 1."""
-    from mamri_tpu.perception.pallas_ops import ccl_check_consistency, ccl_sweep_dist
+    one d=1 roll per axis (~1/4 sweep). That makes ANY half-sweep schedule
+    valid: `passes` counts alternating [yz, x, yz, ...] half-sweeps (None =
+    2*max_sweeps); the engine's default of 3 drops the final x half-sweep,
+    which convex-ish anatomy never needs — and the certificate escalates
+    the scenes that do."""
+    from mamri_tpu.perception.pallas_ops import (
+        ccl_check_consistency,
+        ccl_half_sweep_yz,
+        ccl_sweep_dist,
+    )
+
+    if passes is None:
+        passes = 2 * max_sweeps
 
     def body(lab, _):
         lab, changed = ccl_sweep_dist(lab, dists)
         return lab, changed
 
-    lab, _ = lax.scan(body, lab0, None, length=max_sweeps)
+    lab, _ = lax.scan(body, lab0, None, length=passes // 2)
+    if passes % 2:
+        lab, _ = ccl_half_sweep_yz(lab, dists)
     return lab, ccl_check_consistency(lab, dists) == 0
 
 
-def _ccl_sweeps_jnp(lab0, reset, max_sweeps: int):
+def _ccl_sweeps_jnp(lab0, reset, max_sweeps: int, passes: Optional[int] = None):
     """XLA associative-scan sweep path (CPU tests, sp-sharded execution).
 
     Certified by the same local-consistency check as the kernel path (see
-    `_ccl_sweeps_pallas_from_dists`): the last sweep's budget can do real
-    work instead of proving a fixed point the cheap check proves directly."""
+    `_ccl_sweeps_pallas_from_dists`). With `passes` set, the schedule
+    alternates [yz, x, yz, ...] EXACTLY like the kernels (the x pass must
+    come between yz passes — cross-plane propagation in the middle is what
+    makes the odd default work); `passes=None` keeps the classic per-sweep
+    (x, y, z) axis order for back-compat with existing max_sweeps callers."""
 
-    def body(lab, _):
-        prev = lab
-        for axis in (0, 1, 2):
-            fwd = _segmented_min_scan(lab, reset, axis, reverse=False)
-            bwd = _segmented_min_scan(lab, reset, axis, reverse=True)
-            lab = jnp.minimum(jnp.minimum(fwd, bwd), lab)
-        return lab, jnp.any(lab != prev)
+    def scan_axis(lab, axis):
+        fwd = _segmented_min_scan(lab, reset, axis, reverse=False)
+        bwd = _segmented_min_scan(lab, reset, axis, reverse=True)
+        return jnp.minimum(jnp.minimum(fwd, bwd), lab)
 
-    lab, _ = lax.scan(body, lab0, None, length=max_sweeps)
+    if passes is None:
+        def body(lab, _):
+            prev = lab
+            for axis in (0, 1, 2):
+                lab = scan_axis(lab, axis)
+            return lab, jnp.any(lab != prev)
+
+        lab, _ = lax.scan(body, lab0, None, length=max_sweeps)
+        return lab, _labels_consistent_jnp(lab, reset)
+
+    def full_sweep(lab, _):
+        lab = scan_axis(scan_axis(lab, 1), 2)  # yz half
+        lab = scan_axis(lab, 0)  # x half
+        return lab, None
+
+    lab, _ = lax.scan(full_sweep, lab0, None, length=passes // 2)
+    if passes % 2:
+        lab = scan_axis(scan_axis(lab, 1), 2)
     return lab, _labels_consistent_jnp(lab, reset)
 
 
@@ -454,7 +489,7 @@ def segment_volume(data, spacing, origin, params: SegmentationParams = Segmentat
         lab0, reset, _ = _pad_for_kernels(lab0, mask_i32 == 0)
         dists = compute_reset_distances(reset.astype(jnp.int32))
         labels_padded, converged = _ccl_sweeps_pallas_from_dists(
-            lab0, dists, params.max_sweeps
+            lab0, dists, params.max_sweeps, passes=params.passes
         )
         labels, roots, root_valid, counts, sums_ijk, num_components, complete = (
             _component_stats_fast(
@@ -471,11 +506,14 @@ def segment_volume(data, spacing, origin, params: SegmentationParams = Segmentat
         closed = binary_close(mask, params.closing_radius)
         if pallas_on:
             lab0, reset, _ = _pad_for_kernels(_init_labels(closed), jnp.logical_not(closed))
-            labels_padded, converged = _ccl_sweeps_pallas(lab0, reset, params.max_sweeps)
+            labels_padded, converged = _ccl_sweeps_pallas(
+                lab0, reset, params.max_sweeps, passes=params.passes
+            )
             labels = _crop3(labels_padded, data.shape)
         else:
             labels, converged = _ccl_sweeps_jnp(
-                _init_labels(closed), jnp.logical_not(closed), params.max_sweeps
+                _init_labels(closed), jnp.logical_not(closed), params.max_sweeps,
+                passes=params.passes,
             )
         roots, root_valid, counts, sums_ijk, num_components, complete = _component_stats(
             labels, closed, params.max_roots, pallas_on, exhaustive=params.exhaustive_roots

@@ -137,3 +137,51 @@ def test_touching_blobs_merge_into_one():
     cpu = segment_reference(v)
     res = segment_volume(jnp.asarray(v.data), v.spacing, v.origin)
     assert int(res.num_blobs) == cpu.centroids_ras.shape[0] == 1
+
+
+def test_half_sweep_passes_schedule():
+    """`passes` semantics: even counts equal classic full sweeps bit-exact;
+    the engine's odd default ([yz, x, yz]) reaches and certifies the fixed
+    point on convex-ish components; a yz-only schedule cannot and says so."""
+    import jax.numpy as jnp
+
+    from mamri_tpu.perception import segmentation as seg
+
+    x, y, z = np.mgrid[:24, :24, :24]
+    mask = ((x - 12.0) ** 2 + (y - 10.0) ** 2 + (z - 14.0) ** 2 < 64) | (
+        (x - 5.0) ** 2 + (y - 18.0) ** 2 + (z - 5.0) ** 2 < 9
+    )
+    lab0 = seg._init_labels(jnp.asarray(mask))
+    reset = jnp.asarray(~mask)
+
+    full2, conv_full = seg._ccl_sweeps_jnp(lab0, reset, 2)
+    even4, conv_even = seg._ccl_sweeps_jnp(lab0, reset, 99, passes=4)
+    np.testing.assert_array_equal(np.asarray(full2), np.asarray(even4))
+    assert bool(conv_full) and bool(conv_even)
+
+    odd3, conv_odd = seg._ccl_sweeps_jnp(lab0, reset, 99, passes=3)
+    assert bool(conv_odd)
+    np.testing.assert_array_equal(np.asarray(odd3), np.asarray(full2))
+
+    _, conv_yz = seg._ccl_sweeps_jnp(lab0, reset, 99, passes=1)
+    assert not bool(conv_yz)  # x never scanned: certificate refuses
+
+
+def test_segment_volume_passes_default_certifies(vol, cpu_seg):
+    """segment_volume with the engine's passes=3 default matches the scipy
+    oracle and certifies on the demo scene (jnp path)."""
+    import jax.numpy as jnp
+
+    from mamri_tpu.perception.segmentation import SegmentationParams, segment_volume
+
+    params = SegmentationParams(passes=3, max_sweeps=99, use_pallas=False)
+    res = segment_volume(
+        jnp.asarray(vol.data), jnp.asarray(vol.spacing), jnp.asarray(vol.origin), params
+    )
+    assert bool(res.ccl_converged) and bool(res.roots_complete)
+    got = np.sort(np.asarray(res.volumes_mm3)[np.asarray(res.blob_valid)])
+    want = np.sort(cpu_seg.volumes_mm3)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    got_c = np.asarray(res.centroids_ras)[np.asarray(res.blob_valid)]
+    for c in cpu_seg.centroids_ras:
+        assert np.linalg.norm(got_c - c, axis=1).min() < 1e-3
