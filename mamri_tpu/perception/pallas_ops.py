@@ -241,12 +241,8 @@ def fused_threshold_close_init(data, thr_lo: float, thr_hi: float, interpret: bo
     return mask_p[sl], lab_p[sl]
 
 
-def _scan3d_kernel(lab_ref, reset_ref, out_ref, *, axes):
-    """Segmented min-scan along one or more axes of a 3-D block, sequentially
-    (matching the sweep's axis ordering), all in VMEM."""
-    lab = lab_ref[...]
-    reset = reset_ref[...]
-
+def _segscan_axes(lab, reset, axes):
+    """In-VMEM segmented min-scan over `axes` (flag-carrying doubling)."""
     for axis in axes:
         n = lab.shape[axis]
         idx = lax.broadcasted_iota(jnp.int32, lab.shape, axis)
@@ -269,57 +265,34 @@ def _scan3d_kernel(lab_ref, reset_ref, out_ref, *, axes):
         fwd = directional(lab, reset, True)
         bwd = directional(lab, reset, False)
         lab = jnp.minimum(jnp.minimum(fwd, bwd), lab)
-    out_ref[...] = lab
-
-
-def ccl_sweep_pallas_3d(lab, reset_i32, interpret: bool = False):
-    """Transpose-free CCL sweep: kernel 1 scans y+z on (8, ny, nz) blocks,
-    kernel 2 scans x on (nx, 8, nz) blocks. Requires ny, nz already padded to
-    (8, 128) multiples by the caller (connected_components pads once)."""
-    nx, ny, nz = lab.shape
-
-    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
-    yz = functools.partial(_scan3d_kernel, axes=(1, 2))
-    lab = pl.pallas_call(
-        yz,
-        grid=(pl.cdiv(nx, 8),),
-        in_specs=[
-            pl.BlockSpec((8, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(lab.shape, jnp.int32),
-        compiler_params=params,
-        interpret=interpret,
-    )(lab, reset_i32)
-
-    x = functools.partial(_scan3d_kernel, axes=(0,))
-    lab = pl.pallas_call(
-        x,
-        grid=(pl.cdiv(ny, 8), pl.cdiv(nz, 128)),
-        in_specs=[
-            pl.BlockSpec((nx, 8, 128), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nx, 8, 128), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((nx, 8, 128), lambda i, j: (0, i, j), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(lab.shape, jnp.int32),
-        compiler_params=params,
-        interpret=interpret,
-    )(lab, reset_i32)
     return lab
 
 
-# ----------------------------------------------- distance-based sweep (v3 path)
-# A segmented min-scan needs, at doubling step d, to know whether position i-d
-# (resp. i+d) is still in the same foreground run. That is a static property of
-# the mask: with D_fwd[i] = run length ending at i (0 on background) and
-# D_bwd[i] = run length starting at i, the recurrence
-#     v <- where(d < D, min(v, roll(v, d)), v)
-# computes the segmented scan with ONE roll per step instead of the two (value
-# + flag) of the carried-flag formulation — and the D arrays are computed once
-# per volume and reused by every sweep, where the flag evolution was recomputed
-# per sweep per direction. Wraparound needs no extra mask: d < D[i] implies the
-# rolled-in cell is in-bounds of the same line.
+def _dist_axis(r, axis):
+    """In-VMEM run-length distances (df, db) along one axis of an int32 0/1
+    reset block (same recurrences as _dist_kernel)."""
+    n = r.shape[axis]
+    idx = lax.broadcasted_iota(jnp.int32, r.shape, axis)
+    c = jnp.where(r == 1, idx, -1)
+    d = 1
+    while d < n:
+        rolled = jnp.where(idx < d, -1, pltpu.roll(c, d, axis=axis))
+        c = jnp.maximum(c, rolled)
+        d *= 2
+    df = idx - c
+    c2 = jnp.where(r == 1, idx, n)
+    d = 1
+    while d < n:
+        rolled = jnp.where(idx >= n - d, n, pltpu.roll(c2, n - d, axis=axis))
+        c2 = jnp.minimum(c2, rolled)
+        d *= 2
+    return df, c2 - idx
+
+
+def _scan3d_kernel(lab_ref, reset_ref, out_ref, *, axes):
+    """Segmented min-scan along one or more axes of a 3-D block, sequentially
+    (matching the sweep's axis ordering), all in VMEM."""
+    out_ref[...] = _segscan_axes(lab_ref[...], reset_ref[...], axes)
 
 
 def _dist_kernel(reset_ref, *out_refs, axes):

@@ -247,7 +247,9 @@ def _ccl_sweeps_pallas(lab0, reset, max_sweeps: int, passes: Optional[int] = Non
     return _ccl_sweeps_pallas_from_dists(lab0, dists, max_sweeps, passes=passes)
 
 
-def _ccl_sweeps_pallas_from_dists(lab0, dists, max_sweeps: int, passes: Optional[int] = None):
+def _ccl_sweeps_pallas_from_dists(
+    lab0, dists, max_sweeps: int, passes: Optional[int] = None, interpret: bool = False
+):
     """Sweep loop over precomputed run-length distances (shared with the
     run-based stats path, which reuses the z distances).
 
@@ -270,13 +272,13 @@ def _ccl_sweeps_pallas_from_dists(lab0, dists, max_sweeps: int, passes: Optional
         passes = 2 * max_sweeps
 
     def body(lab, _):
-        lab, changed = ccl_sweep_dist(lab, dists)
+        lab, changed = ccl_sweep_dist(lab, dists, interpret=interpret)
         return lab, changed
 
     lab, _ = lax.scan(body, lab0, None, length=passes // 2)
     if passes % 2:
-        lab, _ = ccl_half_sweep_yz(lab, dists)
-    return lab, ccl_check_consistency(lab, dists) == 0
+        lab, _ = ccl_half_sweep_yz(lab, dists, interpret=interpret)
+    return lab, ccl_check_consistency(lab, dists, interpret=interpret) == 0
 
 
 def _ccl_sweeps_jnp(lab0, reset, max_sweeps: int, passes: Optional[int] = None):
@@ -417,7 +419,8 @@ def _component_stats(
 
 
 def _component_stats_fast(
-    labels_padded, dists, shape, max_roots: int, cand_k: int = 8, run_k: int = 8
+    labels_padded, dists, shape, max_roots: int, cand_k: int = 8, run_k: int = 8,
+    interpret: bool = False,
 ):
     """TPU fast path: per-slab root extraction kernel + run-length stats.
 
@@ -435,7 +438,7 @@ def _component_stats_fast(
     nx, ny, nz = shape
     dfz, dbz = dists[4], dists[5]
     run_lab, run_z0, run_len, cands, block_counts, num_components, max_runs = extract_z_runs(
-        labels_padded, dfz, dbz, nx, ny, k=run_k, cand_k=cand_k
+        labels_padded, dfz, dbz, nx, ny, k=run_k, cand_k=cand_k, interpret=interpret
     )
     # root candidates ride along inside the runs kernel (the block is already
     # in VMEM — no second labels pass); complete iff no grid block exceeded
@@ -457,7 +460,7 @@ def _component_stats_fast(
     )
 
     labels = _crop3(labels_padded, shape)
-    stats = run_stats_matmul(run_lab, run_len, run_z0, roots)
+    stats = run_stats_matmul(run_lab, run_len, run_z0, roots, interpret=interpret)
     counts = stats[:, 0]
     sums_ijk = stats[:, 1:4]
     return labels, roots, root_valid, counts, sums_ijk, num_components, complete
@@ -477,19 +480,25 @@ def segment_volume(data, spacing, origin, params: SegmentationParams = Segmentat
 
     pallas_on = params.use_pallas if params.use_pallas is not None else _use_pallas()
     if pallas_on and params.closing_radius == 2:
-        # fused threshold + ball(2) closing + label init in one kernel pass
-        from mamri_tpu.perception.pallas_ops import fused_threshold_close_init
-
-        from mamri_tpu.perception.pallas_ops import compute_reset_distances
-
-        mask_i32, lab0 = fused_threshold_close_init(
-            data, params.intensity_low, params.intensity_high
+        # fused threshold + ball(2) closing + label init in one kernel pass.
+        # (A deeper fusion — first yz half-sweep + yz distances inside the
+        # init kernel — measured SLOWER: the flag-carrying in-kernel scan
+        # costs ~2x a dist-form pass, and precomputed distance arrays
+        # amortize across all later passes, which fusion forfeits. See
+        # docs/ROADMAP.md.)
+        from mamri_tpu.perception.pallas_ops import (
+            compute_reset_distances,
+            fused_threshold_close_init,
         )
-        closed = mask_i32 != 0
+
+        interp = jax.default_backend() == "cpu"  # CPU: interpret-mode kernels
+        mask_i32, lab0 = fused_threshold_close_init(
+            data, params.intensity_low, params.intensity_high, interpret=interp
+        )
         lab0, reset, _ = _pad_for_kernels(lab0, mask_i32 == 0)
-        dists = compute_reset_distances(reset.astype(jnp.int32))
+        dists = compute_reset_distances(reset.astype(jnp.int32), interpret=interp)
         labels_padded, converged = _ccl_sweeps_pallas_from_dists(
-            lab0, dists, params.max_sweeps, passes=params.passes
+            lab0, dists, params.max_sweeps, passes=params.passes, interpret=interp
         )
         labels, roots, root_valid, counts, sums_ijk, num_components, complete = (
             _component_stats_fast(
@@ -499,6 +508,7 @@ def segment_volume(data, spacing, origin, params: SegmentationParams = Segmentat
                 params.max_roots,
                 cand_k=params.cand_k,
                 run_k=params.run_k,
+                interpret=interp,
             )
         )
     else:

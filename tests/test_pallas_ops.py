@@ -280,3 +280,29 @@ def test_consistency_certificate_interpret():
     lin = np.arange(np.prod(shape)).reshape(shape[2], shape[1], shape[0]).transpose(2, 1, 0)
     want[mask] = lin[mask].min()
     np.testing.assert_array_equal(np.asarray(lab), want)
+
+
+def test_kernel_fast_path_end_to_end_interpret():
+    """segment_volume's kernel fast path runs end-to-end on CPU in interpret
+    mode and matches the jnp path (fused init + dist sweeps + consistency
+    certificate + run-length stats + fused roots)."""
+    from mamri_tpu.perception import segmentation as seg
+
+    x, y, z = np.mgrid[:24, :24, :24]
+    d = np.full((24, 24, 24), 10.0, np.float32)
+    d[((x - 12.0) ** 2 + (y - 10.0) ** 2 + (z - 14.0) ** 2) < 40] = 120.0
+    d[((x - 5.0) ** 2 + (y - 18.0) ** 2 + (z - 5.0) ** 2) < 9] = 120.0
+    sp = jnp.ones(3, jnp.float32)
+    og = jnp.zeros(3, jnp.float32)
+
+    pk = seg.SegmentationParams(passes=3, max_sweeps=99, use_pallas=True)
+    pj = seg.SegmentationParams(passes=3, max_sweeps=99, use_pallas=False)
+    rk = seg.segment_volume(jnp.asarray(d), sp, og, pk)
+    rj = seg.segment_volume(jnp.asarray(d), sp, og, pj)
+    assert bool(rk.ccl_converged) and bool(rj.ccl_converged)
+    assert int(rk.num_components) == int(rj.num_components) == 2
+    np.testing.assert_array_equal(np.asarray(rk.volumes_mm3), np.asarray(rj.volumes_mm3))
+    np.testing.assert_allclose(
+        np.asarray(rk.centroids_ras), np.asarray(rj.centroids_ras), atol=1e-4
+    )
+    np.testing.assert_array_equal(np.asarray(rk.body_mask), np.asarray(rj.body_mask))
