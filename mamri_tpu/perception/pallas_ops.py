@@ -395,19 +395,72 @@ def _sweep_dist_kernel(lab_ref, *refs, axes, first_block):
     chg_ref[:, :] = jnp.maximum(chg_ref[:, :], changed)
 
 
-def ccl_half_sweep_yz(lab, dists, interpret: bool = False):
-    """The y+z half of a CCL sweep. Returns (labels, changed)."""
+def _sweep_check_yz_kernel(lab_ref, dfy_ref, dby_ref, dfz_ref, dbz_ref, out_ref, bad_ref):
+    """Final yz half-sweep + the y/z part of the local-consistency
+    certificate on its own OUTPUT, fused: the distances are already in VMEM
+    and blocks hold full y/z extents, so the d=1 checks cost two rolls and
+    no extra HBM pass. (The x part of the check still needs its own kernel
+    — x consistency crosses these blocks.)"""
+    lab = lab_ref[...]
+    dfy = dfy_ref[...].astype(jnp.int32)
+    dby = dby_ref[...].astype(jnp.int32)
+    dfz = dfz_ref[...].astype(jnp.int32)
+    dbz = dbz_ref[...].astype(jnp.int32)
+
+    for axis, df, db in ((1, dfy, dby), (2, dfz, dbz)):
+        n = lab.shape[axis]
+        v = lab
+        d = 1
+        while d < n:
+            v = jnp.where(d < df, jnp.minimum(v, pltpu.roll(v, d, axis=axis)), v)
+            d *= 2
+        w = lab
+        d = 1
+        while d < n:
+            w = jnp.where(d < db, jnp.minimum(w, pltpu.roll(w, n - d, axis=axis)), w)
+            d *= 2
+        lab = jnp.minimum(v, w)
+    out_ref[...] = lab
+
+    bad = jnp.zeros((), jnp.int32)
+    for axis, df in ((1, dfy), (2, dfz)):
+        neighbor = pltpu.roll(lab, 1, axis=axis)
+        bad = jnp.maximum(bad, jnp.max(((df >= 2) & (lab != neighbor)).astype(jnp.int32)))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        bad_ref[:, :] = jnp.zeros((1, 1), jnp.int32)
+
+    bad_ref[:, :] = jnp.maximum(bad_ref[:, :], bad.reshape(1, 1))
+
+
+def ccl_half_sweep_yz(lab, dists, interpret: bool = False, with_check: bool = False):
+    """The y+z half of a CCL sweep. Returns (labels, changed) — or
+    (labels, bad_yz) when `with_check` is set (final pass: the sweep and
+    the y/z consistency certificate fuse into one kernel)."""
     nx, ny, nz = lab.shape
     _, _, dfy, dby, dfz, dbz = dists
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     shp = jax.ShapeDtypeStruct(lab.shape, jnp.int32)
     chg_shp = jax.ShapeDtypeStruct((1, 1), jnp.int32)
     chg_blk = pl.BlockSpec((1, 1), lambda *_: (0, 0), memory_space=pltpu.VMEM)
+    blk_yz = pl.BlockSpec((8, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+
+    if with_check:
+        lab, bad_yz = pl.pallas_call(
+            _sweep_check_yz_kernel,
+            grid=(nx // 8,),
+            in_specs=[blk_yz, blk_yz, blk_yz, blk_yz, blk_yz],
+            out_specs=(blk_yz, chg_blk),
+            out_shape=(shp, chg_shp),
+            compiler_params=params,
+            interpret=interpret,
+        )(lab, dfy, dby, dfz, dbz)
+        return lab, bad_yz[0, 0]
 
     yz = functools.partial(
         _sweep_dist_kernel, axes=(1, 2), first_block=lambda: pl.program_id(0) == 0
     )
-    blk_yz = pl.BlockSpec((8, ny, nz), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     lab, chg_yz = pl.pallas_call(
         yz,
         grid=(nx // 8,),
@@ -575,6 +628,33 @@ def ccl_check_consistency(lab, dists, interpret: bool = False):
         interpret=interpret,
     )(lab, dfx)
     return jnp.maximum(bad_yz[0, 0], bad_x[0, 0])
+
+
+def ccl_check_consistency_x(lab, dists, interpret: bool = False):
+    """The x part of the local-consistency certificate only, for callers
+    whose final yz half-sweep already verified y/z in-kernel
+    (ccl_half_sweep_yz(with_check=True))."""
+    nx, ny, nz = lab.shape
+    dfx = dists[0]
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+    bad_shp = jax.ShapeDtypeStruct((1, 1), jnp.int32)
+    bad_blk = pl.BlockSpec((1, 1), lambda *_: (0, 0), memory_space=pltpu.VMEM)
+    x = functools.partial(
+        _check_kernel,
+        axes=(0,),
+        first_block=lambda: jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0),
+    )
+    blk_x = pl.BlockSpec((nx, 8, 128), lambda i, j: (0, i, j), memory_space=pltpu.VMEM)
+    bad_x = pl.pallas_call(
+        x,
+        grid=(ny // 8, nz // 128),
+        in_specs=[blk_x, blk_x],
+        out_specs=bad_blk,
+        out_shape=bad_shp,
+        compiler_params=params,
+        interpret=interpret,
+    )(lab, dfx)
+    return bad_x[0, 0]
 
 
 # ------------------------------------------------------------- z-run extraction

@@ -264,6 +264,7 @@ def _ccl_sweeps_pallas_from_dists(
     the scenes that do."""
     from mamri_tpu.perception.pallas_ops import (
         ccl_check_consistency,
+        ccl_check_consistency_x,
         ccl_half_sweep_yz,
         ccl_sweep_dist,
     )
@@ -277,7 +278,11 @@ def _ccl_sweeps_pallas_from_dists(
 
     lab, _ = lax.scan(body, lab0, None, length=passes // 2)
     if passes % 2:
-        lab, _ = ccl_half_sweep_yz(lab, dists, interpret=interpret)
+        # the final yz half-sweep verifies its own y/z consistency in-kernel;
+        # only the cross-block x check runs separately
+        lab, bad_yz = ccl_half_sweep_yz(lab, dists, interpret=interpret, with_check=True)
+        bad = jnp.maximum(bad_yz, ccl_check_consistency_x(lab, dists, interpret=interpret))
+        return lab, bad == 0
     return lab, ccl_check_consistency(lab, dists, interpret=interpret) == 0
 
 
