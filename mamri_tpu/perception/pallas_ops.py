@@ -183,7 +183,10 @@ def _close_kernel(prev_ref, cur_ref, next_ref, mask_ref, lab_ref, *, thr_lo, thr
     dil = _ball2_pass(m, max3, 0)
     ero = _ball2_pass(dil, min3, 1)
     center = ero[slab : 2 * slab, :, :]
-    mask_ref[...] = center
+    # int8 storage: the mask feeds only compares downstream and the reset
+    # arrays derived from it are read by two distance kernels, so the 4x
+    # narrower store/loads are pure HBM savings (widened in VMEM like int16)
+    mask_ref[...] = center.astype(mask_ref.dtype)
 
     # CCL init: label = (z, y, x)-raster linear index in ORIGINAL coordinates
     # (padded coords minus the left pads: a full slab in x, 4 in y/z).
@@ -195,7 +198,7 @@ def _close_kernel(prev_ref, cur_ref, next_ref, mask_ref, lab_ref, *, thr_lo, thr
 
 
 def fused_threshold_close_init(data, thr_lo: float, thr_hi: float, interpret: bool = False):
-    """f32 volume -> (closed mask int32, initial CCL labels int32), fused.
+    """f32 volume -> (closed mask int8, initial CCL labels int32), fused.
 
     Safe-border closing semantics identical to segmentation.binary_close;
     label init matches connected_components' raster convention. One HBM
@@ -231,7 +234,7 @@ def fused_threshold_close_init(data, thr_lo: float, thr_hi: float, interpret: bo
             pl.BlockSpec((slab, nyp, nzp), lambda i: (i + 1, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nxp, nyp, nzp), jnp.int32),
+            jax.ShapeDtypeStruct((nxp, nyp, nzp), jnp.int8),
             jax.ShapeDtypeStruct((nxp, nyp, nzp), jnp.int32),
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
@@ -299,7 +302,7 @@ def _dist_kernel(reset_ref, *out_refs, axes):
     """last-reset / next-reset doubling scans -> run-length distances.
     Scan arithmetic stays int32; the write narrows to the output ref's dtype
     (int16 by default — run lengths are bounded by the axis extent)."""
-    r = reset_ref[...]
+    r = reset_ref[...].astype(jnp.int32)  # int8/int16 storage widens in VMEM
     refs = list(out_refs)
     for axis in axes:
         df_ref, db_ref = refs.pop(0), refs.pop(0)

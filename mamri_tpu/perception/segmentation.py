@@ -243,7 +243,7 @@ def _ccl_sweeps_pallas(lab0, reset, max_sweeps: int, passes: Optional[int] = Non
     convergence)."""
     from mamri_tpu.perception.pallas_ops import compute_reset_distances
 
-    dists = compute_reset_distances(reset.astype(jnp.int32))
+    dists = compute_reset_distances(reset.astype(jnp.int8))
     return _ccl_sweeps_pallas_from_dists(lab0, dists, max_sweeps, passes=passes)
 
 
@@ -501,7 +501,7 @@ def segment_volume(data, spacing, origin, params: SegmentationParams = Segmentat
             data, params.intensity_low, params.intensity_high, interpret=interp
         )
         lab0, reset, _ = _pad_for_kernels(lab0, mask_i32 == 0)
-        dists = compute_reset_distances(reset.astype(jnp.int32), interpret=interp)
+        dists = compute_reset_distances(reset.astype(jnp.int8), interpret=interp)
         labels_padded, converged = _ccl_sweeps_pallas_from_dists(
             lab0, dists, params.max_sweeps, passes=params.passes, interpret=interp
         )
