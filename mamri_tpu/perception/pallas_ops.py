@@ -1,21 +1,32 @@
 """Pallas TPU kernels for the segmentation hot path.
 
-Profiling at 256^3 on a v5e chip (pipelined, relay-fenced):
-    threshold 6.4 ms | closing 13.1 ms | CCL(4 sweeps) 280 ms | stats 60 ms
-CCL dominates because XLA's `associative_scan` on a (reset, label) tuple makes
-O(log n) full HBM round-trips per scan. These kernels keep each line's scan
-entirely in VMEM:
+The XLA-only first pipeline at 256^3 cost ~400 ms (associative_scan CCL
+makes O(log n) full HBM round-trips per scan; stats one-hots materialize in
+HBM); the current kernel pipeline runs the whole scan->stats path in ~6 ms.
+The hot-path kernel set:
 
-  * `segmented_min_scan_lines`: for a (L, N) array of independent lines, one
-    grid step loads a block of lines, runs the forward AND backward segmented
-    min-scans on the VPU, and writes min(fwd, bwd, original) — one HBM read +
-    one write total per sweep axis instead of ~16.
-  * `component_stats_matmul`: the per-component {count, sum_i, sum_j, sum_k}
-    reduction as a chunked one-hot(labels==roots) @ features matmul on the
-    MXU with the one-hot living only in VMEM (the jnp fallback materializes
-    ~34 GB of HBM traffic for it at 256^3).
+  * `fused_threshold_close_init`: threshold + exact ball(2) closing +
+    raster-label init in one windowed pass over the volume (int8 mask out).
+  * `compute_reset_distances`: per-axis run-length distance arrays (int16),
+    computed once and reused by every sweep pass, the certificate, and the
+    run/stats kernels — the central amortization of the design.
+  * `ccl_half_sweep_yz` / `ccl_half_sweep_x` / `ccl_sweep_dist`: segmented
+    min-"sweeps" as distance-masked doubling ladders fully in VMEM (one
+    roll per step); the final yz pass can fuse the y/z part of the
+    local-consistency certificate (`with_check=True`).
+  * `ccl_check_consistency[_x]`: d=1 fixed-point certificate — labels are
+    monotone member indices, so within-run adjacent equality IS the exact
+    CCL fixed point.
+  * `extract_z_runs`: per-line z-run tables (label, z0, len) + per-block
+    root candidates ridden along for free (every root is a z-run start).
+  * `run_stats_matmul` / `component_stats_matmul[_xyz]`: per-component
+    {count, sum_i, sum_j, sum_k} as one-hot @ features on the MXU, over
+    the ~nz/run_k-smaller run decomposition on the fast path.
 
-Both have jnp fallbacks (`*_reference`) used on CPU and in parity tests.
+Legacy line-scan variants (`segmented_min_scan_lines`, `ccl_sweep_pallas`)
+remain for the sp-sharded local path and parity coverage. jnp fallbacks
+(`*_reference`) serve CPU and parity tests; every kernel takes
+`interpret=True` so the full fast path runs on CPU in CI.
 """
 
 from __future__ import annotations
@@ -242,60 +253,6 @@ def fused_threshold_close_init(data, thr_lo: float, thr_hi: float, interpret: bo
     )(p, p, p)
     sl = (slice(slab, slab + nx), slice(4, 4 + ny), slice(4, 4 + nz))
     return mask_p[sl], lab_p[sl]
-
-
-def _segscan_axes(lab, reset, axes):
-    """In-VMEM segmented min-scan over `axes` (flag-carrying doubling)."""
-    for axis in axes:
-        n = lab.shape[axis]
-        idx = lax.broadcasted_iota(jnp.int32, lab.shape, axis)
-
-        def directional(v0, f0, forward: bool):
-            v, f = v0, f0
-            d = 1
-            while d < n:
-                if forward:
-                    vs = jnp.where(idx < d, _BIG, pltpu.roll(v, d, axis=axis))
-                    fs = jnp.where(idx < d, 1, pltpu.roll(f, d, axis=axis))
-                else:
-                    vs = jnp.where(idx >= n - d, _BIG, pltpu.roll(v, n - d, axis=axis))
-                    fs = jnp.where(idx >= n - d, 1, pltpu.roll(f, n - d, axis=axis))
-                v = jnp.where(f == 1, v, jnp.minimum(v, vs))
-                f = jnp.maximum(f, fs)
-                d *= 2
-            return v
-
-        fwd = directional(lab, reset, True)
-        bwd = directional(lab, reset, False)
-        lab = jnp.minimum(jnp.minimum(fwd, bwd), lab)
-    return lab
-
-
-def _dist_axis(r, axis):
-    """In-VMEM run-length distances (df, db) along one axis of an int32 0/1
-    reset block (same recurrences as _dist_kernel)."""
-    n = r.shape[axis]
-    idx = lax.broadcasted_iota(jnp.int32, r.shape, axis)
-    c = jnp.where(r == 1, idx, -1)
-    d = 1
-    while d < n:
-        rolled = jnp.where(idx < d, -1, pltpu.roll(c, d, axis=axis))
-        c = jnp.maximum(c, rolled)
-        d *= 2
-    df = idx - c
-    c2 = jnp.where(r == 1, idx, n)
-    d = 1
-    while d < n:
-        rolled = jnp.where(idx >= n - d, n, pltpu.roll(c2, n - d, axis=axis))
-        c2 = jnp.minimum(c2, rolled)
-        d *= 2
-    return df, c2 - idx
-
-
-def _scan3d_kernel(lab_ref, reset_ref, out_ref, *, axes):
-    """Segmented min-scan along one or more axes of a 3-D block, sequentially
-    (matching the sweep's axis ordering), all in VMEM."""
-    out_ref[...] = _segscan_axes(lab_ref[...], reset_ref[...], axes)
 
 
 def _dist_kernel(reset_ref, *out_refs, axes):
