@@ -103,7 +103,7 @@ class MamriEngine:
         self._batch_cache: Dict[Tuple, callable] = {}
 
     # ------------------------------------------------------------------ compute core
-    def _pipeline_fn(self, seg_params: Optional[SegmentationParams] = None, seg_fn=None):
+    def pipeline_fn(self, seg_params: Optional[SegmentationParams] = None, seg_fn=None):
         """The fused per-volume program: segmentation -> matching -> baseplate
         -> full-chain IK. One trace, one XLA program, no host round-trips.
 
@@ -186,6 +186,7 @@ class MamriEngine:
                 "num_components": seg.num_components,
                 "seg_converged": seg.ccl_converged,
                 "roots_complete": seg.roots_complete,
+                "blobs_complete": seg.blobs_complete,
             }
 
         return pipeline
@@ -194,37 +195,49 @@ class MamriEngine:
         params = seg_params if seg_params is not None else self.seg_params
         key = (tuple(shape), params)
         if key not in self._pipeline_cache:
-            self._pipeline_cache[key] = jax.jit(self._pipeline_fn(params))
+            self._pipeline_cache[key] = jax.jit(self.pipeline_fn(params))
         return self._pipeline_cache[key]
 
     @staticmethod
-    def _escalate_seg_params(params: SegmentationParams, converged: bool, complete: bool):
+    def _escalate_seg_params(
+        params: SegmentationParams,
+        converged: bool,
+        complete: bool,
+        blobs_complete: bool = True,
+    ):
         """One escalation step for an uncertified segmentation result.
 
-        The fixed-sweep CCL certifies convergence (last sweep changed nothing)
-        and the blocked root selection certifies completeness; when either
+        The fixed-sweep CCL certifies convergence (last sweep changed
+        nothing), the blocked root selection certifies completeness, and the
+        blob band certifies that no in-band component was dropped; when any
         certificate fails the reference semantics (ITK: unbounded components,
-        exact labels, Mamri.py:1306-1322) demand a stronger rerun, not a
-        silent truncation. Returns None when nothing further can be done."""
+        exact labels, cap-free blob list, Mamri.py:1306-1322) demand a
+        stronger rerun, not a silent truncation. Each failing certificate is
+        escalated independently (a maxed-out budget on one axis must not
+        discard escalation still available on another). Returns None when
+        nothing further can be done."""
         new = params
         if not converged:
             if params.passes is not None:
-                if params.passes >= 512:
-                    return None
-                new = new._replace(passes=min(params.passes * 2, 512))
-            else:
-                if params.max_sweeps >= 256:
-                    return None
+                if params.passes < 512:
+                    new = new._replace(passes=min(params.passes * 2, 512))
+            elif params.max_sweeps < 256:
                 new = new._replace(max_sweeps=min(params.max_sweeps * 2, 256))
-        if not complete:
-            if params.max_roots >= 4096 and params.cand_k >= 256 and params.run_k >= 128:
-                return None
+        if not complete and not (
+            params.max_roots >= 4096 and params.cand_k >= 256 and params.run_k >= 128
+        ):
             new = new._replace(
                 max_roots=min(max(params.max_roots * 8, 1024), 4096),
                 cand_k=min(max(params.cand_k * 8, 64), 256),
                 run_k=min(max(params.run_k * 4, 64), 128),
                 exhaustive_roots=True,  # jnp path: exact flat top_k
             )
+        if not blobs_complete and params.max_blobs < 128:
+            # the matchers scale to any K (C(K,3) vectorized scoring; the
+            # global mode's blob sets are multi-word bitmasks), so the band
+            # can grow until the scene is pathological beyond 128 fiducial-
+            # sized components
+            new = new._replace(max_blobs=min(params.max_blobs * 2, 128))
         return None if new == params else new
 
     # ------------------------------------------------------------------ pose estimation
@@ -255,29 +268,38 @@ class MamriEngine:
         with self.tracer.span("estimate_pose"):
             params = self.seg_params
             while True:
-                out = self._get_pipeline(volume.shape, params)(*args)
+                dev = self._get_pipeline(volume.shape, params)(*args)
+                # ONE host sync per attempt: certificates + results fetch
+                # together (each device_get is a full relay RTT on this
+                # platform). The body mask only ships when the caller keeps
+                # the segmentation, and only after certification settles.
+                mask = dev.pop("body_mask")
+                out = jax.device_get(dev)
                 converged = bool(out["seg_converged"])
                 complete = bool(out["roots_complete"])
-                if converged and complete:
+                blobs_ok = bool(out["blobs_complete"])
+                if converged and complete and blobs_ok:
                     break
-                stronger = self._escalate_seg_params(params, converged, complete)
+                stronger = self._escalate_seg_params(params, converged, complete, blobs_ok)
                 if stronger is None:
                     logger.warning(
                         "segmentation uncertified at strongest settings "
-                        "(converged=%s, roots_complete=%s, num_components=%d)",
-                        converged, complete, int(out["num_components"]),
+                        "(converged=%s, roots_complete=%s, blobs_complete=%s, "
+                        "num_components=%d)",
+                        converged, complete, blobs_ok, int(out["num_components"]),
                     )
                     break
                 logger.warning(
                     "segmentation escalation: converged=%s roots_complete=%s "
-                    "num_components=%d -> max_sweeps=%d max_roots=%d exhaustive=%s",
-                    converged, complete, int(out["num_components"]),
-                    stronger.max_sweeps, stronger.max_roots, stronger.exhaustive_roots,
+                    "blobs_complete=%s num_components=%d -> passes=%s "
+                    "max_sweeps=%d max_roots=%d max_blobs=%d exhaustive=%s",
+                    converged, complete, blobs_ok, int(out["num_components"]),
+                    stronger.passes, stronger.max_sweeps, stronger.max_roots,
+                    stronger.max_blobs, stronger.exhaustive_roots,
                 )
                 params = stronger
-            if not keep_segmentation:
-                out.pop("body_mask")
-            out = jax.device_get(out)
+            if keep_segmentation:
+                out["body_mask"] = jax.device_get(mask)
 
         markers_found = {ln: bool(f) for ln, f in zip(MARKER_LINKS, out["markers_found"])}
         source = ["none", "detected", "saved", "saved_fallback"][int(out["base_source"])]
@@ -320,50 +342,108 @@ class MamriEngine:
             num_blobs=int(out["num_blobs"]),
         )
 
-    def estimate_pose_batch(self, data_batch, spacing, origin, apply_correction: bool = False, donate: bool = True):
+    def estimate_pose_batch(
+        self,
+        data_batch,
+        spacing,
+        origin,
+        apply_correction: bool = False,
+        donate: bool = True,
+        microbatch: Optional[int] = None,
+    ):
         """Batched pose estimation — vmapped fused pipeline, shardable over a
-        device mesh (see mamri_tpu/parallel). Returns raw device arrays
-        (dict of stacked outputs); no engine state is mutated."""
-        out = None
+        device mesh (see mamri_tpu/parallel). Returns a dict of stacked
+        per-volume outputs (host arrays once certified); no engine state is
+        mutated.
+
+        `microbatch` bounds the segmentation workspace: the jitted program
+        processes the batch in `microbatch`-sized chunks via `lax.map`, so
+        peak HBM is input batch + ONE chunk's labels/distance arrays instead
+        of the whole batch's — batch 64 at 256^3 fits a 16 GB chip with
+        microbatch 8 where the flat vmap OOMs at 32 (BASELINE config 3;
+        docs/ROADMAP.md "Scaling"). Must divide the batch size.
+
+        Escalation is PER VOLUME: an uncertified segmentation re-runs only
+        the failing volumes as a compacted sub-batch (padded to a power of
+        two so recompiles stay bounded) at the escalated settings, and the
+        results scatter back — one noisy scan costs escalated work for
+        itself, not a stronger rerun of the whole batch."""
         params = self.seg_params
-        if donate and isinstance(data_batch, jax.Array):
-            # donation consumes the device buffer; keep a host copy so an
-            # escalation rerun (uncertified segmentation) can re-upload
-            data_batch = np.asarray(data_batch)
-        while True:
-            fn = self._get_batch_pipeline(tuple(np.shape(data_batch)[1:]), params, donate)
-            out = fn(
-                jnp.asarray(data_batch),
+        data_np = np.asarray(data_batch)  # host copy: donation consumes the
+        # device buffer and escalation reruns re-upload only the failing rows
+        if microbatch is not None and data_np.shape[0] % microbatch:
+            raise ValueError(
+                f"microbatch {microbatch} must divide batch {data_np.shape[0]}"
+            )
+        fn = self._get_batch_pipeline(
+            tuple(data_np.shape[1:]), params, donate, microbatch
+        )
+        out = fn(
+            jnp.asarray(data_np),
+            jnp.asarray(spacing),
+            jnp.asarray(origin),
+            jnp.asarray(apply_correction),
+        )
+        out.pop("body_mask", None)  # don't ship B full masks back by default
+        # np.array (copy): device_get views are read-only, and the escalation
+        # loop scatters sub-batch results back in place
+        out = {k: np.array(v) for k, v in jax.device_get(out).items()}
+        certified = out["seg_converged"] & out["roots_complete"] & out["blobs_complete"]
+        while not certified.all():
+            fail = np.nonzero(~certified)[0]
+            stronger = self._escalate_seg_params(
+                params,
+                bool(out["seg_converged"][fail].all()),
+                bool(out["roots_complete"][fail].all()),
+                bool(out["blobs_complete"][fail].all()),
+            )
+            if stronger is None:
+                logger.warning(
+                    "batched segmentation uncertified at strongest settings "
+                    "for volumes %s", fail.tolist(),
+                )
+                break
+            # compact the failing volumes; pad to the next power of two with
+            # repeats of the first failure (bounded compile-shape set)
+            n_pad = 1 << max(len(fail) - 1, 0).bit_length() if len(fail) > 1 else 1
+            sel = np.concatenate([fail, np.full(n_pad - len(fail), fail[0], fail.dtype)])
+            logger.warning(
+                "batched segmentation escalation for %d/%d volumes -> "
+                "passes=%s max_sweeps=%d max_roots=%d max_blobs=%d exhaustive=%s",
+                len(fail), data_np.shape[0], stronger.passes, stronger.max_sweeps,
+                stronger.max_roots, stronger.max_blobs, stronger.exhaustive_roots,
+            )
+            # escalation sub-batches are small (compacted failures): no chunking
+            fn = self._get_batch_pipeline(tuple(data_np.shape[1:]), stronger, donate, None)
+            sub = fn(
+                jnp.asarray(data_np[sel]),
                 jnp.asarray(spacing),
                 jnp.asarray(origin),
                 jnp.asarray(apply_correction),
             )
-            converged = bool(np.asarray(out["seg_converged"]).all())
-            complete = bool(np.asarray(out["roots_complete"]).all())
-            if converged and complete:
-                break
-            stronger = self._escalate_seg_params(params, converged, complete)
-            if stronger is None:
-                logger.warning(
-                    "batched segmentation uncertified at strongest settings "
-                    "(converged=%s, roots_complete=%s)", converged, complete
-                )
-                break
-            logger.warning(
-                "batched segmentation escalation -> max_sweeps=%d max_roots=%d exhaustive=%s",
-                stronger.max_sweeps, stronger.max_roots, stronger.exhaustive_roots,
-            )
+            sub.pop("body_mask", None)
+            sub = {k: np.asarray(v) for k, v in jax.device_get(sub).items()}
+            for k, v in out.items():
+                v[fail] = sub[k][: len(fail)]
+            certified[fail] = (
+                sub["seg_converged"] & sub["roots_complete"] & sub["blobs_complete"]
+            )[: len(fail)]
             params = stronger
-        out.pop("body_mask", None)  # don't ship B full masks back by default
         return out
 
-    def _get_batch_pipeline(self, vol_shape, params: SegmentationParams, donate: bool):
-        key = ("batch", vol_shape, params, donate)
+    def _get_batch_pipeline(
+        self,
+        vol_shape,
+        params: SegmentationParams,
+        donate: bool,
+        microbatch: Optional[int] = None,
+    ):
+        key = ("batch", vol_shape, params, donate, microbatch)
         if key not in self._batch_cache:
-            pipeline = self._pipeline_fn(params)
+            pipeline = self.pipeline_fn(params)
 
             def one(data, spacing, origin, apply_correction):
-                return pipeline(
+                out = pipeline(
                     data,
                     spacing,
                     origin,
@@ -373,8 +453,28 @@ class MamriEngine:
                     apply_correction,
                     jnp.zeros(self.model.num_joints, dtype=jnp.float32),
                 )
+                if microbatch is not None:
+                    # chunked path: per-volume results only (a stacked batch
+                    # of full masks would defeat the workspace bound)
+                    out.pop("body_mask")
+                return out
 
-            batched = jax.vmap(one, in_axes=(0, None, None, None))
+            if microbatch is None:
+                batched = jax.vmap(one, in_axes=(0, None, None, None))
+            else:
+                def batched(data, spacing, origin, apply_correction):
+                    b = data.shape[0]
+                    chunks = data.reshape((b // microbatch, microbatch) + data.shape[1:])
+                    out = jax.lax.map(
+                        lambda d: jax.vmap(one, in_axes=(0, None, None, None))(
+                            d, spacing, origin, apply_correction
+                        ),
+                        chunks,
+                    )
+                    return jax.tree.map(
+                        lambda x: x.reshape((b,) + x.shape[2:]), out
+                    )
+
             kw = {"donate_argnums": (0,)} if donate else {}
             self._batch_cache[key] = jax.jit(batched, **kw)
         return self._batch_cache[key]

@@ -189,6 +189,7 @@ def run_parity_checks(size: int = 128, sweeps: int = 6) -> Dict:
         "certificates": {
             "converged": bool(rk.ccl_converged),
             "roots_complete": bool(rk.roots_complete),
+            "blobs_complete": bool(rk.blobs_complete),
         },
     }
 

@@ -87,6 +87,10 @@ class SegmentationResult(NamedTuple):
     roots_complete: jnp.ndarray  # () bool — every component's stats were
     # considered (num_components <= max_roots and, on the blocked fast path,
     # no block overflowed its candidate budget); escalate otherwise
+    blobs_complete: jnp.ndarray  # () bool — every in-band (50-1500 mm^3)
+    # component got a blob slot (num_in_band <= max_blobs). The ITK reference
+    # has no component cap (Mamri.py:1310-1317), so a full blob band is a
+    # silent truncation unless certified; the engine escalates max_blobs.
 
 
 def _ball_offsets(radius: int) -> Tuple[Tuple[int, int, int], ...]:
@@ -236,15 +240,21 @@ def _crop3(a, shape):
     return a[: shape[0], : shape[1], : shape[2]]
 
 
-def _ccl_sweeps_pallas(lab0, reset, max_sweeps: int, passes: Optional[int] = None):
+def _ccl_sweeps_pallas(
+    lab0, reset, max_sweeps: int, passes: Optional[int] = None, interpret: Optional[bool] = None
+):
     """Fixed sweeps with the run-length Pallas kernels on PADDED arrays.
     Returns (labels, converged): converged certifies the exact fixed point
     (the final sweep changed nothing, and sweeps are idempotent past
     convergence)."""
     from mamri_tpu.perception.pallas_ops import compute_reset_distances
 
-    dists = compute_reset_distances(reset.astype(jnp.int8))
-    return _ccl_sweeps_pallas_from_dists(lab0, dists, max_sweeps, passes=passes)
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    dists = compute_reset_distances(reset.astype(jnp.int8), interpret=interpret)
+    return _ccl_sweeps_pallas_from_dists(
+        lab0, dists, max_sweeps, passes=passes, interpret=interpret
+    )
 
 
 def _ccl_sweeps_pallas_from_dists(
@@ -415,7 +425,9 @@ def _component_stats(
     )
 
     if use_pallas:
-        stats = component_stats_matmul(flat, roots, nx, ny)
+        stats = component_stats_matmul(
+            flat, roots, nx, ny, interpret=jax.default_backend() == "cpu"
+        )
     else:
         stats = component_stats_matmul_reference(flat, roots, nx, ny)
     counts = stats[:, 0]
@@ -557,6 +569,8 @@ def finalize_segmentation(
     )
 
     # fiducial blobs: smallest-root-first among in-band components
+    num_in_band = jnp.sum(in_band, dtype=jnp.int32)
+    blobs_complete = num_in_band <= params.max_blobs
     blob_keys = jnp.where(in_band, -roots, -_BIG)
     bkeys, bidx = lax.top_k(blob_keys, params.max_blobs)
     blob_valid = bkeys != -_BIG
@@ -590,4 +604,5 @@ def finalize_segmentation(
         labels=labels,
         ccl_converged=converged,
         roots_complete=complete,
+        blobs_complete=blobs_complete,
     )

@@ -192,13 +192,13 @@ def match_l_shaped_triplets_global(
     K <= 32 blobs and 4 links that always holds in practice).
 
     Fully vectorized and jit/vmap-compatible: (top_m+1)^J static assignment
-    table, blob sets as uint32 bitmasks, disjointness via population counts.
+    table, blob sets as multi-word uint32 bitmasks (ceil(K/32) words, so any
+    escalated blob budget fits), disjointness via population counts.
     """
     points = jnp.asarray(points)
     valid = jnp.asarray(valid)
     k = points.shape[0]
-    if k > 32:
-        raise ValueError("global matching supports at most 32 candidate blobs (uint32 bitmask)")
+    nwords = -(-k // 32)  # blob-set bitmask words; 1 word up to 32 blobs
     nlinks = len(arm_lengths)
     combos = jnp.asarray(_combo_table(k))  # (C, 3)
 
@@ -215,11 +215,14 @@ def match_l_shaped_triplets_global(
     )
     sig = jnp.sort(dists, axis=-1)  # (C, 3)
     members_valid = valid[combos[:, 0]] & valid[combos[:, 1]] & valid[combos[:, 2]]
-    combo_mask = (
-        (jnp.uint32(1) << combos[:, 0].astype(jnp.uint32))
-        | (jnp.uint32(1) << combos[:, 1].astype(jnp.uint32))
-        | (jnp.uint32(1) << combos[:, 2].astype(jnp.uint32))
-    )  # (C,) blob-membership bitmask
+    word_ids = jnp.arange(nwords, dtype=jnp.uint32)[None, :] * 32  # (1, W)
+    combo_mask = jnp.zeros((combos.shape[0], nwords), jnp.uint32)
+    for m in range(3):
+        idxu = combos[:, m].astype(jnp.uint32)[:, None]  # (C, 1)
+        in_word = (idxu >= word_ids) & (idxu < word_ids + 32)
+        combo_mask = combo_mask | jnp.where(
+            in_word, jnp.uint32(1) << (idxu - word_ids), jnp.uint32(0)
+        )  # (C, W) blob-membership bitmask
 
     _INF = jnp.float32(jnp.inf)
     cand_idx, cand_err, cand_ok, cand_mask = [], [], [], []
@@ -233,18 +236,18 @@ def match_l_shaped_triplets_global(
         cand_idx.append(idx)
         cand_err.append(-vals)  # inf where not fitting
         cand_ok.append(vals > -_INF)
-        cand_mask.append(jnp.where(vals > -_INF, combo_mask[idx], jnp.uint32(0)))
+        cand_mask.append(jnp.where((vals > -_INF)[:, None], combo_mask[idx], jnp.uint32(0)))
     cand_idx = jnp.stack(cand_idx)  # (J, M)
     cand_err = jnp.stack(cand_err)
     cand_ok = jnp.stack(cand_ok)
-    cand_mask = jnp.stack(cand_mask)
+    cand_mask = jnp.stack(cand_mask)  # (J, M, W)
 
     # option M (the last) = "leave this link unmatched": always legal, zero
     # error, empty blob set — scored below matched options by the lexicographic
     # objective.
     m1 = top_m + 1
     opt_err = jnp.concatenate([jnp.where(cand_ok, cand_err, _INF), jnp.zeros((nlinks, 1))], axis=1)
-    opt_mask = jnp.concatenate([cand_mask, jnp.zeros((nlinks, 1), jnp.uint32)], axis=1)
+    opt_mask = jnp.concatenate([cand_mask, jnp.zeros((nlinks, 1, nwords), jnp.uint32)], axis=1)
     opt_matched = jnp.concatenate(
         [cand_ok, jnp.zeros((nlinks, 1), bool)], axis=1
     )
@@ -254,24 +257,27 @@ def match_l_shaped_triplets_global(
     digits = jnp.stack([(a // (m1**j)) % m1 for j in range(nlinks)], axis=1)  # (A, J)
     link_ids = jnp.arange(nlinks)[None, :]
     a_err = opt_err[link_ids, digits]  # (A, J)
-    a_mask = opt_mask[link_ids, digits]
+    a_mask = opt_mask[link_ids, digits]  # (A, J, W)
     a_matched = opt_matched[link_ids, digits]
 
     pop = jax.lax.population_count
-    union = jnp.zeros(n_assign, jnp.uint32)
+    union = jnp.zeros((n_assign, nwords), jnp.uint32)
     popsum = jnp.zeros(n_assign, jnp.int32)
     for j in range(nlinks):
         union = union | a_mask[:, j]
-        popsum = popsum + pop(a_mask[:, j]).astype(jnp.int32)
-    disjoint = pop(union).astype(jnp.int32) == popsum
+        popsum = popsum + jnp.sum(pop(a_mask[:, j]), axis=-1).astype(jnp.int32)
+    disjoint = jnp.sum(pop(union), axis=-1).astype(jnp.int32) == popsum
 
     n_matched = jnp.sum(a_matched, axis=1)
     total_err = jnp.sum(a_err, axis=1)
     feasible = disjoint & jnp.isfinite(total_err)
-    # lexicographic: more matches always beats any error difference (total
-    # error is bounded by J * 3 * tol << the 1e6 step)
-    score = jnp.where(feasible, -n_matched.astype(jnp.float32) * 1e6 + total_err, _INF)
-    best = jnp.argmin(score)
+    # lexicographic argmin in two exact stages (a single combined f32 score
+    # -n_matched*1e6 + err has ~0.5 ulp at |4e6|, which rounds away sub-0.5mm
+    # error differences between equal-match assignments): first mask to the
+    # max feasible match count, then argmin total error within it.
+    best_matched = jnp.max(jnp.where(feasible, n_matched, -1))
+    tie = feasible & (n_matched == best_matched)
+    best = jnp.argmin(jnp.where(tie, total_err, _INF))
 
     out_points, out_found, out_ids = [], [], []
     for j, (l1, l2) in enumerate(arm_lengths):

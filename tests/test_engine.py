@@ -479,3 +479,115 @@ def test_estimate_pose_random_pose_sweep():
         assert np.linalg.norm(tcp_true - tcp_est) < 2.0, (
             trial, tcp_true, tcp_est, err_deg,
         )
+
+
+def test_blob_band_escalation_recovers_markers(caplog):
+    """>32 genuine in-band components (fiducial-sized clutter) fail the blob
+    band certificate; the engine escalates max_blobs and still recovers all
+    four marker triplets + the pose (cap-free ITK semantics, Mamri.py:1310)."""
+    import logging
+
+    rng = np.random.default_rng(7)
+    eng = MamriEngine(ik_iters=60, ik_restarts=6, match_mode="global")
+    vol, base = _make_scene(eng, spacing=2.5)
+    markers = np.concatenate(
+        [
+            np.asarray(marker_world_positions(eng.model, jnp.asarray(TRUE_ANGLES), ln, jnp.asarray(base)))
+            for ln in ["Baseplate", "Joint2", "Joint4", "Joint6"]
+        ]
+    )
+    body_center = np.array([-60.0, -40.0, 130.0])
+
+    # fiducial-sized clutter: 28 spheres in-bounds, clear of markers/body/edges
+    sp = np.asarray(vol.spacing)
+    origin = np.asarray(vol.origin)
+    shape = np.asarray(vol.data.shape)
+    lps_lo, lps_hi = origin + 12 * sp, origin + (shape - 12) * sp
+    ras_lo = np.array([-lps_hi[0], -lps_hi[1], lps_lo[2]])
+    ras_hi = np.array([-lps_lo[0], -lps_lo[1], lps_hi[2]])
+    clutter = []
+    while len(clutter) < 28:
+        p = ras_lo + rng.random(3) * (ras_hi - ras_lo)
+        if np.linalg.norm(markers - p, axis=1).min() < 35.0:
+            continue
+        if np.linalg.norm(p - body_center) < 90.0:
+            continue
+        if clutter and np.linalg.norm(np.asarray(clutter) - p, axis=1).min() < 18.0:
+            continue
+        clutter.append(p)
+    from mamri_tpu.perception.volume import synthetic_volume
+
+    vol2 = synthetic_volume(
+        shape=tuple(int(s) for s in shape),
+        spacing=sp,
+        origin=origin,
+        fiducials_ras=np.concatenate([markers, np.asarray(clutter, np.float32)]),
+        fiducial_radius_mm=4.0,
+        body_center_ras=body_center,
+        body_radii_mm=[45.0, 55.0, 65.0],
+    )
+    with caplog.at_level(logging.WARNING, logger="mamri_tpu.api.engine"):
+        res = eng.estimate_pose(vol2)
+    assert res.success, res.message
+    assert all(res.markers_found.values()), res.markers_found
+    # 12 markers + 28 clutter = 40 in-band blobs > the default 32-slot band
+    assert res.num_blobs == 40
+    assert any("escalation" in r.message for r in caplog.records)
+    assert bool(eng.last_segmentation["blobs_complete"])
+    err_deg = np.rad2deg(np.abs(res.angles_rad - TRUE_ANGLES))
+    assert err_deg.max() < 1.0, err_deg
+
+
+def test_batched_per_volume_escalation(caplog):
+    """A mixed clean/noisy batch must escalate ONLY the uncertified volume:
+    the failing row re-runs as a compacted sub-batch while the clean rows
+    keep their first-pass results — one noisy scan must not multiply the
+    whole batch's cost (VERDICT r2 weak #3)."""
+    import logging
+
+    eng = MamriEngine()  # defaults: max_roots=128 -> speckle fails completeness
+    vol, base = _make_scene(eng, spacing=2.5)
+    clean = np.asarray(vol.data)
+
+    rng = np.random.default_rng(11)
+    noisy = clean.copy()
+    bright = clean > 60.0
+    n_added = 0
+    for i, j, k in rng.integers(0, np.array(clean.shape)[None, :], size=(1200, 3)):
+        if not bright[max(i-2,0):i+3, max(j-2,0):j+3, max(k-2,0):k+3].any():
+            noisy[i, j, k] = 100.0
+            n_added += 1
+    assert n_added > 300
+
+    batch = np.stack([clean, noisy, clean])
+    with caplog.at_level(logging.WARNING, logger="mamri_tpu.api.engine"):
+        out = eng.estimate_pose_batch(batch, vol.spacing, vol.origin)
+    # only volume 1 escalated (compacted sub-batch), logged as 1/3
+    assert any("escalation for 1/3 volumes" in r.message for r in caplog.records)
+    assert np.asarray(out["seg_converged"]).all()
+    assert np.asarray(out["roots_complete"]).all()
+    assert np.asarray(out["blobs_complete"]).all()
+    assert np.asarray(out["success"]).all()
+    # clean rows carry FIRST-PASS results: bit-identical to the same-shape
+    # all-clean batch (an escalated rerun would use different root budgets,
+    # hence different reduction shapes/orders — and the 1/3 log above proves
+    # only the noisy row re-ran)
+    ref = eng.estimate_pose_batch(np.stack([clean, clean, clean]), vol.spacing, vol.origin)
+    np.testing.assert_array_equal(np.asarray(out["angles"])[0], np.asarray(ref["angles"])[0])
+    np.testing.assert_array_equal(np.asarray(out["angles"])[2], np.asarray(ref["angles"])[2])
+    # the noisy row still recovered the pose
+    err = np.rad2deg(np.abs(np.asarray(out["angles"])[1] - TRUE_ANGLES))
+    assert err.max() < 1.0, err
+
+
+def test_batched_microbatch_chunking(engine, scene):
+    """lax.map-chunked batching (the HBM-bounded path for batch 64 at 256^3)
+    must produce the same results as the flat vmap."""
+    vol, base = scene
+    batch = vol.data[None].repeat(4, axis=0)
+    flat = engine.estimate_pose_batch(batch, vol.spacing, vol.origin)
+    chunked = engine.estimate_pose_batch(batch, vol.spacing, vol.origin, microbatch=2)
+    np.testing.assert_array_equal(np.asarray(flat["angles"]), np.asarray(chunked["angles"]))
+    assert np.asarray(chunked["success"]).all()
+    with pytest.raises(ValueError):
+        engine.estimate_pose_batch(batch, vol.spacing, vol.origin, microbatch=3)

@@ -185,3 +185,43 @@ def test_segment_volume_passes_default_certifies(vol, cpu_seg):
     got_c = np.asarray(res.centroids_ras)[np.asarray(res.blob_valid)]
     for c in cpu_seg.centroids_ras:
         assert np.linalg.norm(got_c - c, axis=1).min() < 1e-3
+
+
+def test_blob_band_certificate():
+    """>max_blobs genuine in-band components must fail blobs_complete (the
+    ITK reference has no blob cap, Mamri.py:1310-1317); raising max_blobs
+    certifies and recovers every component."""
+    import jax.numpy as jnp
+
+    from mamri_tpu.perception.segmentation import SegmentationParams, segment_volume
+
+    # 40 separated 3^3 cubes at 1.5 mm spacing: 27 * 3.375 = 91.1 mm^3 each,
+    # inside the 50-1500 band
+    data = np.zeros((64, 48, 48), np.float32)
+    n = 0
+    for i in range(8):
+        for j in range(5):
+            if n >= 40:
+                break
+            x, y = 4 + 7 * i, 4 + 8 * j
+            data[x : x + 3, y : y + 3, 10:13] = 100.0
+            n += 1
+    spacing = np.full(3, 1.5, np.float32)
+    origin = np.zeros(3, np.float32)
+
+    params = SegmentationParams(max_sweeps=8, use_pallas=False)
+    res = segment_volume(jnp.asarray(data), spacing, origin, params)
+    assert int(res.num_components) == 40
+    assert bool(res.roots_complete) and bool(res.ccl_converged)
+    assert not bool(res.blobs_complete)  # 40 > default max_blobs=32
+    assert int(res.num_blobs) == 32  # band truncated -> certificate failed
+
+    res64 = segment_volume(
+        jnp.asarray(data), spacing, origin, params._replace(max_blobs=64)
+    )
+    assert bool(res64.blobs_complete)
+    assert int(res64.num_blobs) == 40
+    vols = np.asarray(res64.volumes_mm3)[np.asarray(res64.blob_valid)]
+    # ball(2) closing can add a voxel or two to a 3^3 cube; all stay in-band
+    assert vols.shape == (40,)
+    assert np.all((vols >= 27 * 1.5**3) & (vols <= 30 * 1.5**3)), vols
