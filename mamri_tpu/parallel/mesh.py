@@ -76,29 +76,36 @@ def batch_sharding(mesh: Mesh, dp_axis: str = "dp", sp_axis: Optional[str] = Non
 _OUT_KEYS = (
     "success", "angles", "steps", "rmse", "base_tf", "base_ok", "base_source",
     "markers_found", "num_blobs", "body_found", "num_components",
-    "seg_converged", "roots_complete",
+    "seg_converged", "roots_complete", "blobs_complete",
 )
 
 
-def sharded_batched_pipeline(engine, mesh: Mesh, dp_axis: str = "dp", sp_axis: Optional[str] = None):
+def sharded_batched_pipeline(
+    engine,
+    mesh: Mesh,
+    dp_axis: str = "dp",
+    sp_axis: Optional[str] = None,
+    seg_params=None,
+):
     """jit the engine's fused batched pipeline with mesh shardings.
 
     Returns fn(data_batch, spacing, origin, apply_correction) -> dict of
     sharded outputs (per-volume results sharded over dp). The batch size must
     be a multiple of the dp axis (and nx of the sp axis when spatial sharding
-    is on).
+    is on). `seg_params` overrides the engine's segmentation settings (the
+    escalation driver `run_sharded_batched` re-builds with stronger params).
 
     dp-only: plain jit + NamedSharding (XLA partitions the batch axis).
     dp x sp: manual SPMD via shard_map — the segmentation stage runs
-    `segment_volume_sharded` (explicit ppermute halo exchange for the
-    closing, all_gather'd summary prefix for the cross-shard CCL scans,
-    psum'd stats; parallel/shard_seg.py), so the Pallas kernels stay on the
-    hot path instead of being pinned to the jnp fallback.
+    `segment_volume_sharded` (parallel/shard_seg.py): the full single-chip
+    Pallas kernel pipeline shard-locally, with explicit ppermute data halos
+    for the fused closing/init, an all_gather'd boundary-run prefix for the
+    cross-shard x half-sweeps, and psum'd run-stats/certificates.
     """
     nj = engine.model.num_joints
 
     if sp_axis is None:
-        pipeline = engine._pipeline_fn()
+        pipeline = engine.pipeline_fn(seg_params)
 
         def one(data, spacing, origin, apply_correction):
             out = pipeline(
@@ -129,7 +136,7 @@ def sharded_batched_pipeline(engine, mesh: Mesh, dp_axis: str = "dp", sp_axis: O
     def seg_fn(data, spacing, origin, params):
         return segment_volume_sharded(data, spacing, origin, params, axis_name=sp_axis)
 
-    pipeline = engine._pipeline_fn(seg_fn=seg_fn)
+    pipeline = engine.pipeline_fn(seg_params, seg_fn=seg_fn)
 
     def local_fn(data, spacing, origin, apply_correction):
         # data: (B/dp, nx/sp, ny, nz) local block; collectives ride sp only
@@ -157,3 +164,50 @@ def sharded_batched_pipeline(engine, mesh: Mesh, dp_axis: str = "dp", sp_axis: O
         check_vma=False,  # outputs are replicated over sp by construction
     )
     return jax.jit(shmapped)
+
+
+def run_sharded_batched(
+    engine,
+    mesh: Mesh,
+    data_batch,
+    spacing,
+    origin,
+    apply_correction: bool = False,
+    dp_axis: str = "dp",
+    sp_axis: Optional[str] = None,
+    _fn_cache: Optional[dict] = None,
+):
+    """Execute the mesh-sharded batched pipeline WITH the engine's
+    certificate->escalate->rerun loop (the same semantics `estimate_pose`
+    has single-chip): an uncertified segmentation (ccl_converged /
+    roots_complete / blobs_complete) re-runs the batch at escalated settings
+    until every volume certifies or the budgets cap out.
+
+    Returns (outputs dict of host arrays, final SegmentationParams,
+    certified: bool). Compiled programs are cached per params in `_fn_cache`
+    (pass a dict to keep it across calls).
+    """
+    cache = _fn_cache if _fn_cache is not None else {}
+    params = engine.seg_params
+    while True:
+        key = (params, dp_axis, sp_axis)
+        if key not in cache:
+            cache[key] = sharded_batched_pipeline(
+                engine, mesh, dp_axis=dp_axis, sp_axis=sp_axis, seg_params=params
+            )
+        out = cache[key](
+            jnp.asarray(data_batch),
+            jnp.asarray(spacing),
+            jnp.asarray(origin),
+            jnp.asarray(apply_correction),
+        )
+        out = {k: np.asarray(v) for k, v in jax.device_get(out).items()}
+        converged = bool(out["seg_converged"].all())
+        complete = bool(out["roots_complete"].all())
+        blobs_ok = bool(out["blobs_complete"].all())
+        if converged and complete and blobs_ok:
+            return out, params, True
+        stronger = engine._escalate_seg_params(params, converged, complete, blobs_ok)
+        if stronger is None:
+            return out, params, False
+        params = stronger

@@ -3,29 +3,40 @@
 The jit+NamedSharding sp path (parallel/mesh.py) must pin the slow jnp
 segmentation because XLA cannot auto-partition `pallas_call`. This module is
 the manual-SPMD alternative: the volume's x extent is sharded over the `sp`
-mesh axis and every cross-shard interaction is an explicit collective —
+mesh axis, the SAME Pallas kernel pipeline that powers the single-chip path
+runs shard-locally, and every cross-shard interaction is an explicit
+collective:
 
-  * morphological closing: 4-plane x-halo exchange via `lax.ppermute`
-    (dilation reach 2 + erosion reach 2; global edges receive zeros, which
-    matches `binary_close`'s constant-False padding exactly);
-  * CCL x-axis scans: each sweep's segmented min-scan along the sharded axis
-    is computed EXACTLY in one pass — local directional scans, then an
-    `all_gather` of each shard's per-line fold summary (any-reset flag, scan
-    value at the shard boundary), a static prefix-combine over the shard
-    ring, and a local apply. The scan combine is associative, so this is the
-    textbook Blelloch decomposition lifted to the mesh; a component spanning
-    all shards converges in the same number of sweeps as the unsharded
-    algorithm (bit-identical labels);
-  * y/z scans stay shard-local and route through the Pallas line-scan kernel
-    (`segmented_min_scan_lines`) on TPU — the same VMEM-resident kernel as
-    the single-chip path, now wrapped in shard_map (interpret mode on CPU
-    meshes);
-  * component stats: local root extraction + `all_gather` top-k merge for
-    candidate roots, `psum` for counts/coordinate sums (coordinates are
-    global: the x index is offset by `axis_index * local_nx`);
-  * convergence/completeness certificates are psum'd so every shard reports
-    the GLOBAL certificate, and the engine's escalation logic applies
-    unchanged.
+  * fused threshold + ball(2) closing + label init: a 4-plane x-halo of RAW
+    data is exchanged via `lax.ppermute`, then `fused_threshold_close_init`
+    runs on the extended shard (global edges receive below-threshold fill,
+    identical to `binary_close`'s constant-False padding). Labels come out
+    as GLOBAL (z, y, x)-raster indices: the kernel uses the global raster
+    multipliers and the shard adds its x offset.
+  * run-length distances (`compute_reset_distances`) are computed
+    shard-locally; the x pair deliberately treats the shard boundary as a
+    run break (that clamping is exactly what the local x sweep needs).
+  * CCL sweeps follow the single-chip half-sweep schedule ([yz, x, yz, ...]
+    when `params.passes` is set, classic full sweeps otherwise): y/z
+    half-sweeps are the VMEM-resident `ccl_half_sweep_yz` kernel, and the x
+    half-sweep is `ccl_half_sweep_x` (local run portions) plus an exact
+    cross-shard fix — one `all_gather` of each shard's per-line boundary-run
+    summaries, a static prefix-combine over the shard ring, and a masked
+    apply to the runs touching the shard edges. The combine is associative,
+    so the result is bit-identical to the unsharded x half-sweep.
+  * the local-consistency convergence certificate (`ccl_check_consistency`)
+    runs shard-locally; shard-boundary label pairs are checked with one
+    ppermute'd edge plane; `psum` makes the certificate GLOBAL — so ANY
+    half-sweep schedule is legitimized exactly as on one chip, and the
+    engine's passes-doubling escalation strengthens the sharded path too.
+  * component stats: `extract_z_runs` (z-runs never cross x shards) with the
+    shard's global `x_off` for root detection, an `all_gather` top-k root
+    merge, and `run_stats_matmul` over the ~nz/run_k-smaller run tables with
+    a closed-form x-offset correction (sum_i += x_off * count), `psum`'d.
+
+A jnp fallback (`use_pallas=False`, or a local x extent that is not a
+multiple of the 8-row tile) keeps the round-2 associative-scan path, now
+honoring the same `passes` schedule and consistency certificate.
 
 Everything downstream of the (R, 4) stats is replicated arithmetic (the
 same `finalize_segmentation` tail as the single-chip path); the big arrays
@@ -61,10 +72,16 @@ def _use_pallas_local(params: SegmentationParams) -> bool:
     return jax.default_backend() not in ("cpu",)
 
 
+def _ring_perms(n_sp: int):
+    fwd = [(i, i + 1) for i in range(n_sp - 1)]  # to the right neighbor
+    bwd = [(i + 1, i) for i in range(n_sp - 1)]  # to the left neighbor
+    return fwd, bwd
+
+
 # ----------------------------------------------------------------- closing
 def _closed_mask_sharded(data, thr_lo, thr_hi, radius: int, axis_name: str):
     """Threshold + ball closing on an x-sharded volume, exact via halo
-    exchange. `data` is the local (nxl, ny, nz) shard."""
+    exchange. `data` is the local (nxl, ny, nz) shard. (jnp fallback path.)"""
     mask = jnp.logical_and(data >= thr_lo, data <= thr_hi)
     if radius <= 0:
         return mask
@@ -72,8 +89,7 @@ def _closed_mask_sharded(data, thr_lo, thr_hi, radius: int, axis_name: str):
     # send my trailing h planes right / leading h planes left; global edges
     # get zeros (= background), identical to constant-False padding
     n_sp = lax.axis_size(axis_name)
-    fwd = [(i, i + 1) for i in range(n_sp - 1)]
-    bwd = [(i + 1, i) for i in range(n_sp - 1)]
+    fwd, bwd = _ring_perms(n_sp)
     left_halo = lax.ppermute(mask[-h:], axis_name, perm=fwd)  # from left neighbor
     right_halo = lax.ppermute(mask[:h], axis_name, perm=bwd)  # from right neighbor
     ext = jnp.concatenate([left_halo, mask, right_halo], axis=0)
@@ -105,8 +121,28 @@ def _local_scan_lines(lab, reset_i32, axis: int, use_pallas: bool, interpret: bo
     raise ValueError("local axes are 1 (y) and 2 (z); axis 0 is sharded")
 
 
+def _prefix_combine(f_all, v_all, reverse: bool):
+    """Static prefix-combine of per-shard (any-reset, boundary-run value)
+    summaries over the shard ring; returns the per-shard INCOMING value
+    (the scan state just before this shard). The combine
+        (f, v) . (f_t, v_t) = (f | f_t, v_t if f_t else min(v, v_t))
+    is associative — the textbook Blelloch decomposition lifted to the mesh.
+    """
+    n_sp = f_all.shape[0]
+    runf = jnp.zeros_like(f_all[0])
+    runv = jnp.full_like(v_all[0], _BIG)
+    pref_v = [None] * n_sp
+    order = range(n_sp) if not reverse else range(n_sp - 1, -1, -1)
+    for t in order:
+        pref_v[t] = runv
+        runv = jnp.where(f_all[t], v_all[t], jnp.minimum(runv, v_all[t]))
+        runf = jnp.logical_or(runf, f_all[t])
+    return jnp.stack(pref_v)
+
+
 def _global_x_scan(lab, reset, axis_name: str, reverse: bool):
-    """Exact inclusive segmented min-scan along the SHARDED x axis.
+    """Exact inclusive segmented min-scan along the SHARDED x axis (jnp
+    fallback path).
 
     Local directional scan, then one all_gather of the (ny, nz) per-line fold
     summaries, a static prefix-combine over shard order, and a local apply:
@@ -119,46 +155,244 @@ def _global_x_scan(lab, reset, axis_name: str, reverse: bool):
     edge = 0 if reverse else -1
     f_all = lax.all_gather(f_loc[edge], axis_name)  # (S, ny, nz)
     v_all = lax.all_gather(v_loc[edge], axis_name)
-    n_sp = f_all.shape[0]
-
-    runf = jnp.zeros_like(f_all[0])
-    runv = jnp.full_like(v_all[0], _BIG)
-    pref_f, pref_v = [None] * n_sp, [None] * n_sp
-    order = range(n_sp) if not reverse else range(n_sp - 1, -1, -1)
-    for t in order:
-        pref_f[t], pref_v[t] = runf, runv
-        runv = jnp.where(f_all[t], v_all[t], jnp.minimum(runv, v_all[t]))
-        runf = jnp.logical_or(runf, f_all[t])
-    pf = jnp.stack(pref_f)
-    pv = jnp.stack(pref_v)
+    pv = _prefix_combine(f_all, v_all, reverse)
     me = lax.axis_index(axis_name)
     v_in = pv[me]
     return jnp.where(f_loc, v_loc, jnp.minimum(v_in[None, :, :], v_loc))
 
 
-def _ccl_sweeps_sharded(lab0, reset, max_sweeps: int, axis_name: str, use_pallas: bool, interpret: bool):
-    """Fixed CCL sweeps on the x-sharded labels; `converged` is the GLOBAL
-    certificate (psum of the final sweep's change flags)."""
+def _boundary_bad(lab, fg, axis_name: str):
+    """() int32: 1 iff any shard-boundary x-neighbor pair is foreground on
+    both sides with differing labels (the cross-shard part of the
+    local-consistency certificate). Uses one ppermute of the right
+    neighbor's first plane; the last shard receives zeros (fg=False)."""
+    n_sp = lax.axis_size(axis_name)
+    _, bwd = _ring_perms(n_sp)
+    nb_lab = lax.ppermute(lab[:1], axis_name, perm=bwd)[0]
+    nb_fg = lax.ppermute(fg[:1].astype(jnp.int32), axis_name, perm=bwd)[0]
+    bad = jnp.any(
+        jnp.logical_and(
+            jnp.logical_and(fg[-1], nb_fg == 1), lab[-1] != nb_lab
+        )
+    )
+    return bad.astype(jnp.int32)
+
+
+# ------------------------------------------------------------ fallback sweeps
+def _ccl_sweeps_sharded(
+    lab0, reset, params: SegmentationParams, axis_name: str, use_pallas: bool, interpret: bool
+):
+    """jnp-fallback CCL sweeps on the x-sharded labels, honoring the same
+    half-sweep `passes` schedule as the single-chip path; `converged` is the
+    GLOBAL local-consistency certificate (valid for ANY schedule), so the
+    engine's passes-doubling escalation strengthens this path too."""
     reset_i32 = reset.astype(jnp.int32)
 
-    def sweep(lab, _):
-        prev = lab
+    def yz_half(lab):
         lab = _local_scan_lines(lab, reset_i32, 1, use_pallas, interpret)
-        lab = _local_scan_lines(lab, reset_i32, 2, use_pallas, interpret)
+        return _local_scan_lines(lab, reset_i32, 2, use_pallas, interpret)
+
+    def x_half(lab):
         fwd = _global_x_scan(lab, reset, axis_name, reverse=False)
         bwd = _global_x_scan(lab, reset, axis_name, reverse=True)
-        lab = jnp.minimum(jnp.minimum(fwd, bwd), lab)
-        return lab, jnp.any(lab != prev)
+        return jnp.minimum(jnp.minimum(fwd, bwd), lab)
 
-    lab, changed = lax.scan(sweep, lab0, None, length=max_sweeps)
-    changed_global = lax.psum(changed[-1].astype(jnp.int32), axis_name)
-    return lab, changed_global == 0
+    passes = params.passes
+    if passes is None:
+        def sweep(lab, _):
+            lab = x_half(yz_half(lab))
+            return lab, None
+
+        lab, _ = lax.scan(sweep, lab0, None, length=params.max_sweeps)
+    else:
+        def sweep(lab, _):
+            lab = x_half(yz_half(lab))
+            return lab, None
+
+        lab, _ = lax.scan(sweep, lab0, None, length=passes // 2)
+        if passes % 2:
+            lab = yz_half(lab)
+
+    converged = _consistency_sharded_jnp(lab, reset, axis_name)
+    return lab, converged
+
+
+def _consistency_sharded_jnp(lab, reset, axis_name: str):
+    """GLOBAL () bool fixed-point certificate for the fallback path: local
+    within-run adjacent equality on all three axes (axis-0 pairs within the
+    shard) + the ppermute'd shard-boundary pairs, psum'd."""
+    fg = jnp.logical_not(reset)
+    bad = jnp.zeros((), jnp.int32)
+    for axis in range(3):
+        pair = jnp.logical_and(
+            jnp.take(fg, jnp.arange(1, fg.shape[axis]), axis=axis),
+            jnp.take(fg, jnp.arange(0, fg.shape[axis] - 1), axis=axis),
+        )
+        diff = jnp.take(lab, jnp.arange(1, lab.shape[axis]), axis=axis) != jnp.take(
+            lab, jnp.arange(0, lab.shape[axis] - 1), axis=axis
+        )
+        bad = jnp.maximum(
+            bad, jnp.any(jnp.logical_and(pair, diff)).astype(jnp.int32)
+        )
+    bad = jnp.maximum(bad, _boundary_bad(lab, fg, axis_name))
+    return lax.psum(bad, axis_name) == 0
+
+
+# ------------------------------------------------------------ fast (kernel) path
+def _x_half_sweep_sharded(lab, dists, reset_any, left_run, right_run, axis_name, interpret):
+    """The x half of a CCL sweep on the sharded axis: the local dist-masked
+    ladder kernel (shard-local run portions; the local distances already
+    treat the shard edge as a break), then the exact cross-shard fix — one
+    all_gather of per-line boundary summaries, prefix-combine, masked apply.
+
+    After the local sweep the edge voxel of a boundary-touching run holds
+    the min over the run's entire local portion (the bidirectional ladder
+    covers it), which is exactly the directional scan's fold value at the
+    edge — so the standard segmented-scan decomposition applies unchanged.
+    """
+    from mamri_tpu.perception.pallas_ops import ccl_half_sweep_x
+
+    lab, _ = ccl_half_sweep_x(lab, dists, interpret=interpret)
+
+    f_all = lax.all_gather(reset_any, axis_name)  # (S, nyp, nzp)
+    vr_all = lax.all_gather(lab[-1], axis_name)
+    vl_all = lax.all_gather(lab[0], axis_name)
+    me = lax.axis_index(axis_name)
+    v_in_fwd = _prefix_combine(f_all, vr_all, reverse=False)[me]
+    v_in_bwd = _prefix_combine(f_all, vl_all, reverse=True)[me]
+    lab = jnp.where(left_run, jnp.minimum(lab, v_in_fwd[None]), lab)
+    lab = jnp.where(right_run, jnp.minimum(lab, v_in_bwd[None]), lab)
+    return lab
+
+
+def _segment_volume_sharded_fast(
+    data, spacing, origin, params: SegmentationParams, axis_name: str, interpret: bool
+) -> SegmentationResult:
+    """The single-chip kernel pipeline (fused init -> run-length distances ->
+    dist-masked half-sweeps -> d=1 certificate -> z-run stats on the MXU)
+    lifted onto the sp axis. See module docstring for the collective at each
+    stage. Requires nxl % 8 == 0 (x tile rows must not straddle shards)."""
+    from mamri_tpu.perception.pallas_ops import (
+        ccl_check_consistency_x,
+        ccl_half_sweep_yz,
+        compute_reset_distances,
+        extract_z_runs,
+        fused_threshold_close_init,
+        run_stats_matmul,
+    )
+
+    nxl, ny, nz = data.shape
+    n_sp = lax.axis_size(axis_name)
+    nx = n_sp * nxl
+    me = lax.axis_index(axis_name)
+    x_off = me * nxl
+
+    # --- fused threshold + closing + global-label init, with raw-data halo
+    h = 2 * params.closing_radius
+    fwd, bwd = _ring_perms(n_sp)
+    bg = jnp.float32(params.intensity_low - 1.0)
+    if h > 0:
+        left = lax.ppermute(data[-h:], axis_name, perm=fwd)
+        right = lax.ppermute(data[:h], axis_name, perm=bwd)
+        left = jnp.where(me == 0, bg, left)  # global edges: background fill
+        right = jnp.where(me == n_sp - 1, bg, right)
+        ext = jnp.concatenate([left, data, right], axis=0)
+    else:
+        ext = data
+    mask_ext, lab_ext = fused_threshold_close_init(
+        ext, params.intensity_low, params.intensity_high,
+        interpret=interpret, label_dims=(nx, ny),
+    )
+    mask_i8 = mask_ext[h : h + nxl]
+    # kernel labels use ext-local x: shift to global (background stays _BIG)
+    lab0 = jnp.where(mask_i8 == 1, lab_ext[h : h + nxl] + (x_off - h), _BIG)
+
+    # --- tile padding (y/z only; x padding would break cross-shard runs)
+    pad_y, pad_z = (-ny) % 8, (-nz) % 128
+    cfg = ((0, 0), (0, pad_y), (0, pad_z))
+    labp = jnp.pad(lab0, cfg, constant_values=_BIG)
+    resetp = jnp.pad(1 - mask_i8, cfg, constant_values=jnp.int8(1))
+
+    dists = compute_reset_distances(resetp, interpret=interpret)
+    dfx, dbx = dists[0], dists[1]
+
+    # boundary-run masks + per-line reset summaries (static across sweeps)
+    nxlp = labp.shape[0]
+    ix = lax.broadcasted_iota(jnp.int32, labp.shape, 0)
+    left_run = dfx.astype(jnp.int32) == ix + 1  # no local reset at-or-before
+    right_run = dbx.astype(jnp.int32) == nxlp - ix  # no local reset at-or-after
+    reset_any = jnp.any(resetp != 0, axis=0)  # (nyp, nzp)
+
+    # --- half-sweep schedule (identical to the single-chip kernel path)
+    passes = params.passes if params.passes is not None else 2 * params.max_sweeps
+
+    def full_sweep(lab, _):
+        lab, _ = ccl_half_sweep_yz(lab, dists, interpret=interpret)
+        lab = _x_half_sweep_sharded(
+            lab, dists, reset_any, left_run, right_run, axis_name, interpret
+        )
+        return lab, None
+
+    labp, _ = lax.scan(full_sweep, labp, None, length=passes // 2)
+    if passes % 2:
+        # final yz half-sweep fuses its own y/z consistency check in-kernel
+        labp, bad_yz = ccl_half_sweep_yz(labp, dists, interpret=interpret, with_check=True)
+        bad = jnp.maximum(bad_yz, ccl_check_consistency_x(labp, dists, interpret=interpret))
+    else:
+        from mamri_tpu.perception.pallas_ops import ccl_check_consistency
+
+        bad = ccl_check_consistency(labp, dists, interpret=interpret)
+    # cross-shard boundary pairs (local dfx treats the edge as a run break,
+    # so the in-kernel x check skips exactly these)
+    bad = jnp.maximum(bad, _boundary_bad(labp, resetp == 0, axis_name))
+    converged = lax.psum(bad, axis_name) == 0
+
+    # --- z-run tables + fused roots (global x offset), stats on the MXU
+    run_lab, run_z0, run_len, cands, block_counts, num_comp_loc, max_runs_loc = extract_z_runs(
+        labp, dists[4], dists[5], nx, ny,
+        k=params.run_k, cand_k=params.cand_k, interpret=interpret, x_off=x_off,
+    )
+    num_components = lax.psum(num_comp_loc, axis_name)
+    overflow_loc = jnp.any(block_counts > params.cand_k).astype(jnp.int32)
+    max_runs = lax.pmax(max_runs_loc, axis_name)
+    complete = functools.reduce(
+        jnp.logical_and,
+        (
+            num_components <= params.max_roots,
+            lax.psum(overflow_loc, axis_name) == 0,
+            max_runs <= params.run_k,
+        ),
+    )
+
+    # roots: local candidates -> all_gather -> global smallest max_roots
+    r_eff = min(params.max_roots, cands.shape[0])
+    loc_keys, _ = lax.top_k(-cands, r_eff)
+    all_keys = lax.all_gather(loc_keys, axis_name).reshape(-1)
+    keys, _ = lax.top_k(all_keys, min(params.max_roots, all_keys.shape[0]))
+    roots = -keys
+    if roots.shape[0] < params.max_roots:
+        roots = jnp.pad(roots, (0, params.max_roots - roots.shape[0]), constant_values=_BIG)
+    root_valid = roots != _BIG
+
+    stats = run_stats_matmul(run_lab, run_len, run_z0, roots, interpret=interpret)
+    # run features used local x: sum_i_global = sum_i_local + x_off * count
+    stats = stats.at[:, 1].add(x_off.astype(jnp.float32) * stats[:, 0])
+    stats = lax.psum(stats, axis_name)
+    counts = stats[:, 0]
+    sums_ijk = stats[:, 1:4]
+
+    labels = labp[:, :ny, :nz]
+    return finalize_segmentation(
+        labels, roots, root_valid, counts, sums_ijk, num_components, complete,
+        converged, spacing, origin, params,
+    )
 
 
 # ----------------------------------------------------------------- stats
 def _local_component_stats(labels_local, roots, x_off, ny: int, nz: int):
     """(R, 4) [count, sum_i, sum_j, sum_k] over the LOCAL shard, with GLOBAL
-    i coordinates (x_off added); psum across shards completes the reduction."""
+    i coordinates (x_off added); psum across shards completes the reduction.
+    (jnp fallback path.)"""
     flat = labels_local.reshape(-1)
     n = flat.shape[0]
     chunk = 1 << 15
@@ -195,7 +429,14 @@ def segment_volume_sharded(
     concatenation along x in mesh order. Returns a SegmentationResult whose
     `labels`/`body_mask` are the local shards and everything else is
     replicated (identical on every shard). Certificates (`ccl_converged`,
-    `roots_complete`) are global, so the engine's escalation reruns apply.
+    `roots_complete`, `blobs_complete`) are global, so the engine's
+    escalation reruns apply.
+
+    With kernels enabled (use_pallas True, or None on TPU) and the local x
+    extent a multiple of 8, this runs the full single-chip Pallas pipeline
+    shard-locally (`_segment_volume_sharded_fast`); otherwise the jnp
+    associative-scan fallback. Both honor `params.passes` and certify via
+    the local-consistency check, so results are bit-identical.
     """
     data = jnp.asarray(data)
     spacing = jnp.asarray(spacing, dtype=jnp.float32)
@@ -205,6 +446,11 @@ def segment_volume_sharded(
         interpret = jax.default_backend() in ("cpu",)
 
     nxl, ny, nz = data.shape
+    if use_pallas and nxl % 8 == 0 and params.closing_radius == 2:
+        return _segment_volume_sharded_fast(
+            data, spacing, origin, params, axis_name, interpret
+        )
+
     n_sp = lax.axis_size(axis_name)
     nx = n_sp * nxl
     me = lax.axis_index(axis_name)
@@ -223,7 +469,7 @@ def segment_volume_sharded(
     reset = jnp.logical_not(closed)
 
     labels, converged = _ccl_sweeps_sharded(
-        lab0, reset, params.max_sweeps, axis_name, use_pallas, interpret
+        lab0, reset, params, axis_name, use_pallas, interpret
     )
 
     # roots: local exact top-k, merged across shards

@@ -208,14 +208,22 @@ def _close_kernel(prev_ref, cur_ref, next_ref, mask_ref, lab_ref, *, thr_lo, thr
     lab_ref[...] = jnp.where(center == 1, lin, _BIG)
 
 
-def fused_threshold_close_init(data, thr_lo: float, thr_hi: float, interpret: bool = False):
+def fused_threshold_close_init(
+    data, thr_lo: float, thr_hi: float, interpret: bool = False, label_dims=None
+):
     """f32 volume -> (closed mask int8, initial CCL labels int32), fused.
 
     Safe-border closing semantics identical to segmentation.binary_close;
     label init matches connected_components' raster convention. One HBM
     read of the volume (x3 window overlap) + two int32 writes.
+
+    `label_dims=(nx, ny)` overrides the raster multipliers of the label
+    linear index without changing the mask/crop geometry — the sp-sharded
+    path passes the GLOBAL volume dims here (labels are then global raster
+    indices up to a per-shard additive x offset, applied by the caller).
     """
     nx, ny, nz = data.shape
+    lnx, lny = label_dims if label_dims is not None else (nx, ny)
     slab = 8
     # x: a full slab of padding each side (the halo needs 4; the first and
     # last blocks are window-only and never written). y/z: 4 + alignment.
@@ -229,7 +237,7 @@ def fused_threshold_close_init(data, thr_lo: float, thr_hi: float, interpret: bo
     )
     nxp, nyp, nzp = p.shape
     grid = (nxp // slab - 2,)
-    kernel = functools.partial(_close_kernel, thr_lo=thr_lo, thr_hi=thr_hi, nx=nx, ny=ny, slab=slab)
+    kernel = functools.partial(_close_kernel, thr_lo=thr_lo, thr_hi=thr_hi, nx=lnx, ny=lny, slab=slab)
 
     def blk(off):
         return pl.BlockSpec(
@@ -619,7 +627,7 @@ def ccl_check_consistency_x(lab, dists, interpret: bool = False):
 
 # ------------------------------------------------------------- z-run extraction
 def _runs_kernel(
-    lab_ref, dfz_ref, dbz_ref, lab_out, z0_out, len_out, root_out, mx_ref, *, k, nx, ny, cand_k
+    lab_ref, dfz_ref, dbz_ref, xoff_ref, lab_out, z0_out, len_out, root_out, mx_ref, *, k, nx, ny, cand_k
 ):
     """Per (8, by, nz) block: the first `k` maximal z-runs of every (x, y)
     line as (label, z_start, length) triples, per-run ROOT keys, and the
@@ -674,7 +682,11 @@ def _runs_kernel(
     # step). Roots in runs with rank > k are not in the table, so the
     # run-budget certificate (max_runs <= k) also gates root completeness
     # and the exactness of the count.
-    gi2 = pi * lab_tab.shape[0] + lax.broadcasted_iota(jnp.int32, lab_tab.shape, 0)
+    gi2 = (
+        pi * lab_tab.shape[0]
+        + xoff_ref[0, 0]
+        + lax.broadcasted_iota(jnp.int32, lab_tab.shape, 0)
+    )
     gj2 = pj * lab_tab.shape[2] + lax.broadcasted_iota(jnp.int32, lab_tab.shape, 2)
     lin_tab = z0_tab * (nx * ny) + gj2 * nx + gi2
     v = jnp.where(
@@ -696,7 +708,8 @@ def _runs_kernel(
 
 
 def extract_z_runs(
-    labels, dfz, dbz, nx: int, ny: int, k: int = 16, cand_k: int = 8, interpret: bool = False
+    labels, dfz, dbz, nx: int, ny: int, k: int = 16, cand_k: int = 8,
+    interpret: bool = False, x_off=None,
 ):
     """(run_labels, run_z0, run_len, root_cands, block_counts, num_components,
     max_runs_per_line) for a padded label volume — the run tables are
@@ -711,6 +724,11 @@ def extract_z_runs(
     distances from `compute_reset_distances` (padding is background, so no
     run starts or extends there). Exact and complete iff
     `max_runs_per_line <= k`; callers escalate k otherwise.
+
+    `x_off` (traced () int32, default 0) shifts the x coordinate used for
+    root detection — the sp-sharded path passes its shard's global x offset
+    so a run is recognized as its component's root run against the GLOBAL
+    raster index its labels encode.
 
     Lines are independent, so the grid blocks y as well as x (8 x 128 lines
     per step) — full-(ny, nz) blocks at 256^3 overwhelm the Mosaic
@@ -733,11 +751,16 @@ def extract_z_runs(
     blk_out = pl.BlockSpec((8, k, by), lambda i, j: (i, 0, j), memory_space=pltpu.VMEM)
     root_blk = pl.BlockSpec((nblocks, cand_k + 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
     mx_blk = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    xoff_blk = pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM)
+    xoff = jnp.reshape(
+        jnp.zeros((), jnp.int32) if x_off is None else jnp.asarray(x_off, jnp.int32),
+        (1, 1),
+    )
     shp = jax.ShapeDtypeStruct((nxp, k, nyp), jnp.int32)
     lab_r, z0_r, len_r, root_tab, mx = pl.pallas_call(
         kernel,
         grid=(nxp // 8, nyp // by),
-        in_specs=[blk_in, blk_in, blk_in],
+        in_specs=[blk_in, blk_in, blk_in, xoff_blk],
         out_specs=(blk_out, blk_out, blk_out, root_blk, mx_blk),
         out_shape=(
             shp,
@@ -748,7 +771,7 @@ def extract_z_runs(
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(labels, dfz, dbz)
+    )(labels, dfz, dbz, xoff)
     cands = root_tab[:, :cand_k].reshape(-1)
     counts = root_tab[:, cand_k]
     return lab_r, z0_r, len_r, cands, counts, jnp.sum(counts), mx[0, 0]

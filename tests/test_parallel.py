@@ -87,3 +87,65 @@ def test_graft_entry_contract():
     assert bool(out["success"])
 
     g.dryrun_multichip(8)
+
+
+def test_sp_fast_kernel_pipeline_in_mesh(engine):
+    """dp x sp with the FULL kernel pipeline (use_pallas=True, interpret on
+    CPU): the sharded segmentation runs fused-init/dist-sweep/run-stats
+    kernels shard-locally and must match the unsharded batched path."""
+    from mamri_tpu.perception.segmentation import SegmentationParams
+
+    eng = MamriEngine(
+        ik_iters=10, ik_restarts=0,
+        seg_params=SegmentationParams(max_sweeps=2, passes=3, max_roots=128, use_pallas=True),
+    )
+    vol = _scene(eng)
+    data = vol.data
+    pad_x = (-data.shape[0]) % 32  # sp=4 shards x 8-row x tiles
+    if pad_x:
+        data = np.pad(data, ((0, pad_x), (0, 0), (0, 0)), constant_values=10.0)
+    mesh = make_mesh(8, axes=("dp", "sp"))  # 2 x 4
+    from mamri_tpu.parallel import run_sharded_batched
+
+    out, final_params, certified = run_sharded_batched(
+        eng, mesh, np.broadcast_to(data, (2,) + data.shape).copy(),
+        vol.spacing, vol.origin, sp_axis="sp",
+    )
+    assert certified
+    ref = engine.estimate_pose_batch(jnp.asarray(data[None]), vol.spacing, vol.origin)
+    np.testing.assert_allclose(
+        np.asarray(out["angles"])[0], np.asarray(ref["angles"])[0], atol=1e-4
+    )
+    assert np.asarray(out["num_blobs"])[0] == np.asarray(ref["num_blobs"])[0]
+    assert np.asarray(out["num_components"])[0] == np.asarray(ref["num_components"])[0]
+
+
+def test_sharded_escalation_loop(engine):
+    """A starved half-sweep budget on the sharded path must fail the psum'd
+    consistency certificate and re-run at doubled `passes` until it holds
+    (VERDICT r2: escalation must reach the sharded entry points; the sharded
+    path must honor params.passes)."""
+    from mamri_tpu.parallel import run_sharded_batched
+    from mamri_tpu.perception.segmentation import SegmentationParams
+
+    eng = MamriEngine(
+        ik_iters=10, ik_restarts=0,
+        seg_params=SegmentationParams(passes=1, max_sweeps=1, max_roots=128, use_pallas=True),
+    )
+    vol = _scene(eng)
+    data = vol.data
+    pad_x = (-data.shape[0]) % 32
+    if pad_x:
+        data = np.pad(data, ((0, pad_x), (0, 0), (0, 0)), constant_values=10.0)
+    mesh = make_mesh(8, axes=("dp", "sp"))
+    out, final_params, certified = run_sharded_batched(
+        eng, mesh, np.broadcast_to(data, (2,) + data.shape).copy(),
+        vol.spacing, vol.origin, sp_axis="sp",
+    )
+    assert certified, "escalation never certified the sharded segmentation"
+    assert final_params.passes > 1  # passes=1 cannot certify (x never swept)
+    assert np.asarray(out["seg_converged"]).all()
+    ref = engine.estimate_pose_batch(jnp.asarray(data[None]), vol.spacing, vol.origin)
+    np.testing.assert_allclose(
+        np.asarray(out["angles"])[0], np.asarray(ref["angles"])[0], atol=1e-4
+    )

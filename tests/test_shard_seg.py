@@ -47,6 +47,7 @@ def _run_sharded(vol, params, n_shards=8, interpret=None):
             labels=P("sp"),
             ccl_converged=P(),
             roots_complete=P(),
+            blobs_complete=P(),
         ),
         check_vma=False,
     )
@@ -65,6 +66,7 @@ def _assert_parity(got, ref):
     assert bool(got.body_found) == bool(ref.body_found)
     assert bool(got.ccl_converged) and bool(ref.ccl_converged)
     assert bool(got.roots_complete) and bool(ref.roots_complete)
+    assert bool(got.blobs_complete) == bool(ref.blobs_complete)
 
 
 @pytest.fixture(scope="module")
@@ -131,9 +133,7 @@ def test_component_spanning_all_shards():
     assert int(got.num_components) == 2
     # the bar is the "body" (outside the fiducial volume band)
     assert bool(got.body_found)
-    np.testing.assert_array_equal(
-        np.asarray(got.body_mask), np.asarray(data > 50.0) if False else np.asarray(ref.body_mask)
-    )
+    np.testing.assert_array_equal(np.asarray(got.body_mask), np.asarray(ref.body_mask))
 
 
 def test_closing_halo_exactness():
@@ -158,3 +158,79 @@ def test_closing_halo_exactness():
     got = _run_sharded(v, params)
     _assert_parity(got, ref)
     assert int(ref.num_components) == 2  # the gap was bridged by closing
+
+
+def test_sharded_fast_kernel_pipeline_parity(scene_vol):
+    """The FULL single-chip kernel pipeline on the sp axis (fused init with
+    data halo, dist-masked half-sweeps, cross-shard x fix, d=1 certificate,
+    run-stats on the MXU): bit-exact labels vs segment_volume(use_pallas=True)
+    on the [yz, x, yz, x, yz] half-sweep schedule (this random scene needs 5
+    half-sweeps to certify; at 3 both paths identically report False)."""
+    params = SegmentationParams(max_sweeps=2, passes=5, use_pallas=True)
+    ref = segment_volume(scene_vol.data, scene_vol.spacing, scene_vol.origin, params)
+    got = _run_sharded(scene_vol, params, interpret=True)
+    _assert_parity(got, ref)
+
+
+def test_sharded_fast_component_spanning_all_shards():
+    """A bar along the full x extent through the kernel pipeline: the
+    boundary-run prefix fix must merge it into ONE component, bit-exactly."""
+    data = np.zeros((64, 16, 136), np.float32)
+    data[:, 6:9, 6:9] = 100.0  # full-length bar
+    data[10:12, 12:14, 100:102] = 100.0  # a small separate blob
+    spacing = np.array([1.0, 2.0, 1.5], np.float32)
+    origin = np.zeros(3, np.float32)
+    params = SegmentationParams(
+        passes=3, max_sweeps=2, use_pallas=True, min_volume_mm3=2.0, max_volume_mm3=50.0
+    )
+    ref = segment_volume(data, spacing, origin, params)
+
+    class V:
+        pass
+
+    v = V()
+    v.data, v.spacing, v.origin = data, spacing, origin
+    got = _run_sharded(v, params, interpret=True)
+    _assert_parity(got, ref)
+    assert int(got.num_components) == 2
+    assert bool(got.body_found)
+
+
+def test_sharded_fast_passes_escalation_certifies():
+    """A starved half-sweep schedule must FAIL the global consistency
+    certificate on a corner-heavy sharded scene, and honoring an escalated
+    `passes` (the engine doubles it) must converge — the certificate path
+    the engine's escalation loop relies on (ADVICE r2: the sharded path
+    previously ignored params.passes entirely)."""
+    rng = np.random.default_rng(3)
+    # a dense random maze of corridors: many corners -> needs several sweeps
+    data = np.zeros((64, 40, 136), np.float32)
+    occ = rng.random((32, 20, 68)) < 0.62
+    data[::2, ::2, ::2] = np.where(occ, 100.0, 0.0)
+    data[1::2, ::2, ::2] = np.where(occ, 100.0, 0.0)  # connect x pairs
+    spacing = np.ones(3, np.float32)
+    origin = np.zeros(3, np.float32)
+
+    class V:
+        pass
+
+    v = V()
+    v.data, v.spacing, v.origin = data, spacing, origin
+
+    starved = SegmentationParams(
+        passes=1, max_sweeps=1, use_pallas=True, max_roots=2048, cand_k=64, run_k=64,
+    )
+    got1 = _run_sharded(v, starved, interpret=True)
+    assert not bool(got1.ccl_converged)
+
+    for p in (2, 4, 8, 16, 32):
+        got = _run_sharded(v, starved._replace(passes=p), interpret=True)
+        if bool(got.ccl_converged):
+            break
+    assert bool(got.ccl_converged), "escalated passes never certified"
+    ref = segment_volume(
+        data, spacing, origin, starved._replace(passes=p)
+    )
+    assert bool(ref.ccl_converged)
+    np.testing.assert_array_equal(np.asarray(got.labels), np.asarray(ref.labels))
+    assert int(got.num_components) == int(ref.num_components)
