@@ -4,16 +4,19 @@ The reference consumes scanner volumes through the Slicer scene
 (`sitkUtils.PullVolumeFromSlicer`, Mamri/Mamri.py:1306), whose DICOM plugin
 stack does the series assembly; standalone mamri_tpu does its own:
 
-  * `load_dicom_series(dir)` — uncompressed single-frame MR series, implicit
-    or explicit VR little endian; slices sorted by the projection of
-    ImagePositionPatient onto the slice normal (row x col direction), the
-    standard geometric sort; rescale slope/intercept applied. Axis-aligned
-    orientations (any axis permutation/flip) map directly onto the LPS
-    `Volume` grid; oblique series are trilinearly resampled
-    (perception.io.resample_to_axis_aligned).
-  * `save_dicom_series(dir, volume)` — explicit VR LE MR Image Storage, one
-    file per slice, int16 with exact rescale — the round-trip oracle for the
-    reader and a capability the reference lacks (export).
+  * `load_dicom_series(dir)` — single-frame MR series in implicit/explicit
+    VR little endian, explicit VR big endian, or RLE Lossless (the
+    encapsulated PackBits compression real scanner exports frequently use);
+    anything else (JPEG families) is rejected loudly. Slices sorted by the
+    projection of ImagePositionPatient onto the slice normal (row x col
+    direction), the standard geometric sort; rescale slope/intercept
+    applied. Axis-aligned orientations (any axis permutation/flip) map
+    directly onto the LPS `Volume` grid; oblique series are trilinearly
+    resampled (perception.io.resample_to_axis_aligned).
+  * `save_dicom_series(dir, volume)` — MR Image Storage, one file per slice,
+    int16 with exact rescale, explicit VR LE or RLE Lossless
+    (`transfer="rle"`) — the round-trip oracle for the reader and a
+    capability the reference lacks (export).
 
 DICOM patient coordinates are LPS, the same convention `Volume` stores, so no
 RAS flip happens here (the LPS->RAS flip lives at the segmentation boundary,
@@ -33,33 +36,38 @@ from mamri_tpu.perception.volume import Volume
 # transfer syntaxes
 _IMPLICIT_LE = "1.2.840.10008.1.2"
 _EXPLICIT_LE = "1.2.840.10008.1.2.1"
+_EXPLICIT_BE = "1.2.840.10008.1.2.2"
+_RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 _MR_STORAGE = "1.2.840.10008.5.1.4.1.1.4"
 
 _LONG_VRS = {b"OB", b"OW", b"OF", b"OL", b"OD", b"SQ", b"UC", b"UR", b"UT", b"UN"}
 
 
 class _Reader:
-    def __init__(self, buf: bytes, explicit: bool):
+    def __init__(self, buf: bytes, explicit: bool, big_endian: bool = False):
         self.buf = buf
         self.pos = 0
         self.explicit = explicit
+        self.end = ">" if big_endian else "<"
 
     def eof(self) -> bool:
         return self.pos >= len(self.buf)
 
     def _u16(self):
-        v = struct.unpack_from("<H", self.buf, self.pos)[0]
+        v = struct.unpack_from(self.end + "H", self.buf, self.pos)[0]
         self.pos += 2
         return v
 
     def _u32(self):
-        v = struct.unpack_from("<I", self.buf, self.pos)[0]
+        v = struct.unpack_from(self.end + "I", self.buf, self.pos)[0]
         self.pos += 4
         return v
 
     def read_element(self) -> Tuple[Tuple[int, int], Optional[bytes]]:
         """Returns ((group, elem), value_bytes). Sequences and undefined-length
-        items are skipped structurally (value None)."""
+        items are skipped structurally (value None) — EXCEPT encapsulated
+        pixel data (7FE0,0010 with undefined length), whose compressed frame
+        fragments are captured and returned as a list of bytes."""
         group = self._u16()
         elem = self._u16()
         tag = (group, elem)
@@ -81,6 +89,8 @@ class _Reader:
             vr = b"UN"
             length = self._u32()
         if length == 0xFFFFFFFF:
+            if tag == (0x7FE0, 0x0010):
+                return tag, self._read_fragments()
             self._skip_undefined()
             return tag, None
         if vr == b"SQ":
@@ -89,6 +99,27 @@ class _Reader:
         value = self.buf[self.pos : self.pos + length]
         self.pos += length
         return tag, value
+
+    def _read_fragments(self) -> List[bytes]:
+        """Encapsulated pixel data: item 0 = basic offset table (dropped),
+        following items = one compressed frame each, until (FFFE,E0DD)."""
+        frags: List[bytes] = []
+        first = True
+        while not self.eof():
+            group = self._u16()
+            elem = self._u16()
+            length = self._u32()
+            if (group, elem) == (0xFFFE, 0xE0DD):
+                return frags
+            if (group, elem) != (0xFFFE, 0xE000):
+                raise ValueError("malformed encapsulated pixel data")
+            value = self.buf[self.pos : self.pos + length]
+            self.pos += length
+            if first:
+                first = False  # basic offset table
+            else:
+                frags.append(value)
+        raise ValueError("unterminated encapsulated pixel data")
 
     def _skip_undefined(self):
         """Skip an undefined-length value: scan items until the sequence
@@ -140,10 +171,18 @@ def _parse_file(path: str) -> Dict:
     else:
         transfer = _IMPLICIT_LE
         body_off = 0
-    if transfer not in (_IMPLICIT_LE, _EXPLICIT_LE):
-        raise ValueError(f"{path}: unsupported (compressed?) transfer syntax {transfer}")
+    if transfer not in (_IMPLICIT_LE, _EXPLICIT_LE, _EXPLICIT_BE, _RLE_LOSSLESS):
+        raise ValueError(
+            f"{path}: unsupported transfer syntax {transfer} (JPEG-family "
+            "compression is not implemented; implicit/explicit VR LE, "
+            "explicit VR BE and RLE Lossless are)"
+        )
 
-    r = _Reader(raw[body_off:], explicit=(transfer == _EXPLICIT_LE))
+    r = _Reader(
+        raw[body_off:],
+        explicit=(transfer != _IMPLICIT_LE),
+        big_endian=(transfer == _EXPLICIT_BE),
+    )
     want = {
         (0x0020, 0x000E): "series_uid",
         (0x0020, 0x0032): "ipp",
@@ -157,14 +196,15 @@ def _parse_file(path: str) -> Dict:
         (0x0028, 0x1053): "slope",
         (0x7FE0, 0x0010): "pixels",
     }
-    out: Dict = {"path": path}
+    out: Dict = {"path": path, "transfer": transfer}
+    us = (">H" if transfer == _EXPLICIT_BE else "<H")
     while not r.eof():
         tag, val = r.read_element()
         name = want.get(tag)
         if name is None or val is None:
             continue
         if name in ("rows", "cols", "bits_allocated", "pixel_representation"):
-            out[name] = struct.unpack("<H", val[:2])[0]
+            out[name] = struct.unpack(us, val[:2])[0]
         elif name in ("ipp", "iop", "pixel_spacing", "intercept", "slope"):
             out[name] = [float(x) for x in val.decode("ascii").strip("\x00 ").split("\\")]
         elif name == "series_uid":
@@ -177,16 +217,106 @@ def _parse_file(path: str) -> Dict:
     return out
 
 
+# --------------------------------------------------- RLE Lossless (PackBits)
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    """DICOM/TIFF PackBits: n in [0,127] -> copy n+1 literal bytes;
+    n in [129,255] -> repeat next byte 257-n times; 128 -> noop."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expected:
+        c = data[i]
+        i += 1
+        if c < 128:
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+    if len(out) < expected:
+        raise ValueError(f"RLE segment truncated: {len(out)} < {expected}")
+    return bytes(out[:expected])
+
+
+def _packbits_encode(seg: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(seg)
+    while i < n:
+        j = i
+        while j + 1 < n and seg[j + 1] == seg[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 2:
+            out.append((257 - run) & 0xFF)
+            out.append(seg[i])
+            i = j + 1
+        else:
+            k = i
+            while k < n and k - i < 128:
+                if k + 2 < n and seg[k + 1] == seg[k] and seg[k + 2] == seg[k]:
+                    break
+                k += 1
+            out.append(k - i - 1)
+            out += seg[i:k]
+            i = k
+    return bytes(out)
+
+
+def _rle_decode_frame(frame: bytes, npix: int, nseg_expected: int) -> List[bytes]:
+    """One RLE frame -> its decoded byte segments (PS3.5 annex G: a 64-byte
+    header of segment count + 15 offsets, then PackBits segments; 16-bit
+    data is decomposed big-endian — MSB segment first)."""
+    hdr = struct.unpack_from("<16I", frame, 0)
+    nseg = hdr[0]
+    if nseg != nseg_expected:
+        raise ValueError(f"RLE frame has {nseg} segments, expected {nseg_expected}")
+    offsets = list(hdr[1 : 1 + nseg]) + [len(frame)]
+    return [
+        _packbits_decode(frame[offsets[s] : offsets[s + 1]], npix) for s in range(nseg)
+    ]
+
+
+def _rle_encode_frame(segments: List[bytes]) -> bytes:
+    enc = []
+    for s in segments:
+        e = _packbits_encode(s)
+        if len(e) % 2:
+            e += b"\x00"  # segments start on even byte boundaries
+        enc.append(e)
+    offsets = [0] * 15
+    pos = 64
+    for i, e in enumerate(enc):
+        offsets[i] = pos
+        pos += len(e)
+    return struct.pack("<16I", len(enc), *offsets) + b"".join(enc)
+
+
 def _slice_array(info: Dict) -> np.ndarray:
     bits = info.get("bits_allocated", 16)
     signed = info.get("pixel_representation", 0) == 1
-    if bits == 16:
-        dt = np.int16 if signed else np.uint16
-    elif bits == 8:
-        dt = np.int8 if signed else np.uint8
-    else:
+    npix = info["rows"] * info["cols"]
+    if bits not in (8, 16):
         raise ValueError(f"{info['path']}: unsupported BitsAllocated {bits}")
-    arr = np.frombuffer(info["pixels"], dtype=dt, count=info["rows"] * info["cols"])
+    if info.get("transfer") == _RLE_LOSSLESS:
+        frags = info["pixels"]
+        if not isinstance(frags, list) or len(frags) != 1:
+            raise ValueError(f"{info['path']}: expected one RLE frame per file")
+        segs = _rle_decode_frame(frags[0], npix, 2 if bits == 16 else 1)
+        if bits == 16:
+            # MSB segment then LSB segment (big-endian decomposition)
+            arr = (
+                np.frombuffer(segs[0], np.uint8).astype(np.uint16) << 8
+            ) | np.frombuffer(segs[1], np.uint8)
+            if signed:
+                arr = arr.astype(np.int16)
+        else:
+            arr = np.frombuffer(segs[0], np.int8 if signed else np.uint8)
+    else:
+        be = info.get("transfer") == _EXPLICIT_BE
+        if bits == 16:
+            dt = (">i2" if signed else ">u2") if be else ("<i2" if signed else "<u2")
+        else:
+            dt = np.int8 if signed else np.uint8
+        arr = np.frombuffer(info["pixels"], dtype=dt, count=npix)
     arr = arr.reshape(info["rows"], info["cols"]).astype(np.float32)
     slope = info.get("slope", [1.0])[0]
     inter = info.get("intercept", [0.0])[0]
@@ -272,13 +402,19 @@ def _ds(vals) -> bytes:
     return "\\".join(f"{v:.10g}" for v in np.atleast_1d(vals)).encode("ascii")
 
 
-def save_dicom_series(directory: str, volume: Volume, series_number: int = 1) -> List[str]:
-    """Write the volume as an explicit-VR-LE MR series (one file per z slice).
+def save_dicom_series(
+    directory: str, volume: Volume, series_number: int = 1, transfer: str = "explicit_le"
+) -> List[str]:
+    """Write the volume as an MR series (one file per z slice): explicit VR
+    LE, or RLE Lossless encapsulated (`transfer="rle"`).
 
     Intensities are stored as int16 with a lossless-for-rounded-data rescale;
     the reader round-trips `load_dicom_series(save_dicom_series(v)) == v` to
-    rescale precision (exact for integer-valued data within range).
+    rescale precision (exact for integer-valued data within range; RLE is a
+    lossless byte codec, so identically exact).
     """
+    if transfer not in ("explicit_le", "rle"):
+        raise ValueError(f"transfer must be 'explicit_le' or 'rle', got {transfer!r}")
     os.makedirs(directory, exist_ok=True)
     data = np.asarray(volume.data, dtype=np.float32)
     nx, ny, nz = data.shape
@@ -296,7 +432,23 @@ def save_dicom_series(directory: str, volume: Volume, series_number: int = 1) ->
     for k in range(nz):
         sl = stored[:, :, k]  # (nx, ny) = (cols-axis, rows-axis)
         rows, cols = ny, nx
-        pixels = np.ascontiguousarray(sl.T).tobytes()  # (rows, cols) C-order
+        a = np.ascontiguousarray(sl.T)  # (rows, cols) C-order int16
+        if transfer == "rle":
+            u = a.view(np.uint16)
+            frame = _rle_encode_frame(
+                [(u >> 8).astype(np.uint8).tobytes(), (u & 0xFF).astype(np.uint8).tobytes()]
+            )
+            if len(frame) % 2:
+                frame += b"\x00"
+            pixel_el = (
+                struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF)
+                + struct.pack("<HHI", 0xFFFE, 0xE000, 0)  # empty basic offset table
+                + struct.pack("<HHI", 0xFFFE, 0xE000, len(frame))
+                + frame
+                + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+            )
+        else:
+            pixel_el = _el(0x7FE0, 0x0010, b"OW", a.tobytes())
         body = b"".join(
             [
                 _el(0x0008, 0x0016, b"UI", _MR_STORAGE.encode()),
@@ -320,7 +472,7 @@ def save_dicom_series(directory: str, volume: Volume, series_number: int = 1) ->
                 _el(0x0028, 0x0103, b"US", struct.pack("<H", 1)),
                 _el(0x0028, 0x1052, b"DS", _ds([inter])),
                 _el(0x0028, 0x1053, b"DS", _ds([slope])),
-                _el(0x7FE0, 0x0010, b"OW", pixels),
+                pixel_el,
             ]
         )
         meta_body = b"".join(
@@ -328,7 +480,10 @@ def save_dicom_series(directory: str, volume: Volume, series_number: int = 1) ->
                 _el(0x0002, 0x0001, b"OB", b"\x00\x01"),
                 _el(0x0002, 0x0002, b"UI", _MR_STORAGE.encode()),
                 _el(0x0002, 0x0003, b"UI", f"{series_uid}.{k + 1}".encode()),
-                _el(0x0002, 0x0010, b"UI", _EXPLICIT_LE.encode()),
+                _el(
+                    0x0002, 0x0010, b"UI",
+                    (_RLE_LOSSLESS if transfer == "rle" else _EXPLICIT_LE).encode(),
+                ),
             ]
         )
         meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
