@@ -6,10 +6,22 @@ O(100 ms) on CPU and segmentation O(seconds) in SimpleITK); vs_baseline is
 measured against the 64 vol/s target.
 
 HONEST SETTINGS: the engine's defaults, exactly what `estimate_pose` runs —
-a 3-half-sweep CCL schedule WITH the in-kernel fixed-point certificate, 128 candidate roots
-WITH the completeness certificate, analytic-seeded 24-iteration IK. The run
-asserts both certificates held (no silent reduced-fidelity computation) and
-that the recovered joint angles match the scene's ground truth sub-degree.
+a 3-half-sweep CCL schedule WITH the in-kernel fixed-point certificate, 128
+candidate roots WITH the completeness certificate, the blob-band certificate,
+analytic-seeded 24-iteration IK.
+
+MULTI-SCENE: the headline is the WORST-CASE of 4 scenes (the canonical demo
+pose + 3 random in-bounds poses/base yaws) rendered into one shared
+union-bbox grid (one compile). Per scene the run asserts all three
+certificates held and the scene was solved (marker RMSE, TCP position, and
+the directly-observed J1 — markers sit only on Baseplate/J2/J4/J6, so J4/J6
+can trade degrees at sub-mm RMSE near the wrist; TCP is the honest
+invariant, see tests/test_engine.py::test_estimate_pose_random_pose_sweep).
+
+STREAMING (BASELINE config 5): N sequential single-volume frames through
+`api.streaming.PoseTracker` — fresh host array each frame, so H2D transfer
+and the relay RTT are inside the measurement; reports p50/p95 frame latency
+against the < 100 ms interactive target.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
@@ -25,7 +37,58 @@ import numpy as np
 BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 SIZE = int(os.environ.get("BENCH_SIZE", "256"))
 REPS = int(os.environ.get("BENCH_REPS", "5"))
+STREAM_FRAMES = int(os.environ.get("BENCH_STREAM_FRAMES", "12"))
 TARGET_VOLS_PER_S = 64.0
+TARGET_STREAM_MS = 100.0
+
+
+def _build_scenes(engine):
+    """4 scenes (angles, base, marker pts): canonical demo pose + 3 random
+    in-bounds poses/yaws, plus the shared union-bbox grid they render into."""
+    import jax.numpy as jnp
+
+    from mamri_tpu.core import transforms as T
+    from mamri_tpu.core.robot import marker_world_positions
+
+    links = ["Baseplate", "Joint2", "Joint4", "Joint6"]
+
+    def base_tf(yaw):
+        return np.asarray(
+            T.translate(jnp.array([-60.0, -120.0, 0.0]))
+            @ T.rot_x(jnp.float32(-np.pi / 2))
+            @ T.rot_z(jnp.float32(yaw))
+        )
+
+    def markers(angles, base):
+        return np.concatenate(
+            [
+                np.asarray(
+                    marker_world_positions(engine.model, jnp.asarray(angles), ln, jnp.asarray(base))
+                )
+                for ln in links
+            ]
+        )
+
+    rng = np.random.default_rng(23)
+    limits = np.asarray(engine.model.limits_rad)
+    lo_lim, hi_lim = limits[:, 0], limits[:, 1]
+    scenes = [(np.array([0.3, -0.7, 0.5, 0.2, -0.4, 0.6], dtype=np.float32), base_tf(0.15))]
+    for _ in range(3):
+        frac = 0.25 + 0.5 * rng.random(6)
+        angles = (lo_lim + frac * (hi_lim - lo_lim)).astype(np.float32)
+        if abs(angles[4]) < 0.3:  # keep J5 off the wrist singularity
+            angles[4] = np.float32(0.3 if angles[4] >= 0 else -0.3)
+        scenes.append((angles, base_tf(float(rng.uniform(-0.4, 0.4)))))
+    scenes = [(a, b, markers(a, b)) for a, b in scenes]
+
+    body_center = np.array([-60.0, -40.0, 130.0])
+    all_pts = np.concatenate([s[2] for s in scenes])
+    lo = np.minimum(all_pts.min(0) - 40, body_center - 75)
+    hi = np.maximum(all_pts.max(0) + 40, body_center + 75)
+    lps_lo = np.array([-hi[0], -hi[1], lo[2]], dtype=np.float32)
+    lps_hi = np.array([-lo[0], -lo[1], hi[2]], dtype=np.float32)
+    spacing = np.full(3, float((lps_hi - lps_lo).max()) / SIZE, dtype=np.float32)
+    return scenes, spacing, lps_lo, body_center
 
 
 def main():
@@ -33,48 +96,27 @@ def main():
     import jax.numpy as jnp
 
     from mamri_tpu.api import MamriEngine
+    from mamri_tpu.core.robot import fk_all_links
+    from mamri_tpu.perception.volume import Volume, synthetic_volume
 
     engine = MamriEngine()  # default (certified) settings throughout
 
-    # one realistic scene rendered directly into a SIZE^3 grid: spacing fitted
-    # so the whole arm + phantom lies inside the volume
-    from mamri_tpu.core import transforms as T
-    from mamri_tpu.core.robot import marker_world_positions
-    from mamri_tpu.perception.volume import synthetic_volume
-
-    true_angles = np.array([0.3, -0.7, 0.5, 0.2, -0.4, 0.6], dtype=np.float32)
-    angles = jnp.asarray(true_angles)
-    base = np.asarray(
-        T.translate(jnp.array([-60.0, -120.0, 0.0]))
-        @ T.rot_x(jnp.float32(-np.pi / 2))
-        @ T.rot_z(jnp.float32(0.15))
-    )
-    links = ["Baseplate", "Joint2", "Joint4", "Joint6"]
-    pts = np.concatenate(
-        [np.asarray(marker_world_positions(engine.model, angles, ln, jnp.asarray(base))) for ln in links]
-    )
-    body_center = [-60.0, -40.0, 130.0]
-    lo = np.minimum(pts.min(0) - 40, np.array(body_center) - 75)
-    hi = np.maximum(pts.max(0) + 40, np.array(body_center) + 75)
-    lps_lo = np.array([-hi[0], -hi[1], lo[2]], dtype=np.float32)
-    lps_hi = np.array([-lo[0], -lo[1], hi[2]], dtype=np.float32)
-    spacing = np.full(3, float((lps_hi - lps_lo).max()) / SIZE, dtype=np.float32)
-    origin = lps_lo
-    vol = synthetic_volume(
-        shape=(SIZE, SIZE, SIZE),
-        spacing=spacing,
-        origin=origin,
-        fiducials_ras=pts,
-        fiducial_radius_mm=4.0,
-        body_center_ras=body_center,
-        body_radii_mm=[45.0, 55.0, 65.0],
-    )
-    data = vol.data
-
-    batch = np.broadcast_to(data, (BATCH,) + data.shape)
+    scenes, spacing, origin, body_center = _build_scenes(engine)
+    vols = [
+        synthetic_volume(
+            shape=(SIZE, SIZE, SIZE),
+            spacing=spacing,
+            origin=origin,
+            fiducials_ras=pts,
+            fiducial_radius_mm=4.0,
+            body_center_ras=body_center,
+            body_radii_mm=[45.0, 55.0, 65.0],
+        )
+        for _, _, pts in scenes
+    ]
 
     # keep outputs tiny: angles/steps/success only stay on device until fetch
-    pipeline = engine._pipeline_fn()
+    pipeline = engine.pipeline_fn()
 
     def one(d):
         out = pipeline(
@@ -87,14 +129,14 @@ def main():
             jnp.asarray(False),
             jnp.zeros(engine.model.num_joints, dtype=jnp.float32),
         )
-        keep = ("angles", "rmse", "success", "seg_converged", "roots_complete")
+        keep = ("angles", "rmse", "success", "seg_converged", "roots_complete", "blobs_complete")
         return {k: out[k] for k in keep}
 
     fb = jax.jit(jax.vmap(one))
     f1 = jax.jit(one)
 
-    dev_batch = jnp.asarray(batch)
-    dev_one = jnp.asarray(data)
+    dev_batches = [jnp.asarray(np.broadcast_to(v.data, (BATCH,) + v.data.shape)) for v in vols]
+    dev_one = jnp.asarray(vols[0].data)
 
     # NOTE: on this platform block_until_ready does NOT fence execution (the
     # axon relay defers); a host round-trip (device_get of a small output)
@@ -103,26 +145,46 @@ def main():
     # the synchronous p50 includes one RTT, so the chained measurement below
     # reports pure on-device latency as well.
 
-    # warmup / compile
-    jax.device_get(fb(dev_batch)["rmse"])
+    # warmup / compile (one shape -> one compile for all scenes)
+    jax.device_get(fb(dev_batches[0])["rmse"])
     jax.device_get(f1(dev_one)["rmse"])
 
-    # ---- honesty checks: certificates held and the scene was solved
-    res = jax.device_get(fb(dev_batch))
-    converged = bool(np.asarray(res["seg_converged"]).all())
-    complete = bool(np.asarray(res["roots_complete"]).all())
-    ok = bool(np.asarray(res["success"]).all())
-    angle_err_deg = float(
-        np.degrees(np.abs(np.asarray(res["angles"]) - true_angles[None])).max()
-    )
-    pipeline_success = ok and converged and complete and angle_err_deg < 1.0
+    # ---- per-scene honesty checks + throughput; headline = worst scene
+    per_scene = []
+    for si, ((true_angles, base, _), dev_batch) in enumerate(zip(scenes, dev_batches)):
+        res = jax.device_get(fb(dev_batch))
+        certified = bool(
+            np.asarray(res["seg_converged"]).all()
+            and np.asarray(res["roots_complete"]).all()
+            and np.asarray(res["blobs_complete"]).all()
+        )
+        ok = bool(np.asarray(res["success"]).all())
+        est = np.asarray(res["angles"])[0]
+        err_deg = np.degrees(np.abs(est - true_angles))
+        tcp_true = np.asarray(fk_all_links(engine.model, jnp.asarray(true_angles), jnp.asarray(base)))[-1][:3, 3]
+        tcp_est = np.asarray(fk_all_links(engine.model, jnp.asarray(est), jnp.asarray(base)))[-1][:3, 3]
+        tcp_err = float(np.linalg.norm(tcp_true - tcp_est))
+        rmse = float(np.asarray(res["rmse"]).max())
+        solved = ok and certified and rmse < 1.5 and tcp_err < 2.0 and err_deg[0] < 1.5
 
-    # ---- batched throughput (pipelined)
-    t0 = time.perf_counter()
-    outs = [fb(dev_batch) for _ in range(REPS)]
-    jax.device_get(outs[-1]["rmse"])
-    batch_t = (time.perf_counter() - t0) / REPS
-    vols_per_s = BATCH / batch_t
+        t0 = time.perf_counter()
+        outs = [fb(dev_batch) for _ in range(REPS)]
+        jax.device_get(outs[-1]["rmse"])
+        vols_per_s = BATCH * REPS / (time.perf_counter() - t0)
+        per_scene.append(
+            {
+                "scene": si,
+                "vols_per_s": round(vols_per_s, 3),
+                "solved": solved,
+                "certified": certified,
+                "rmse_mm": round(rmse, 4),
+                "tcp_err_mm": round(tcp_err, 4),
+                "max_angle_err_deg": round(float(err_deg.max()), 4),
+            }
+        )
+    worst = min(per_scene, key=lambda s: s["vols_per_s"])
+    vols_per_s = worst["vols_per_s"]
+    pipeline_success = all(s["solved"] for s in per_scene)
 
     # ---- single-volume latency
     # (a) synchronous round-trips (includes one relay RTT per call)
@@ -153,6 +215,29 @@ def main():
         samples.append((time.perf_counter() - t0) / K)
     p50_device_ms = sorted(samples)[len(samples) // 2] * 1e3
 
+    # ---- streaming (BASELINE config 5): sequential frames through the
+    # tracker — fresh host array every frame (H2D + relay RTT included),
+    # warm-started IK, certificates checked inside estimate_pose (single
+    # fused device_get per frame).
+    from mamri_tpu.api.streaming import PoseTracker
+
+    frames = [np.array(v.data, copy=True) for v in vols]
+    tracker = PoseTracker(engine)
+    stream_ok = True
+    # one warm frame (the tracker path itself compiles once per shape)
+    tracker.step(Volume(data=frames[0], spacing=spacing, origin=origin))
+    tracker.tracer.spans["frame"].clear()
+    stream_lat = []
+    for i in range(STREAM_FRAMES):
+        fr = frames[i % len(frames)]
+        t0 = time.perf_counter()
+        r = tracker.step(Volume(data=fr, spacing=spacing, origin=origin))
+        stream_lat.append(time.perf_counter() - t0)
+        stream_ok = stream_ok and r.success
+    stream_lat.sort()
+    stream_p50_ms = stream_lat[len(stream_lat) // 2] * 1e3
+    stream_p95_ms = stream_lat[min(int(len(stream_lat) * 0.95), len(stream_lat) - 1)] * 1e3
+
     # ---- robustness: dense-speckle noisy variant at the noisy-scan settings
     # (the caps the engine's certificate escalation would land on, pre-set so
     # the measurement is one compile). ~1500 single-voxel speckle components
@@ -160,6 +245,8 @@ def main():
     # so neither may we — certificates must hold WITHOUT truncation.
     from mamri_tpu.perception.segmentation import SegmentationParams
 
+    data = np.asarray(vols[0].data)
+    true_angles = scenes[0][0]
     rng = np.random.default_rng(5)
     noisy = np.array(data, copy=True)
     n_speckle = 1500
@@ -171,7 +258,7 @@ def main():
     noisy = noisy + rng.normal(0.0, 5.0, noisy.shape).astype(np.float32)
 
     noisy_params = SegmentationParams(max_sweeps=2, passes=3, max_roots=2048, cand_k=128, run_k=16)
-    pipeline_n = engine._pipeline_fn(seg_params=noisy_params)
+    pipeline_n = engine.pipeline_fn(seg_params=noisy_params)
 
     def one_noisy(d):
         out = pipeline_n(
@@ -184,14 +271,19 @@ def main():
             jnp.asarray(False),
             jnp.zeros(engine.model.num_joints, dtype=jnp.float32),
         )
-        keep = ("angles", "rmse", "success", "seg_converged", "roots_complete", "num_components")
+        keep = (
+            "angles", "rmse", "success", "seg_converged", "roots_complete",
+            "blobs_complete", "num_components",
+        )
         return {k: out[k] for k in keep}
 
     fbn = jax.jit(jax.vmap(one_noisy))
     dev_noisy = jnp.asarray(np.broadcast_to(noisy, (BATCH,) + noisy.shape))
     resn = jax.device_get(fbn(dev_noisy))  # compile + honesty checks
     noisy_certified = bool(
-        np.asarray(resn["seg_converged"]).all() and np.asarray(resn["roots_complete"]).all()
+        np.asarray(resn["seg_converged"]).all()
+        and np.asarray(resn["roots_complete"]).all()
+        and np.asarray(resn["blobs_complete"]).all()
     )
     noisy_ok = bool(np.asarray(resn["success"]).all())
     noisy_err_deg = float(
@@ -205,7 +297,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"scan->joint-angles throughput, batched {SIZE}^3 MRI volumes",
+                "metric": f"scan->joint-angles throughput, batched {SIZE}^3 MRI volumes (worst of {len(scenes)} scenes)",
                 "value": round(vols_per_s, 3),
                 "unit": "volumes/sec",
                 "vs_baseline": round(vols_per_s / TARGET_VOLS_PER_S, 4),
@@ -214,8 +306,15 @@ def main():
                 "batch": BATCH,
                 "volume": f"{SIZE}^3",
                 "pipeline_success": pipeline_success,
-                "certified": {"ccl_converged": converged, "roots_complete": complete},
-                "max_angle_err_deg": round(angle_err_deg, 4),
+                "per_scene": per_scene,
+                "streaming": {
+                    "p50_ms": round(stream_p50_ms, 2),
+                    "p95_ms": round(stream_p95_ms, 2),
+                    "frames": STREAM_FRAMES,
+                    "all_success": stream_ok,
+                    "interactive": stream_p50_ms < TARGET_STREAM_MS,
+                    "includes": "H2D upload + relay RTT + device compute, per frame",
+                },
                 "noisy_scan": {
                     "vols_per_s": round(noisy_vols_per_s, 3),
                     "speckle_components": int(np.asarray(resn["num_components"]).max()),
@@ -224,7 +323,7 @@ def main():
                     "max_angle_err_deg": round(noisy_err_deg, 4),
                     "settings": "max_roots=2048, cand_k=128, run_k=16 (noisy-scan escalation caps, one compile)",
                 },
-                "settings": "engine defaults (certified): [yz,x,yz] half-sweep schedule + local-consistency certificate, 128 roots, run_k=8 run-length stats, IK 24 iters analytic-seeded",
+                "settings": "engine defaults (certified): [yz,x,yz] half-sweep schedule + local-consistency certificate, 128 roots, run_k=8 run-length stats, 32-slot certified blob band, IK 24 iters analytic-seeded",
                 "device": str(jax.devices()[0]),
             }
         )
