@@ -20,7 +20,7 @@ def main():
     if jax.default_backend() == "cpu":
         print("refusing: default backend is cpu, not a TPU", file=sys.stderr)
         return 1
-    rnd = sys.argv[1] if len(sys.argv) > 1 else "02"
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "03"
     report = run_parity_checks(size=128)
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), f"TPUPARITY_r{rnd}.json")
     with open(out, "w") as f:
