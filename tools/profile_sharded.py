@@ -1,0 +1,87 @@
+"""Per-volume cost of the sp-sharded segmentation vs the single-chip path.
+
+Runs `segment_volume` (the single-chip kernel pipeline) and
+`segment_volume_sharded` inside a shard_map over an sp mesh on the REAL
+TPU, same volume, same certified settings, and prints both times + the
+ratio. With one physical chip the mesh is sp=1 — ppermute/all_gather
+degenerate to copies — so the number isolates the KERNEL cost of the
+sharded formulation (halo concat, global-label shift, boundary-run masks,
+prefix apply); the true multi-chip collective cost additionally needs ICI
+hardware this environment doesn't have (docs/ROADMAP.md).
+
+Run: python tools/profile_sharded.py [SIZE]
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_compilation")
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from mamri_tpu.parallel.shard_seg import segment_volume_sharded
+    from mamri_tpu.perception import segmentation as seg
+
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    rng = np.random.default_rng(0)
+    x, y, z = np.mgrid[:size, :size, :size].astype(np.float32)
+    data = np.full((size,) * 3, 10.0, np.float32)
+    for c in rng.integers(10, size - 10, size=(12, 3)):
+        data[((x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2) < 16] = 120.0
+    data[
+        ((x - size / 2) ** 2 / (size / 3.2) ** 2)
+        + ((y - size / 2) ** 2 / (size / 4) ** 2)
+        + ((z - size / 1.7) ** 2 / (size / 3.6) ** 2)
+        < 1
+    ] = 90.0
+    d = jnp.asarray(data)
+    spacing = jnp.ones(3, jnp.float32)
+    origin = jnp.zeros(3, jnp.float32)
+    params = seg.SegmentationParams(max_sweeps=2, passes=3, max_roots=128, use_pallas=True)
+
+    def timeit(name, fn, *args, reps=8):
+        out = fn(*args)
+        jax.device_get(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(reps)]
+        jax.device_get(jax.tree_util.tree_leaves(outs[-1])[0].ravel()[0])
+        dt = (time.perf_counter() - t0) / reps * 1e3
+        print(f"{name:44s} {dt:7.2f} ms")
+        return out, dt
+
+    single = jax.jit(lambda v: seg.segment_volume(v, spacing, origin, params))
+    r1, t1 = timeit("segment_volume (single-chip kernels)", single, d)
+
+    n_sp = len(jax.devices())
+    mesh = Mesh(np.asarray(jax.devices()), ("sp",))
+    shmapped = jax.jit(
+        jax.shard_map(
+            lambda v: segment_volume_sharded(v, spacing, origin, params, axis_name="sp"),
+            mesh=mesh,
+            in_specs=(P("sp"),),
+            out_specs=seg.SegmentationResult(
+                centroids_ras=P(), volumes_mm3=P(), blob_valid=P(), num_blobs=P(),
+                body_mask=P("sp"), body_volume_mm3=P(), body_found=P(),
+                num_components=P(), labels=P("sp"), ccl_converged=P(),
+                roots_complete=P(), blobs_complete=P(),
+            ),
+            check_vma=False,
+        )
+    )
+    r2, t2 = timeit(f"segment_volume_sharded (sp={n_sp} mesh)", shmapped, d)
+    same = bool(np.array_equal(np.asarray(r1.labels), np.asarray(r2.labels)))
+    print(
+        f"labels bit-identical: {same}; sharded/single cost ratio: {t2 / t1:.2f}x "
+        f"(certified: {bool(r2.ccl_converged)}/{bool(r2.roots_complete)}/{bool(r2.blobs_complete)})"
+    )
+
+
+if __name__ == "__main__":
+    main()
