@@ -116,24 +116,27 @@ def main():
     ]
 
     # keep outputs tiny: angles/steps/success only stay on device until fetch
-    pipeline = engine.pipeline_fn()
+    def make_fns(params):
+        pipeline = engine.pipeline_fn(params)
 
-    def one(d):
-        out = pipeline(
-            d,
-            jnp.asarray(spacing),
-            jnp.asarray(origin),
-            jnp.eye(4, dtype=jnp.float32),
-            jnp.asarray(False),
-            jnp.asarray(False),
-            jnp.asarray(False),
-            jnp.zeros(engine.model.num_joints, dtype=jnp.float32),
-        )
-        keep = ("angles", "rmse", "success", "seg_converged", "roots_complete", "blobs_complete")
-        return {k: out[k] for k in keep}
+        def one(d):
+            out = pipeline(
+                d,
+                jnp.asarray(spacing),
+                jnp.asarray(origin),
+                jnp.eye(4, dtype=jnp.float32),
+                jnp.asarray(False),
+                jnp.asarray(False),
+                jnp.asarray(False),
+                jnp.zeros(engine.model.num_joints, dtype=jnp.float32),
+            )
+            keep = ("angles", "rmse", "success", "seg_converged", "roots_complete", "blobs_complete")
+            return {k: out[k] for k in keep}
 
-    fb = jax.jit(jax.vmap(one))
-    f1 = jax.jit(one)
+        return jax.jit(jax.vmap(one)), jax.jit(one)
+
+    fb_cache = {engine.seg_params: make_fns(engine.seg_params)}
+    fb, f1 = fb_cache[engine.seg_params]
 
     dev_batches = [jnp.asarray(np.broadcast_to(v.data, (BATCH,) + v.data.shape)) for v in vols]
     dev_one = jnp.asarray(vols[0].data)
@@ -149,15 +152,30 @@ def main():
     jax.device_get(fb(dev_batches[0])["rmse"])
     jax.device_get(f1(dev_one)["rmse"])
 
-    # ---- per-scene honesty checks + throughput; headline = worst scene
+    # ---- per-scene honesty checks + throughput; headline = worst scene.
+    # A scene whose certificates fail at the defaults is escalated exactly
+    # like estimate_pose would and measured at ITS certified settings — the
+    # engine never returns uncertified results, so uncertified throughput
+    # would be a fake number.
     per_scene = []
     for si, ((true_angles, base, _), dev_batch) in enumerate(zip(scenes, dev_batches)):
-        res = jax.device_get(fb(dev_batch))
-        certified = bool(
-            np.asarray(res["seg_converged"]).all()
-            and np.asarray(res["roots_complete"]).all()
-            and np.asarray(res["blobs_complete"]).all()
-        )
+        params = engine.seg_params
+        fb_s, _ = fb_cache[params]
+        while True:
+            res = jax.device_get(fb_s(dev_batch))
+            converged = bool(np.asarray(res["seg_converged"]).all())
+            complete = bool(np.asarray(res["roots_complete"]).all())
+            blobs_ok = bool(np.asarray(res["blobs_complete"]).all())
+            certified = converged and complete and blobs_ok
+            if certified:
+                break
+            stronger = engine._escalate_seg_params(params, converged, complete, blobs_ok)
+            if stronger is None:
+                break
+            params = stronger
+            if params not in fb_cache:
+                fb_cache[params] = make_fns(params)
+            fb_s, _ = fb_cache[params]
         ok = bool(np.asarray(res["success"]).all())
         est = np.asarray(res["angles"])[0]
         err_deg = np.degrees(np.abs(est - true_angles))
@@ -168,7 +186,7 @@ def main():
         solved = ok and certified and rmse < 1.5 and tcp_err < 2.0 and err_deg[0] < 1.5
 
         t0 = time.perf_counter()
-        outs = [fb(dev_batch) for _ in range(REPS)]
+        outs = [fb_s(dev_batch) for _ in range(REPS)]
         jax.device_get(outs[-1]["rmse"])
         vols_per_s = BATCH * REPS / (time.perf_counter() - t0)
         per_scene.append(
@@ -177,6 +195,8 @@ def main():
                 "vols_per_s": round(vols_per_s, 3),
                 "solved": solved,
                 "certified": certified,
+                "escalated": params != engine.seg_params,
+                "passes": params.passes,
                 "rmse_mm": round(rmse, 4),
                 "tcp_err_mm": round(tcp_err, 4),
                 "max_angle_err_deg": round(float(err_deg.max()), 4),
