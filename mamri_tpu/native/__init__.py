@@ -68,6 +68,14 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.mamri_packbits_decode.restype = ctypes.c_int64
+    lib.mamri_packbits_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
+    lib.mamri_packbits_encode.restype = ctypes.c_int64
+    lib.mamri_packbits_encode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+    ]
     _lib = lib
     return lib
 
@@ -108,3 +116,31 @@ def label_components_native(mask: np.ndarray) -> Optional[Tuple[np.ndarray, int]
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return labels, int(k)
+
+
+def packbits_decode_native(data: bytes, expected: int) -> Optional[bytes]:
+    """PackBits decode via the C codec; None if unavailable, ValueError on
+    truncated input (same contract as the Python fallback)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(expected, dtype=np.uint8)
+    n = lib.mamri_packbits_decode(
+        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), expected
+    )
+    if n < 0 or n < expected:
+        raise ValueError(f"RLE segment truncated: {max(n, 0)} < {expected}")
+    return out.tobytes()
+
+
+def packbits_encode_native(seg: bytes) -> Optional[bytes]:
+    """PackBits encode via the C codec (byte-identical to the Python
+    encoder); None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.empty(len(seg) + len(seg) // 128 + 2, dtype=np.uint8)
+    n = lib.mamri_packbits_encode(
+        seg, len(seg), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    )
+    return out[:n].tobytes()

@@ -1,11 +1,14 @@
-// Native host-side runtime for mamri_tpu: fast binary STL ingest and
-// union-find connected-component labeling.
+// Native host-side runtime for mamri_tpu: fast binary STL ingest,
+// union-find connected-component labeling, and the DICOM RLE (PackBits)
+// codec.
 //
 // Role: the reference delegates its host-side heavy lifting to native C++
-// libraries (SimpleITK/VTK). mamri_tpu's device path is JAX/Pallas; this
-// library is the native equivalent of the host-side pieces — the mesh
-// data-loader feeding collision geometry, and an independent, allocation-tight
-// CCL used as a CPU golden/fast path (scipy-free deployments).
+// libraries (SimpleITK/VTK and Slicer's DICOM stack). mamri_tpu's device
+// path is JAX/Pallas; this library is the native equivalent of the
+// host-side pieces — the mesh data-loader feeding collision geometry, an
+// independent, allocation-tight CCL used as a CPU golden/fast path
+// (scipy-free deployments), and the byte-level RLE codec on the scanner
+// ingest path (a pure-Python PackBits loop costs ~100 ms/slice at 256^2).
 //
 // Exposed via a C ABI for ctypes (no pybind11 in the image).
 //
@@ -123,6 +126,65 @@ int mamri_label_components(const uint8_t* mask, int nx, int ny, int nz,
     labels_out[idx] = mask[idx] ? order_label[uf.find(static_cast<int32_t>(idx))] : 0;
   }
   return next;
+}
+
+// ----------------------------------------------------- DICOM RLE (PackBits)
+// Semantics identical to perception.dicom's Python codec (PS3.5 annex G /
+// TIFF PackBits): control byte c in [0,127] copies c+1 literal bytes,
+// c in [129,255] repeats the next byte 257-c times, 128 is a noop.
+
+// Decode up to `expected` output bytes. Returns bytes written, or -1 when
+// the input truncates mid-element.
+int64_t mamri_packbits_decode(const uint8_t* in, int64_t n, uint8_t* out,
+                              int64_t expected) {
+  int64_t i = 0, o = 0;
+  while (i < n && o < expected) {
+    const uint8_t c = in[i++];
+    if (c < 128) {
+      const int64_t cnt = static_cast<int64_t>(c) + 1;
+      if (i + cnt > n) return -1;
+      const int64_t take = cnt < expected - o ? cnt : expected - o;
+      std::memcpy(out + o, in + i, static_cast<size_t>(take));
+      o += take;
+      i += cnt;
+    } else if (c > 128) {
+      if (i >= n) return -1;
+      const int64_t cnt = 257 - static_cast<int64_t>(c);
+      const int64_t take = cnt < expected - o ? cnt : expected - o;
+      std::memset(out + o, in[i], static_cast<size_t>(take));
+      o += take;
+      i += 1;
+    }
+  }
+  return o;
+}
+
+// Encode with the same greedy (runs >= 2 become replicates; literals break
+// at the next >= 3 run) as the Python encoder — byte-identical output.
+// `out` must hold >= n + n/128 + 2 bytes. Returns the encoded length.
+int64_t mamri_packbits_encode(const uint8_t* in, int64_t n, uint8_t* out) {
+  int64_t i = 0, o = 0;
+  while (i < n) {
+    int64_t j = i;
+    while (j + 1 < n && in[j + 1] == in[i] && j - i < 127) ++j;
+    const int64_t run = j - i + 1;
+    if (run >= 2) {
+      out[o++] = static_cast<uint8_t>(257 - run);
+      out[o++] = in[i];
+      i = j + 1;
+    } else {
+      int64_t k = i;
+      while (k < n && k - i < 128) {
+        if (k + 2 < n && in[k + 1] == in[k] && in[k + 2] == in[k]) break;
+        ++k;
+      }
+      out[o++] = static_cast<uint8_t>(k - i - 1);
+      std::memcpy(out + o, in + i, static_cast<size_t>(k - i));
+      o += k - i;
+      i = k;
+    }
+  }
+  return o;
 }
 
 }  // extern "C"

@@ -220,7 +220,14 @@ def _parse_file(path: str) -> Dict:
 # --------------------------------------------------- RLE Lossless (PackBits)
 def _packbits_decode(data: bytes, expected: int) -> bytes:
     """DICOM/TIFF PackBits: n in [0,127] -> copy n+1 literal bytes;
-    n in [129,255] -> repeat next byte 257-n times; 128 -> noop."""
+    n in [129,255] -> repeat next byte 257-n times; 128 -> noop.
+    Dispatches to the native C codec when built (mamri_tpu.native);
+    byte-identical Python fallback below."""
+    from mamri_tpu.native import packbits_decode_native
+
+    native = packbits_decode_native(data, expected)
+    if native is not None:
+        return native
     out = bytearray()
     i, n = 0, len(data)
     while i < n and len(out) < expected:
@@ -238,6 +245,11 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
 
 
 def _packbits_encode(seg: bytes) -> bytes:
+    from mamri_tpu.native import packbits_encode_native
+
+    native = packbits_encode_native(seg)
+    if native is not None:
+        return native
     out = bytearray()
     i, n = 0, len(seg)
     while i < n:

@@ -79,3 +79,46 @@ def test_stl_writer_roundtrip(tmp_path):
     m[:3, 3] = [10, -5, 3]
     moved = transform_triangles(tris, m)
     np.testing.assert_allclose(moved, tris + np.array([10, -5, 3], dtype=np.float32), atol=1e-5)
+
+
+def test_packbits_native_matches_python():
+    """The C codec must be byte-identical to the Python fallback on both
+    encode and decode (the DICOM RLE ingest path dispatches to it)."""
+    import numpy as np
+    import pytest
+
+    from mamri_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+
+    # pure-Python copies of the fallbacks (the module functions dispatch to
+    # native when available, so reimplement the reference loop here)
+    def py_decode(data, expected):
+        out = bytearray()
+        i = 0
+        while i < len(data) and len(out) < expected:
+            c = data[i]; i += 1
+            if c < 128:
+                out += data[i : i + c + 1]; i += c + 1
+            elif c > 128:
+                out += bytes([data[i]]) * (257 - c); i += 1
+        assert len(out) >= expected
+        return bytes(out[:expected])
+
+    rng = np.random.default_rng(3)
+    cases = [
+        b"", b"\x07", b"\x00" * 1000, bytes(range(256)) * 3, b"xy" * 300,
+        rng.integers(0, 256, 5000).astype(np.uint8).tobytes(),
+        rng.integers(0, 2, 5000).astype(np.uint8).tobytes(),
+    ]
+    from mamri_tpu.native import packbits_decode_native, packbits_encode_native
+
+    for seg in cases:
+        enc = packbits_encode_native(seg)
+        assert enc is not None
+        assert py_decode(enc, len(seg)) == seg
+        assert packbits_decode_native(enc, len(seg)) == seg
+    # truncated input raises like the Python path
+    with pytest.raises(ValueError):
+        packbits_decode_native(b"\x7f\x01", 100)
