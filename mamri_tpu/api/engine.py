@@ -627,13 +627,23 @@ class MamriEngine:
 
     def export_scene(self, path: str, **scene_kw) -> dict:
         """Write the assembled 3-D scene (see `_scene_objects`) as one file —
-        Wavefront OBJ, or binary glTF when `path` ends in `.glb`. Returns
+        Wavefront OBJ, binary glTF when `path` ends in `.glb`, or a
+        self-contained interactive WebGL viewer when it ends in `.html`
+        (orbit/zoom/pan in any browser, no dependencies — the headless
+        equivalent of the reference's Slicer 3-D viewport). Returns
         {object name: triangle/segment count}."""
         from mamri_tpu.utils.glb import write_glb
+        from mamri_tpu.utils.html_viewer import write_html_scene
         from mamri_tpu.utils.scene import write_obj
 
         objects, polylines = self._scene_objects(**scene_kw)
-        writer = write_glb if path.lower().endswith(".glb") else write_obj
+        lower = path.lower()
+        if lower.endswith(".glb"):
+            writer = write_glb
+        elif lower.endswith((".html", ".htm")):
+            writer = write_html_scene
+        else:
+            writer = write_obj
         writer(path, objects, polylines)
         summary = {name: int(len(t)) for name, t in objects}
         summary.update({name: int(len(p)) for name, p in polylines})

@@ -218,3 +218,51 @@ def test_write_glb_empty_scene(tmp_path):
     gltf, bin_blob = read_glb(path)
     assert bin_blob == b""
     assert "nodes" not in gltf and "buffers" not in gltf
+
+
+def test_export_scene_html_viewer(tmp_path):
+    """The single-file interactive viewer embeds the full scene: every
+    object present, quantized coordinates within 0.02 mm of the source
+    geometry, and the WebGL boilerplate intact."""
+    import numpy as np
+
+    from mamri_tpu.utils.html_viewer import read_html_scene_summary, write_html_scene
+
+    tri = np.array([[[0.0, 0.0, 0.0], [10.0, 0.0, 0.0], [0.0, 20.0, 0.0]],
+                    [[0.0, 0.0, 5.0], [10.0, 0.0, 5.0], [0.0, 20.0, 5.0]]], np.float32)
+    line = np.array([[0.0, 0.0, 0.0], [5.0, 5.0, 5.0], [9.0, 1.0, 2.0]], np.float32)
+    p = str(tmp_path / "scene.html")
+    n = write_html_scene(p, [("Part", tri)], [("Path", line)])
+    assert n > 0
+    with open(p) as f:
+        html = f.read()
+    assert "webgl" in html and "drawArrays" in html
+    s = read_html_scene_summary(p)
+    assert s["Part"]["kind"] == "mesh" and s["Part"]["verts"] == 6
+    assert s["Path"]["kind"] == "line" and s["Path"]["verts"] == 3
+    np.testing.assert_allclose(s["Part"]["bbox_lo"], [0, 0, 0], atol=0.02)
+    np.testing.assert_allclose(s["Part"]["bbox_hi"], [10, 20, 5], atol=0.02)
+    np.testing.assert_allclose(s["Path"]["bbox_hi"], [9, 5, 5], atol=0.02)
+
+
+def test_engine_export_scene_html(tmp_path):
+    """engine.export_scene('*.html') writes the full robot scene (all links +
+    needle) into the viewer payload."""
+    import numpy as np
+
+    from mamri_tpu.api import MamriEngine
+    from mamri_tpu.utils.html_viewer import read_html_scene_summary
+
+    eng = MamriEngine()
+    p = str(tmp_path / "robot.html")
+    counts = eng.export_scene(p, include_body=False, include_trajectory=False)
+    s = read_html_scene_summary(p)
+    for spec in eng.model.specs:
+        if spec.name == "Needle":
+            continue
+        assert spec.name in s and s[spec.name]["verts"] > 0, spec.name
+    assert s["Needle"]["verts"] > 0
+    # scene extents are robot-sized (the arm is ~440 mm tall, mounted +Z->+Y)
+    hi = np.max([m["bbox_hi"] for m in s.values()], axis=0)
+    lo = np.min([m["bbox_lo"] for m in s.values()], axis=0)
+    assert (hi - lo).max() > 150.0
