@@ -217,7 +217,7 @@ def main(argv=None) -> int:
     px.add_argument("volume", help="scan to estimate the pose from")
     px.add_argument("--mesh-dir", default=None, help="directory with the robot STL meshes (optional for --scene: capsules stand in)")
     px.add_argument("--out-dir", default=None, help="write per-link FK-posed STLs here")
-    px.add_argument("--scene", default=None, help="write one assembled scene (robot + needle + body + trajectory); OBJ, or binary glTF if the path ends in .glb")
+    px.add_argument("--scene", default=None, help="write one assembled scene (robot + needle + body + trajectory); OBJ, binary glTF (.glb), or a self-contained interactive WebGL viewer (.html)")
     px.add_argument("--render", default=None, help="write a PNG snapshot of the scene (software rasterizer)")
     px.add_argument("--view", nargs=2, type=float, default=(35.0, 22.0), metavar=("AZIM", "ELEV"))
     px.add_argument("--smooth-body", action="store_true", help="marching-tetrahedra body surface instead of exact voxel faces")
