@@ -258,6 +258,18 @@ def main():
     stream_p50_ms = stream_lat[len(stream_lat) // 2] * 1e3
     stream_p95_ms = stream_lat[min(int(len(stream_lat) * 0.95), len(stream_lat) - 1)] * 1e3
 
+    # pipelined mode: dispatch frame N while collecting N-1 — the H2D upload
+    # and relay RTT hide behind device compute; steady-state frame rate.
+    tracker_p = PoseTracker(engine, pipelined=True, depth=1)
+    tracker_p.step(Volume(data=frames[0], spacing=spacing, origin=origin))  # fill
+    t0 = time.perf_counter()
+    for i in range(STREAM_FRAMES):
+        r = tracker_p.step(Volume(data=frames[i % len(frames)], spacing=spacing, origin=origin))
+        stream_ok = stream_ok and (r is None or r.success)
+    for r in tracker_p.flush():
+        stream_ok = stream_ok and r.success
+    stream_fps = STREAM_FRAMES / (time.perf_counter() - t0)
+
     # ---- robustness: dense-speckle noisy variant at the noisy-scan settings
     # (the caps the engine's certificate escalation would land on, pre-set so
     # the measurement is one compile). ~1500 single-voxel speckle components
@@ -330,10 +342,11 @@ def main():
                 "streaming": {
                     "p50_ms": round(stream_p50_ms, 2),
                     "p95_ms": round(stream_p95_ms, 2),
+                    "pipelined_fps": round(stream_fps, 2),
                     "frames": STREAM_FRAMES,
                     "all_success": stream_ok,
                     "interactive": stream_p50_ms < TARGET_STREAM_MS,
-                    "includes": "H2D upload + relay RTT + device compute, per frame",
+                    "includes": "H2D upload + relay RTT + device compute, per frame (pipelined_fps overlaps them across frames)",
                 },
                 "noisy_scan": {
                     "vols_per_s": round(noisy_vols_per_s, 3),

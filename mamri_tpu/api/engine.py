@@ -300,7 +300,67 @@ class MamriEngine:
                 params = stronger
             if keep_segmentation:
                 out["body_mask"] = jax.device_get(mask)
+        return self._finish_estimate(out, volume, store_state, keep_segmentation)
 
+    def estimate_pose_async(
+        self,
+        volume: Volume,
+        use_saved_baseplate: bool = False,
+        apply_correction: bool = False,
+    ) -> dict:
+        """Dispatch one pose estimation WITHOUT waiting for the result.
+
+        Returns an opaque handle for `estimate_pose_collect`. Upload and
+        compute of frame N overlap the host-side collection of frame N-1 —
+        the streaming tracker's pipelined mode (`PoseTracker(pipelined=...)`)
+        uses this to hide the H2D transfer and the relay round-trip behind
+        device compute. IK warm-starts from `current_angles` AT DISPATCH
+        TIME (one frame staler than the synchronous path)."""
+        saved = self.saved_baseplate if self.saved_baseplate is not None else np.eye(4, dtype=np.float32)
+        args = (
+            jnp.asarray(volume.data),
+            jnp.asarray(volume.spacing),
+            jnp.asarray(volume.origin),
+            jnp.asarray(saved),
+            jnp.asarray(use_saved_baseplate),
+            jnp.asarray(self.saved_baseplate is not None),
+            jnp.asarray(apply_correction),
+            jnp.asarray(self.current_angles),
+        )
+        dev = self._get_pipeline(volume.shape, self.seg_params)(*args)
+        dev.pop("body_mask")  # streaming path: results only
+        return {
+            "dev": dev,
+            "volume": volume,
+            "use_saved": use_saved_baseplate,
+            "correction": apply_correction,
+        }
+
+    def estimate_pose_collect(self, handle: dict, store_state: bool = True) -> PoseEstimate:
+        """Fetch a dispatched estimation (one host sync). An uncertified
+        segmentation falls back to the synchronous escalating path on the
+        handle's stored volume (rare; certified scenes pay nothing)."""
+        out = jax.device_get(handle["dev"])
+        if not (
+            bool(out["seg_converged"])
+            and bool(out["roots_complete"])
+            and bool(out["blobs_complete"])
+        ):
+            logger.warning("async estimation uncertified; re-running synchronously")
+            return self.estimate_pose(
+                handle["volume"],
+                use_saved_baseplate=handle["use_saved"],
+                apply_correction=handle["correction"],
+                store_state=store_state,
+                keep_segmentation=False,
+            )
+        return self._finish_estimate(out, handle["volume"], store_state, keep_segmentation=False)
+
+    def _finish_estimate(
+        self, out: dict, volume: Volume, store_state: bool, keep_segmentation: bool
+    ) -> PoseEstimate:
+        """Host-side tail of pose estimation: state updates + PoseEstimate
+        construction from the fetched pipeline outputs."""
         markers_found = {ln: bool(f) for ln, f in zip(MARKER_LINKS, out["markers_found"])}
         source = ["none", "detected", "saved", "saved_fallback"][int(out["base_source"])]
         if store_state and keep_segmentation:

@@ -1,18 +1,27 @@
 """Streaming pose tracking: per-scan ingest -> segmentation -> IK -> re-plan
 at interactive cadence (BASELINE config 5).
 
-The reference has no streaming mode — each scan is a button press. Here a
-`PoseTracker` wraps the engine's fused pipeline with warm-started IK (the
-previous pose is the first restart, exactly the reference's "current pose"
-initial guess) and keeps per-frame latency statistics.
+The reference has no streaming mode — each scan is a button press
+(Mamri/Mamri.py:850). Here a `PoseTracker` wraps the engine's fused pipeline
+with warm-started IK (the previous pose is the first restart, exactly the
+reference's "current pose" initial guess) and keeps per-frame latency
+statistics.
+
+Two modes:
+  * synchronous (default): `step` uploads, computes, and fetches — per-frame
+    latency = H2D + device + relay RTT.
+  * pipelined (`pipelined=True`): `step` dispatches frame N and collects
+    frame N-depth (`estimate_pose_async`/`_collect`), so the upload and the
+    relay round-trip of one frame hide behind the device compute of the
+    next — higher frame rate at `depth` frames of result latency. IK then
+    warm-starts from a pose `depth` frames old (fine at interactive rates:
+    the arm barely moves per frame).
 """
 
 from __future__ import annotations
 
 import time
-from typing import Optional
-
-import numpy as np
+from typing import List, Optional
 
 from mamri_tpu.api.engine import MamriEngine
 from mamri_tpu.api.types import PoseEstimate
@@ -21,28 +30,60 @@ from mamri_tpu.utils.trace import Tracer
 
 
 class PoseTracker:
-    def __init__(self, engine: MamriEngine, apply_correction: bool = False):
+    def __init__(
+        self,
+        engine: MamriEngine,
+        apply_correction: bool = False,
+        pipelined: bool = False,
+        depth: int = 1,
+    ):
+        if depth < 1:
+            raise ValueError("pipeline depth must be >= 1")
         self.engine = engine
         self.apply_correction = apply_correction
+        self.pipelined = pipelined
+        self.depth = depth
         self.tracer = Tracer()
         self.frames = 0
         self.failures = 0
         self.last_estimate: Optional[PoseEstimate] = None
+        self._inflight: List[dict] = []
 
-    def step(self, volume: Volume) -> PoseEstimate:
-        """Process one scan; IK warm-starts from the engine's current pose
-        (updated by the previous frame), so tracking stays on the same
-        kinematic branch between frames."""
+    def step(self, volume: Volume) -> Optional[PoseEstimate]:
+        """Process one scan. Synchronous mode returns the frame's estimate;
+        pipelined mode returns the estimate of the frame `depth` steps back
+        (None while the pipeline fills — call `flush()` at end of stream)."""
         t0 = time.perf_counter()
-        result = self.engine.estimate_pose(
-            volume, apply_correction=self.apply_correction, keep_segmentation=False
-        )
+        if not self.pipelined:
+            result = self.engine.estimate_pose(
+                volume, apply_correction=self.apply_correction, keep_segmentation=False
+            )
+        else:
+            self._inflight.append(
+                self.engine.estimate_pose_async(volume, apply_correction=self.apply_correction)
+            )
+            result = None
+            if len(self._inflight) > self.depth:
+                result = self.engine.estimate_pose_collect(self._inflight.pop(0))
         self.tracer.spans["frame"].append(time.perf_counter() - t0)
+        if result is not None:
+            self._count(result)
+        return result
+
+    def flush(self) -> List[PoseEstimate]:
+        """Collect every in-flight frame (pipelined mode end-of-stream)."""
+        out = []
+        while self._inflight:
+            result = self.engine.estimate_pose_collect(self._inflight.pop(0))
+            self._count(result)
+            out.append(result)
+        return out
+
+    def _count(self, result: PoseEstimate) -> None:
         self.frames += 1
         if not result.success:
             self.failures += 1
         self.last_estimate = result
-        return result
 
     def stats(self) -> dict:
         s = self.tracer.stats("frame")

@@ -591,3 +591,24 @@ def test_batched_microbatch_chunking(engine, scene):
     assert np.asarray(chunked["success"]).all()
     with pytest.raises(ValueError):
         engine.estimate_pose_batch(batch, vol.spacing, vol.origin, microbatch=3)
+
+
+def test_streaming_tracker_pipelined(engine, scene):
+    """Pipelined tracking (dispatch N / collect N-1) must produce the same
+    per-frame estimates as the synchronous path, one frame late."""
+    from mamri_tpu.api.streaming import PoseTracker
+
+    vol, base = scene
+    sync = PoseTracker(engine)
+    ref = sync.step(vol)
+
+    t = PoseTracker(engine, pipelined=True, depth=1)
+    assert t.step(vol) is None  # pipeline filling
+    r1 = t.step(vol)
+    assert r1 is not None and r1.success
+    rest = t.flush()
+    assert len(rest) == 1 and rest[0].success
+    assert t.frames == 2 and t.failures == 0  # 2 dispatches -> 2 results
+    np.testing.assert_allclose(r1.angles_rad, ref.angles_rad, atol=1e-4)
+    with pytest.raises(ValueError):
+        PoseTracker(engine, pipelined=True, depth=0)
