@@ -709,6 +709,91 @@ class MamriEngine:
         summary.update({name: int(len(p)) for name, p in polylines})
         return summary
 
+    def export_trajectory_html(
+        self,
+        path: str,
+        mesh_dir: Optional[str] = None,
+        target_ras=None,
+        entry_ras=None,
+        needle_length_mm: float = 100.0,
+        needle_radius_mm: float = 1.5,
+        body_surface: str = "voxel",
+        interval_ms: int = 50,
+    ) -> dict:
+        """Write an ANIMATED interactive scene: the planned trajectory plays
+        through the posed robot with a frame slider + play/pause at the
+        reference's 50 ms tick (the Trajectory Simulation panel,
+        Mamri/Mamri.py:287-317, in one self-contained offline HTML file).
+        Link meshes are embedded once in link-local frames; per-frame rigid
+        transforms come from the vmapped FK over `trajectory_path`."""
+        from mamri_tpu.planning.geometry import DEFAULT_PART_RADIUS_MM, MIN_PART_LENGTH_MM
+        from mamri_tpu.utils.html_viewer import write_html_scene
+        from mamri_tpu.utils.scene import (
+            capsule_mesh,
+            cylinder_mesh,
+            marching_tetrahedra_mesh,
+            voxel_surface_mesh,
+        )
+        from mamri_tpu.utils.stl import load_stl
+
+        if self.trajectory_path is None:
+            raise RuntimeError("no trajectory planned; run plan_heuristic_path first")
+        base = jnp.asarray(
+            self.baseplate_tf if self.baseplate_tf is not None else np.eye(4, dtype=np.float32)
+        )
+        path_angles = jnp.asarray(self.trajectory_path, dtype=jnp.float32)
+        tfs = np.asarray(
+            jax.vmap(lambda a: fk_all_links(self.model, a, base))(path_angles)
+        )  # (S, L, 4, 4)
+
+        objects = []
+        for i, spec in enumerate(self.model.specs):
+            if spec.name == "Needle":
+                continue
+            tris = None
+            if mesh_dir is not None and spec.visual_mesh:
+                src = os.path.join(mesh_dir, spec.visual_mesh)
+                if os.path.exists(src):
+                    tris = load_stl(src)
+            if tris is None:
+                child = next((s for s in self.model.specs if s.parent == i), None)
+                length = float(np.linalg.norm(child.offset_mm)) if child is not None else 0.0
+                tris = capsule_mesh(max(length, MIN_PART_LENGTH_MM), DEFAULT_PART_RADIUS_MM)
+            objects.append((spec.name, tris, i))
+        # needle shaft in the Needle link's local frame
+        nidx = self.model.link_index("Needle")
+        tip = np.asarray(self.model.needle_tip, dtype=np.float64)
+        axis = np.asarray(self.model.needle_axis, dtype=np.float64)
+        axis = axis / max(float(np.linalg.norm(axis)), 1e-9)
+        objects.append(
+            ("Needle", cylinder_mesh(tip, tip + axis * needle_length_mm, needle_radius_mm), nidx)
+        )
+        if self.last_segmentation is not None and bool(self.last_segmentation["body_found"]):
+            spacing, origin = self.last_volume_geom
+            surface_fn = marching_tetrahedra_mesh if body_surface == "smooth" else voxel_surface_mesh
+            objects.append(("Body", surface_fn(self.last_segmentation["body_mask"], spacing, origin)))
+
+        tip_local = jnp.asarray(self.model.needle_tip)
+
+        def tip_at(a):
+            tf = fk_all_links(self.model, a, base)[nidx]
+            return tf[:3, :3] @ tip_local + tf[:3, 3]
+
+        tips = np.asarray(jax.vmap(tip_at)(path_angles))
+        polylines = [("TrajectoryTipPath", tips)]
+        if target_ras is not None and entry_ras is not None:
+            polylines.append(
+                ("InsertionSegment", np.stack([np.asarray(entry_ras), np.asarray(target_ras)]).astype(np.float32))
+            )
+        write_html_scene(
+            path, objects, polylines,
+            anim={"transforms": tfs, "interval_ms": interval_ms},
+            title="mamri trajectory simulation",
+        )
+        summary = {name: int(len(t)) for name, t, *_ in objects}
+        summary["frames"] = int(tfs.shape[0])
+        return summary
+
     def render_scene(
         self,
         path: str,

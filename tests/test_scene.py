@@ -266,3 +266,40 @@ def test_engine_export_scene_html(tmp_path):
     hi = np.max([m["bbox_hi"] for m in s.values()], axis=0)
     lo = np.min([m["bbox_lo"] for m in s.values()], axis=0)
     assert (hi - lo).max() > 150.0
+
+
+def test_export_trajectory_html_animation(tmp_path):
+    """The animated viewer embeds link-local meshes + per-frame FK
+    transforms; the round-trip transforms must equal fk_all_links over the
+    path, and every link carries its link index."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mamri_tpu.api import MamriEngine
+    from mamri_tpu.core.robot import fk_all_links
+    from mamri_tpu.utils.html_viewer import read_html_scene_summary
+
+    eng = MamriEngine()
+    a0 = np.zeros(6, np.float32)
+    a1 = np.array([0.4, -0.5, 0.3, 0.2, -0.3, 0.5], np.float32)
+    eng.trajectory_path = np.linspace(a0, a1, 11).astype(np.float32)
+    p = str(tmp_path / "traj.html")
+    summary = eng.export_trajectory_html(p)
+    assert summary["frames"] == 11
+    s = read_html_scene_summary(p)
+    anim = s["__anim__"]
+    assert anim["frames"] == 11 and anim["links"] == len(eng.model.specs)
+    assert anim["interval_ms"] == 50  # the reference's animation tick
+    want = np.asarray(
+        jax.vmap(lambda a: fk_all_links(eng.model, a, jnp.eye(4)))(
+            jnp.asarray(eng.trajectory_path)
+        )
+    )
+    np.testing.assert_allclose(anim["transforms"], want, atol=1e-5)
+    for spec in eng.model.specs:
+        if spec.name == "Needle":
+            continue
+        assert s[spec.name]["link"] == eng.model.link_index(spec.name)
+    assert s["Needle"]["link"] == eng.model.link_index("Needle")
+    assert s["TrajectoryTipPath"]["kind"] == "line" and s["TrajectoryTipPath"]["verts"] == 11
