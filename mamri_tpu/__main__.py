@@ -137,8 +137,8 @@ def cmd_plan(args) -> int:
 
 
 def cmd_export(args) -> int:
-    if not args.out_dir and not args.scene and not args.render:
-        print(json.dumps({"success": False, "message": "give --out-dir (posed STLs), --scene (assembled OBJ) and/or --render (PNG snapshot)"}))
+    if not args.out_dir and not args.scene and not args.render and not args.animate:
+        print(json.dumps({"success": False, "message": "give --out-dir (posed STLs), --scene (assembled OBJ/GLB/HTML), --render (PNG snapshot) and/or --animate (trajectory-simulation HTML)"}))
         return 2
     eng = _engine(args)
     vol = _load(args.volume)
@@ -156,7 +156,7 @@ def cmd_export(args) -> int:
             print(json.dumps({"success": False, "message": f"no mesh files found under {args.mesh_dir}"}))
             return 1
         out["meshes"] = paths
-    if args.scene or args.render:
+    if args.scene or args.render or args.animate:
         target = np.asarray(args.target, dtype=np.float32) if args.target else None
         entry = np.asarray(args.entry, dtype=np.float32) if args.entry else None
         if target is not None and entry is None:
@@ -174,6 +174,16 @@ def cmd_export(args) -> int:
             )
             out["scene"] = args.scene
             out["scene_objects"] = counts
+        if args.animate:
+            if eng.trajectory_path is None:
+                print(json.dumps({"success": False, "message": "--animate needs a planned trajectory: give --target (and optionally --entry)"}))
+                return 2
+            counts = eng.export_trajectory_html(
+                args.animate, mesh_dir=args.mesh_dir, target_ras=target,
+                entry_ras=entry, body_surface=body,
+            )
+            out["animate"] = args.animate
+            out["animate_frames"] = counts["frames"]
         if args.render:
             az, el = args.view
             size = eng.render_scene(
@@ -219,6 +229,7 @@ def main(argv=None) -> int:
     px.add_argument("--out-dir", default=None, help="write per-link FK-posed STLs here")
     px.add_argument("--scene", default=None, help="write one assembled scene (robot + needle + body + trajectory); OBJ, binary glTF (.glb), or a self-contained interactive WebGL viewer (.html)")
     px.add_argument("--render", default=None, help="write a PNG snapshot of the scene (software rasterizer)")
+    px.add_argument("--animate", default=None, help="write an interactive trajectory-simulation HTML (slider + play at 50 ms) — requires --target")
     px.add_argument("--view", nargs=2, type=float, default=(35.0, 22.0), metavar=("AZIM", "ELEV"))
     px.add_argument("--smooth-body", action="store_true", help="marching-tetrahedra body surface instead of exact voxel faces")
     px.add_argument("--target", nargs=3, type=float, default=None, metavar=("X", "Y", "Z"), help="plan + include a trajectory in the scene")
