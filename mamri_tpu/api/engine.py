@@ -236,8 +236,11 @@ class MamriEngine:
             # the matchers scale to any K (C(K,3) vectorized scoring; the
             # global mode's blob sets are multi-word bitmasks), so the band
             # can grow until the scene is pathological beyond 128 fiducial-
-            # sized components
-            new = new._replace(max_blobs=min(params.max_blobs * 2, 128))
+            # sized components. The band is selected out of the root slots,
+            # so it can never exceed max_roots (top_k k <= array length).
+            new = new._replace(
+                max_blobs=min(params.max_blobs * 2, 128, new.max_roots)
+            )
         return None if new == params else new
 
     # ------------------------------------------------------------------ pose estimation

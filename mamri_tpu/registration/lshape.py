@@ -220,8 +220,11 @@ def match_l_shaped_triplets_global(
     for m in range(3):
         idxu = combos[:, m].astype(jnp.uint32)[:, None]  # (C, 1)
         in_word = (idxu >= word_ids) & (idxu < word_ids + 32)
+        # clamp the shift for out-of-word lanes (a >=32-bit shift is
+        # implementation-defined even when `where` discards the result)
+        shift = jnp.where(in_word, idxu - word_ids, jnp.uint32(0))
         combo_mask = combo_mask | jnp.where(
-            in_word, jnp.uint32(1) << (idxu - word_ids), jnp.uint32(0)
+            in_word, jnp.uint32(1) << shift, jnp.uint32(0)
         )  # (C, W) blob-membership bitmask
 
     _INF = jnp.float32(jnp.inf)
