@@ -91,6 +91,40 @@ def _build_scenes(engine):
     return scenes, spacing, lps_lo, body_center
 
 
+def _wait_for_device():
+    """Block until the accelerator actually answers a round-trip.
+
+    The axon relay on this platform occasionally dies for stretches — even
+    backend init (jax.devices()) hangs, so the probe thread owns the first
+    JAX touch entirely and signals an event; the main thread just reports
+    liveness on stderr until the relay answers. Starting measurement in a
+    dead-relay state would hang with nothing recorded; this way the bench
+    resumes the moment the tunnel recovers."""
+    import sys
+    import threading
+
+    ready = threading.Event()
+
+    def probe():
+        try:
+            import jax
+            import jax.numpy as jnp
+
+            if jax.default_backend() != "cpu":
+                jax.device_get(jnp.full((8, 8), 2.0) * 2.0)
+            ready.set()
+        except Exception:
+            ready.set()  # a raising backend beats a silent hang: let main() surface it
+
+    threading.Thread(target=probe, daemon=True).start()
+    t0 = time.time()
+    while not ready.wait(60):
+        print(
+            f"bench: device unresponsive for {int(time.time() - t0)} s; waiting",
+            file=sys.stderr,
+        )
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -99,6 +133,7 @@ def main():
     from mamri_tpu.core.robot import fk_all_links
     from mamri_tpu.perception.volume import Volume, synthetic_volume
 
+    _wait_for_device()
     engine = MamriEngine()  # default (certified) settings throughout
 
     scenes, spacing, origin, body_center = _build_scenes(engine)
