@@ -877,46 +877,75 @@ class MamriEngine:
             )
         return jax.device_get(res)
 
-    def plan_trajectory(self, target_ras, entry_ras, safety_distance_mm: float = DEFAULT_SAFETY_DISTANCE_MM):
-        """`planTrajectory` (Mamri.py:882-939): collision-aware goal IK."""
+    def _get_plan_fn(self, has_world: bool, world_shape, mode: str, n: int = 0):
+        """jit-cached planning programs, keyed by collision-world shape:
+        "goal" = trajectory IK; "sweep" = vmapped IK over n safety
+        distances; "path" = IK + up-over-down keyframes + 25/25/50
+        interpolation + whole-path collision sweep, all ONE program (the
+        re-plan step of streaming runs at jitted cost instead of eager
+        per-op relay dispatch)."""
+        key = ("plan", mode, has_world, world_shape, n)
+        if key not in self._pipeline_cache:
+            model, geometry = self.model, self.geometry
+
+            def goal_fn(target, entry, safety, base_tf, current, world):
+                return solve_trajectory_ik(
+                    model, geometry, target, entry, safety, base_tf, world,
+                    current_angles=current,
+                )
+
+            if mode == "goal":
+                def fn(target, entry, safety, base_tf, start, current, world=None):
+                    return goal_fn(target, entry, safety, base_tf, current, world)
+            elif mode == "sweep":
+                def fn(target, entry, safeties, base_tf, start, current, world=None):
+                    return jax.vmap(
+                        lambda d: goal_fn(target, entry, d, base_tf, current, world)
+                    )(safeties)
+            else:  # "path"; n = total interpolation steps (static)
+                def fn(target, entry, safety, base_tf, start, current, world=None):
+                    goal = goal_fn(target, entry, safety, base_tf, current, world)
+                    kf = heuristic_keyframes(start, goal.angles)
+                    path = interpolate_path(kf, n)
+                    if world is not None:
+                        flags = check_path_collisions(model, geometry, path, base_tf, world)
+                    else:
+                        flags = jnp.zeros(path.shape[0], dtype=bool)
+                    return {"goal": goal, "keyframes": kf, "path": path, "flags": flags}
+
+            self._pipeline_cache[key] = jax.jit(fn)
+        return self._pipeline_cache[key]
+
+    def _plan_args(self, target_ras, entry_ras, safety, start=None):
         if self.baseplate_tf is None:
             raise RuntimeError("robot base unknown; run estimate_pose first")
         world = self._require_body_world()
+        world_shape = tuple(world.occupancy.shape) if world is not None else None
+        return (
+            jnp.asarray(target_ras, dtype=jnp.float32),
+            jnp.asarray(entry_ras, dtype=jnp.float32),
+            jnp.asarray(safety, dtype=jnp.float32),
+            jnp.asarray(self.baseplate_tf),
+            jnp.asarray(self.current_angles if start is None else start, dtype=jnp.float32),
+            jnp.asarray(self.current_angles),
+        ), world, world_shape
+
+    def plan_trajectory(self, target_ras, entry_ras, safety_distance_mm: float = DEFAULT_SAFETY_DISTANCE_MM):
+        """`planTrajectory` (Mamri.py:882-939): collision-aware goal IK."""
+        args, world, wshape = self._plan_args(target_ras, entry_ras, safety_distance_mm)
         with self.tracer.span("plan_trajectory"):
-            res = solve_trajectory_ik(
-                self.model,
-                self.geometry,
-                jnp.asarray(target_ras, dtype=jnp.float32),
-                jnp.asarray(entry_ras, dtype=jnp.float32),
-                jnp.asarray(safety_distance_mm, dtype=jnp.float32),
-                jnp.asarray(self.baseplate_tf),
-                world,
-                current_angles=jnp.asarray(self.current_angles),
-            )
+            fn = self._get_plan_fn(world is not None, wshape, "goal")
+            res = fn(*args, world=world) if world is not None else fn(*args)
         return jax.device_get(res)
 
     def plan_trajectory_sweep(self, target_ras, entry_ras, safety_distances_mm):
         """Solve the trajectory goal IK for several safety distances at once
         (BASELINE config 4's sweep) — one vmapped solve instead of a loop."""
-        if self.baseplate_tf is None:
-            raise RuntimeError("robot base unknown; run estimate_pose first")
-        world = self._require_body_world()
-        distances = jnp.asarray(safety_distances_mm, dtype=jnp.float32)
-
-        def solve(d):
-            return solve_trajectory_ik(
-                self.model,
-                self.geometry,
-                jnp.asarray(target_ras, dtype=jnp.float32),
-                jnp.asarray(entry_ras, dtype=jnp.float32),
-                d,
-                jnp.asarray(self.baseplate_tf),
-                world,
-                current_angles=jnp.asarray(self.current_angles),
-            )
-
+        distances = np.asarray(safety_distances_mm, dtype=np.float32)
+        args, world, wshape = self._plan_args(target_ras, entry_ras, distances)
         with self.tracer.span("plan_trajectory_sweep"):
-            out = jax.jit(jax.vmap(solve))(distances)
+            fn = self._get_plan_fn(world is not None, wshape, "sweep", n=len(distances))
+            out = fn(*args, world=world) if world is not None else fn(*args)
         return jax.device_get(out)
 
     def plan_heuristic_path(
@@ -928,31 +957,30 @@ class MamriEngine:
         total_steps: int = 100,
     ) -> TrajectoryPlan:
         """`planHeuristicPath` (Mamri.py:941-985): up-over-down keyframes,
-        25/25/50 interpolation, whole-path collision check in one vmap."""
-        goal = self.plan_trajectory(target_ras, entry_ras, safety_distance_mm)
-        if not bool(goal.success):
-            return TrajectoryPlan(success=False, message="Could not find a valid, collision-free trajectory solution.")
+        25/25/50 interpolation, whole-path collision check — goal IK, path,
+        and the collision sweep fused into ONE jitted program (cached per
+        collision-world shape), with one host fetch."""
         if start_pose_steps is not None:
             start = self.convert_steps_to_angles(np.asarray(start_pose_steps))
         else:
             start = self.current_angles
             logger.warning("no estimated start pose provided; planning from current pose")
+        args, world, wshape = self._plan_args(
+            target_ras, entry_ras, safety_distance_mm, start=start
+        )
         with self.tracer.span("plan_heuristic_path"):
-            kf = heuristic_keyframes(jnp.asarray(start, dtype=jnp.float32), jnp.asarray(goal.angles))
-            path = interpolate_path(kf, total_steps)
-            world = self._require_body_world()
-            if world is not None:
-                flags = check_path_collisions(
-                    self.model, self.geometry, path, jnp.asarray(self.baseplate_tf), world
-                )
-                collision = bool(np.asarray(flags).any())
-            else:
-                logger.warning("no body segmentation for path collision checking")
-                collision = False
+            fn = self._get_plan_fn(world is not None, wshape, "path", n=total_steps)
+            out = jax.device_get(fn(*args, world=world) if world is not None else fn(*args))
+        goal = out["goal"]
+        if not bool(goal.success):
+            return TrajectoryPlan(success=False, message="Could not find a valid, collision-free trajectory solution.")
+        if world is None:
+            logger.warning("no body segmentation for path collision checking")
+        collision = bool(np.asarray(out["flags"]).any())
         plan = TrajectoryPlan(
             success=True,
-            path=np.asarray(path),
-            keyframes=np.asarray(kf),
+            path=np.asarray(out["path"]),
+            keyframes=np.asarray(out["keyframes"]),
             collision_detected=collision,
             goal_angles=np.asarray(goal.angles),
             goal_steps=self.convert_angles_to_steps(np.asarray(goal.angles)),
