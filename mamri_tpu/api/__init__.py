@@ -1,4 +1,4 @@
 from mamri_tpu.api.engine import MamriEngine
-from mamri_tpu.api.types import PoseEstimate, TrajectoryPlan
+from mamri_tpu.api.types import ActionState, PoseEstimate, TrajectoryPlan
 
-__all__ = ["MamriEngine", "PoseEstimate", "TrajectoryPlan"]
+__all__ = ["MamriEngine", "ActionState", "PoseEstimate", "TrajectoryPlan"]

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import json
 import logging
+import math
 import os
 from functools import partial
 from typing import Dict, Optional, Sequence, Tuple
@@ -39,7 +40,7 @@ from mamri_tpu.registration.lshape import (
     match_l_shaped_triplets,
     match_l_shaped_triplets_global,
 )
-from mamri_tpu.api.types import PoseEstimate, TrajectoryPlan
+from mamri_tpu.api.types import ActionState, PoseEstimate, TrajectoryPlan
 from mamri_tpu.utils.trace import Tracer
 
 logger = logging.getLogger(__name__)
@@ -97,6 +98,7 @@ class MamriEngine:
         self.last_collision_world = None
         self.trajectory_path: Optional[np.ndarray] = None
         self.trajectory_keyframes: Optional[np.ndarray] = None
+        self.last_estimated_steps: Optional[np.ndarray] = None
         self.hardware = None  # HardwareStack, attached on demand
 
         self._pipeline_cache: Dict[Tuple, callable] = {}
@@ -394,6 +396,7 @@ class MamriEngine:
         if store_state:
             self.current_angles = angles.astype(np.float32)
             self.last_ik_error = float(out["rmse"])
+            self.last_estimated_steps = np.asarray(out["steps"])
         return PoseEstimate(
             success=True,
             angles_rad=angles,
@@ -1048,6 +1051,108 @@ class MamriEngine:
             compare("Joint4", joint4_targets, False)
         return "\n".join(lines)
 
+    # ------------------------------------------------------------------ action gating / tables
+    def available_actions(
+        self,
+        have_volume: bool = False,
+        have_target: bool = False,
+        have_entry: bool = False,
+    ) -> Dict[str, ActionState]:
+        """The reference's button-gating state machine, headless
+        (`_checkAllButtons`, Mamri.py:650-701): one `ActionState` per
+        user-facing action, with the reference's tooltip text as the reason.
+
+        Selections the reference reads off its parameter node (input volume,
+        target/entry fiducials) are not engine state here — pass what the
+        caller currently holds via `have_volume`/`have_target`/`have_entry`;
+        everything else (model built, trajectory planned, connections, task
+        activity) is read from the engine and attached hardware."""
+        model_built = self.baseplate_tf is not None
+        planned = self.trajectory_path is not None
+        hw = self.hardware
+        mc = hw is not None and hw.controller.is_connected
+        enc = hw is not None and hw.encoder.is_connected
+        executing = hw is not None and hw.runner.is_active
+
+        def state(enabled, on, off):
+            return ActionState(bool(enabled), on if enabled else off)
+
+        idle = state(not executing, "Ready.", "A robot task is executing.")
+        return {
+            "estimate_pose": state(
+                have_volume,
+                "Run fiducial detection and robot model rendering.",
+                "Select an input volume.",
+            ),
+            "plan_trajectory": state(
+                have_target and have_entry and model_built,
+                "Plan a collision-aware trajectory.",
+                "Needs a target point, an entry point, and a pose estimate.",
+            ),
+            "zero_robot": state(
+                model_built,
+                "Sets all robot joint angles to zero in the simulation only.",
+                "Run 'Start robot pose estimation' first to build the model.",
+            ),
+            "playback": state(
+                planned, "Scrub / play the planned trajectory.", "No trajectory planned."
+            ),
+            "connect_controller": idle,
+            "refresh_ports": idle,
+            "connect_encoder": idle,
+            "execute_trajectory": state(
+                mc and self.trajectory_keyframes is not None and not executing,
+                "Execute the planned trajectory on hardware.",
+                "Connect the motor controller, plan a trajectory, and stop any running task.",
+            ),
+            "stop_trajectory": state(
+                executing, "Stop the running robot task.", "No robot task is executing."
+            ),
+            "return_to_zero": state(
+                mc and not executing,
+                "Home all joints to zero.",
+                "Connect the motor controller and stop any running task.",
+            ),
+            "move_to_pose": state(
+                mc and not executing and self.last_estimated_steps is not None,
+                "Move the robot to the last estimated pose.",
+                "Needs a connected motor controller, no running task, and a pose estimate.",
+            ),
+            "manual_control": state(
+                mc and not executing,
+                "Jog individual joints.",
+                "Connect the motor controller and stop any running task.",
+            ),
+            "zero_hardware": state(
+                mc and enc and not executing,
+                "Zero the encoder and motor controller hardware.",
+                "Connect both encoder and motor controller to enable.",
+            ),
+            "encoder_command": state(
+                enc and not executing,
+                "Sends a manual command to the encoder.",
+                "Connect to the encoder and stop any running tasks to enable.",
+            ),
+        }
+
+    def pose_table(self, pose_rad=None, title: str = "Pose") -> list:
+        """Rows of the reference's pose tables (`_populatePoseTable`,
+        Mamri.py:704-722): (joint, steps, degrees) per articulated joint,
+        with the reference's "..." placeholders when no pose is given.
+        Header row first; steps as str(int), degrees formatted %.2f."""
+        names = self.model.articulated_names
+        rows = [(title, "Steps", "Degrees (°)")]
+        if pose_rad is None:
+            rows += [(n, "...", "...") for n in names]
+            return rows
+        pose = np.asarray(pose_rad, dtype=np.float64)
+        steps = self.convert_angles_to_steps(pose)
+        rows += [
+            (n, str(int(s)), f"{math.degrees(a):.2f}")
+            for n, s, a in zip(names, steps, pose)
+        ]
+        return rows
+
     def playback(self, path=None, on_pose=None):
         """Trajectory playback cursor (widget simulation panel equivalent)."""
         from mamri_tpu.api.playback import TrajectoryPlayback
@@ -1122,6 +1227,28 @@ class HardwareStack:
             angles = self.engine.convert_steps_to_angles(np.asarray(controller_steps))
             out["tcp_world"] = self.engine.needle_tcp(angles)[:3, 3].tolist()
         return out
+
+    def joint_status_table(self) -> list:
+        """Rows of the reference's live joint-status table
+        (`jointStatusTableWidget`, Mamri.py:744-747 headers; values from the
+        status-panel update Mamri.py:582-637): per joint, encoder /
+        controller / target steps, "..." where a source is unavailable."""
+        st = self.status()
+        names = (
+            self.engine.model.articulated_names
+            if self.engine is not None
+            else tuple(f"J{i + 1}" for i in range(6))
+        )
+        rows = [("Joint", "Encoder (steps)", "Controller (steps)", "Target (steps)")]
+
+        def col(values, i):
+            return "..." if values is None else str(int(values[i]))
+
+        rows += [
+            (n, col(st["encoder_steps"], i), col(st["controller_steps"], i), col(st["target_steps"], i))
+            for i, n in enumerate(names)
+        ]
+        return rows
 
     def move_to_pose(self, steps, **kw):
         return self.runner.start("move_to_pose", target_steps=steps, **kw)

@@ -25,6 +25,20 @@ class PoseEstimate:
     message: str = ""
 
 
+@dataclass(frozen=True)
+class ActionState:
+    """Availability of one user-facing action — the headless equivalent of a
+    gated UI button (`_checkAllButtons`, Mamri/Mamri.py:650-701). `reason`
+    carries the reference's tooltip text: what the action does when enabled,
+    what is missing when disabled."""
+
+    enabled: bool
+    reason: str = ""
+
+    def __bool__(self) -> bool:
+        return self.enabled
+
+
 @dataclass
 class TrajectoryPlan:
     """Output of `MamriEngine.plan_heuristic_path` — mirrors the reference's
