@@ -76,6 +76,16 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.mamri_packbits_encode.argtypes = [
         ctypes.c_char_p, ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
     ]
+    lib.mamri_jpegll_decode.restype = ctypes.c_int64
+    lib.mamri_jpegll_decode.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     _lib = lib
     return lib
 
@@ -144,3 +154,39 @@ def packbits_encode_native(seg: bytes) -> Optional[bytes]:
         seg, len(seg), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
     )
     return out[:n].tobytes()
+
+
+def jpegll_decode_native(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
+    """JPEG Lossless decode via the C++ codec -> ((rows, cols) uint16,
+    precision); None if the native library is unavailable, ValueError on a
+    malformed stream (the Python decoder in perception.jpegll is the
+    fallback and oracle — both must produce identical samples)."""
+    lib = _load()
+    if lib is None:
+        return None
+    # two-pass capacity: SOF3 rows*cols is bounded by 16 bits each
+    cap = 1 << 32
+    out = None
+    rows = ctypes.c_int32(0)
+    cols = ctypes.c_int32(0)
+    prec = ctypes.c_int32(0)
+    # parse dims cheaply from the SOF3 marker to size the buffer exactly
+    i = data.find(b"\xff\xc3")
+    if i < 0 or i + 9 > len(data):
+        raise ValueError("not a JPEG Lossless stream (no SOF3 marker)")
+    r = int.from_bytes(data[i + 5 : i + 7], "big")
+    c = int.from_bytes(data[i + 7 : i + 9], "big")
+    cap = max(r * c, 1)
+    out = np.empty(cap, dtype=np.uint16)
+    n = lib.mamri_jpegll_decode(
+        data,
+        len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        cap,
+        ctypes.byref(rows),
+        ctypes.byref(cols),
+        ctypes.byref(prec),
+    )
+    if n < 0:
+        raise ValueError(f"JPEG Lossless decode failed (native error {n})")
+    return out[:n].reshape(rows.value, cols.value), prec.value

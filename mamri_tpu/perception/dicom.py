@@ -38,6 +38,8 @@ _IMPLICIT_LE = "1.2.840.10008.1.2"
 _EXPLICIT_LE = "1.2.840.10008.1.2.1"
 _EXPLICIT_BE = "1.2.840.10008.1.2.2"
 _RLE_LOSSLESS = "1.2.840.10008.1.2.5"
+_JPEG_LL = "1.2.840.10008.1.2.4.57"  # lossless non-hierarchical, any predictor
+_JPEG_LL_SV1 = "1.2.840.10008.1.2.4.70"  # lossless first-order prediction
 _MR_STORAGE = "1.2.840.10008.5.1.4.1.1.4"
 
 _LONG_VRS = {b"OB", b"OW", b"OF", b"OL", b"OD", b"SQ", b"UC", b"UR", b"UT", b"UN"}
@@ -171,11 +173,13 @@ def _parse_file(path: str) -> Dict:
     else:
         transfer = _IMPLICIT_LE
         body_off = 0
-    if transfer not in (_IMPLICIT_LE, _EXPLICIT_LE, _EXPLICIT_BE, _RLE_LOSSLESS):
+    if transfer not in (
+        _IMPLICIT_LE, _EXPLICIT_LE, _EXPLICIT_BE, _RLE_LOSSLESS, _JPEG_LL, _JPEG_LL_SV1,
+    ):
         raise ValueError(
-            f"{path}: unsupported transfer syntax {transfer} (JPEG-family "
-            "compression is not implemented; implicit/explicit VR LE, "
-            "explicit VR BE and RLE Lossless are)"
+            f"{path}: unsupported transfer syntax {transfer} (lossy/JPEG-2000 "
+            "compression is not implemented; implicit/explicit VR LE, explicit "
+            "VR BE, RLE Lossless and JPEG Lossless are)"
         )
 
     r = _Reader(
@@ -308,7 +312,23 @@ def _slice_array(info: Dict) -> np.ndarray:
     npix = info["rows"] * info["cols"]
     if bits not in (8, 16):
         raise ValueError(f"{info['path']}: unsupported BitsAllocated {bits}")
-    if info.get("transfer") == _RLE_LOSSLESS:
+    if info.get("transfer") in (_JPEG_LL, _JPEG_LL_SV1):
+        from mamri_tpu.perception.jpegll import decode_jpeg_lossless
+
+        frags = info["pixels"]
+        if not isinstance(frags, list):
+            raise ValueError(f"{info['path']}: JPEG pixel data must be encapsulated")
+        # a single-frame codestream may span several fragments
+        arr, _prec = decode_jpeg_lossless(b"".join(frags))
+        if arr.shape != (info["rows"], info["cols"]):
+            raise ValueError(
+                f"{info['path']}: JPEG frame {arr.shape} != ({info['rows']}, {info['cols']})"
+            )
+        if bits == 16 and signed:
+            arr = arr.view(np.int16)
+        elif bits == 8:
+            arr = arr.astype(np.int8 if signed else np.uint8)
+    elif info.get("transfer") == _RLE_LOSSLESS:
         frags = info["pixels"]
         if not isinstance(frags, list) or len(frags) != 1:
             raise ValueError(f"{info['path']}: expected one RLE frame per file")
@@ -418,20 +438,32 @@ def save_dicom_series(
     directory: str, volume: Volume, series_number: int = 1, transfer: str = "explicit_le"
 ) -> List[str]:
     """Write the volume as an MR series (one file per z slice): explicit VR
-    LE, or RLE Lossless encapsulated (`transfer="rle"`).
+    LE, RLE Lossless encapsulated (`transfer="rle"`), or JPEG Lossless SV1
+    encapsulated (`transfer="jpegll"`).
 
     Intensities are stored as int16 with a lossless-for-rounded-data rescale;
     the reader round-trips `load_dicom_series(save_dicom_series(v)) == v` to
-    rescale precision (exact for integer-valued data within range; RLE is a
-    lossless byte codec, so identically exact).
+    rescale precision (exact for integer-valued data within range; RLE and
+    JPEG Lossless are lossless codecs, so identically exact).
     """
-    if transfer not in ("explicit_le", "rle"):
-        raise ValueError(f"transfer must be 'explicit_le' or 'rle', got {transfer!r}")
+    if transfer not in ("explicit_le", "rle", "jpegll"):
+        raise ValueError(
+            f"transfer must be 'explicit_le', 'rle' or 'jpegll', got {transfer!r}"
+        )
     os.makedirs(directory, exist_ok=True)
     data = np.asarray(volume.data, dtype=np.float32)
     nx, ny, nz = data.shape
     lo, hi = float(data.min()), float(data.max())
-    scale = max((hi - lo) / 65000.0, 1e-6) if hi > lo else 1.0
+    # stored = round((data - lo)/scale) - 32000, so the grid must keep
+    # hi's stored value <= 32767: 64767 steps max (65000 silently CLIPPED
+    # the top 233 steps of the range before round 3). Integer-valued data
+    # that fits the window stores at slope 1 — bit-exact round-trip (CT/MR
+    # intensities are integral); anything else quantizes onto the grid.
+    integral = hi - lo <= 64767.0 and bool(np.all(data == np.round(data)))
+    if hi <= lo or integral:
+        scale = 1.0
+    else:
+        scale = max((hi - lo) / 64767.0, 1e-6)
     slope, inter = scale, lo + 32000.0 * scale
     stored = np.clip(np.round((data - inter) / slope), -32768, 32767).astype(np.int16)
 
@@ -445,11 +477,17 @@ def save_dicom_series(
         sl = stored[:, :, k]  # (nx, ny) = (cols-axis, rows-axis)
         rows, cols = ny, nx
         a = np.ascontiguousarray(sl.T)  # (rows, cols) C-order int16
-        if transfer == "rle":
-            u = a.view(np.uint16)
-            frame = _rle_encode_frame(
-                [(u >> 8).astype(np.uint8).tobytes(), (u & 0xFF).astype(np.uint8).tobytes()]
-            )
+        if transfer in ("rle", "jpegll"):
+            if transfer == "rle":
+                u = a.view(np.uint16)
+                frame = _rle_encode_frame(
+                    [(u >> 8).astype(np.uint8).tobytes(), (u & 0xFF).astype(np.uint8).tobytes()]
+                )
+            else:
+                from mamri_tpu.perception.jpegll import encode_jpeg_lossless
+
+                # signed samples ride as their 16-bit two's-complement patterns
+                frame = encode_jpeg_lossless(a.view(np.uint16), precision=16)
             if len(frame) % 2:
                 frame += b"\x00"
             pixel_el = (
@@ -494,7 +532,11 @@ def save_dicom_series(
                 _el(0x0002, 0x0003, b"UI", f"{series_uid}.{k + 1}".encode()),
                 _el(
                     0x0002, 0x0010, b"UI",
-                    (_RLE_LOSSLESS if transfer == "rle" else _EXPLICIT_LE).encode(),
+                    {
+                        "rle": _RLE_LOSSLESS,
+                        "jpegll": _JPEG_LL_SV1,
+                        "explicit_le": _EXPLICIT_LE,
+                    }[transfer].encode(),
                 ),
             ]
         )

@@ -113,6 +113,33 @@ def test_dicom_series_roundtrip(tmp_path):
     assert np.abs(back.data - v.data).max() < 0.01 * (v.data.max() - v.data.min())
 
 
+def test_dicom_integral_data_roundtrips_exactly(tmp_path):
+    """Integer-valued volumes (all real CT/MR intensities) must store at
+    rescale slope 1 and round-trip BIT-exactly; non-integral data keeps the
+    quantizing 64767-step rescale."""
+    from mamri_tpu.perception.dicom import load_dicom_series, save_dicom_series
+    from mamri_tpu.perception.volume import Volume
+
+    rng = np.random.default_rng(11)
+    data = rng.integers(-1000, 3000, (20, 18, 6)).astype(np.float32)
+    v = Volume(data=data, spacing=(1.0, 1.0, 2.0), origin=(0.0, 0.0, 0.0))
+    for transfer in ("explicit_le", "rle", "jpegll"):
+        d = str(tmp_path / transfer)
+        save_dicom_series(d, v, transfer=transfer)
+        np.testing.assert_array_equal(load_dicom_series(d).data, data)
+    frac = data + 0.5
+    d = str(tmp_path / "frac")
+    save_dicom_series(d, Volume(data=frac, spacing=v.spacing, origin=v.origin))
+    back = load_dicom_series(d).data
+    assert np.abs(np.asarray(back) - frac).max() < 0.5  # quantized, close
+    # huge-range integral data falls back to the quantizing rescale
+    wide = np.zeros((4, 4, 2), np.float32); wide[0, 0, 0] = 1e6
+    d = str(tmp_path / "wide")
+    save_dicom_series(d, Volume(data=wide, spacing=v.spacing, origin=v.origin))
+    # half a quantization step: 1e6/64767/2 ~ 7.8 (65000-step grid would clip)
+    assert float(np.abs(np.asarray(load_dicom_series(d).data) - wide).max()) < 8.0
+
+
 def test_dicom_series_unsorted_and_multi(tmp_path):
     """Slices shuffled on disk and a second decoy series: geometric sort +
     largest-series selection must reassemble the right volume."""
@@ -327,3 +354,83 @@ def test_dicom_explicit_big_endian(tmp_path):
     vol = load_dicom_series(d)
     assert vol.data.shape == (cols, rows, 1)
     np.testing.assert_array_equal(vol.data[:, :, 0], arr.T.astype(np.float32))
+
+
+def test_dicom_jpeg_lossless_roundtrip(tmp_path):
+    """JPEG Lossless SV1 (1.2.840.10008.1.2.4.70) must round-trip BIT-exactly
+    with the uncompressed writer output — the other common lossless scanner
+    export besides RLE (the reference ingests it via Slicer's DICOM stack,
+    Mamri.py:1306)."""
+    from mamri_tpu.perception.dicom import load_dicom_series, save_dicom_series
+
+    v = synthetic_volume(shape=(24, 32, 12), spacing=(1.0, 1.5, 2.0),
+                         fiducials_ras=np.array([[0.0, 0.0, 0.0]]))
+    d_jll = str(tmp_path / "jll")
+    d_raw = str(tmp_path / "raw")
+    paths = save_dicom_series(d_jll, v, transfer="jpegll")
+    save_dicom_series(d_raw, v)
+    assert len(paths) == 12
+    back_jll = load_dicom_series(d_jll)
+    back_raw = load_dicom_series(d_raw)
+    np.testing.assert_array_equal(back_jll.data, back_raw.data)  # lossless codec
+    np.testing.assert_allclose(back_jll.spacing, v.spacing, atol=1e-5)
+    np.testing.assert_allclose(back_jll.origin, v.origin, atol=1e-3)
+    # the smooth phantom must actually compress
+    import os
+
+    raw_size = sum(os.path.getsize(os.path.join(d_raw, f)) for f in os.listdir(d_raw))
+    jll_size = sum(os.path.getsize(os.path.join(d_jll, f)) for f in os.listdir(d_jll))
+    assert jll_size < raw_size
+
+
+def test_jpegll_codec_property():
+    """Property sweep of the T.81 process-14 codec itself: every predictor,
+    restart intervals, point transform, 8/12/16-bit precisions, and
+    native/python decoder agreement (the Python decoder is the oracle)."""
+    from mamri_tpu import native
+    from mamri_tpu.perception import jpegll
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 500, (61, 45)).astype(np.int64)
+    smooth = (np.cumsum(np.cumsum(base, 0), 1) % 65536).astype(np.uint16)
+    images = [
+        smooth,
+        rng.integers(0, 65536, (33, 40)).astype(np.uint16),  # all categories
+        np.full((17, 19), 4242, np.uint16),  # single-symbol Huffman table
+        rng.integers(0, 256, (28, 31)).astype(np.uint16),  # 8-bit range
+    ]
+    for img in images:
+        for predictor in range(1, 8):
+            enc = jpegll.encode_jpeg_lossless(img, 16, predictor=predictor)
+            dec, prec = jpegll.decode_jpeg_lossless(enc, use_native=False)
+            assert prec == 16
+            np.testing.assert_array_equal(dec, img)
+            if native.available():
+                dn, pn = native.jpegll_decode_native(enc)
+                assert pn == 16
+                np.testing.assert_array_equal(dn, img)
+    # restart intervals (non-divisible final band) + point transform + 12-bit
+    enc = jpegll.encode_jpeg_lossless(smooth, 16, predictor=4, restart_rows=13)
+    np.testing.assert_array_equal(
+        jpegll.decode_jpeg_lossless(enc, use_native=False)[0], smooth
+    )
+    if native.available():
+        np.testing.assert_array_equal(native.jpegll_decode_native(enc)[0], smooth)
+    twelve = rng.integers(0, 4096, (22, 26)).astype(np.uint16)
+    enc = jpegll.encode_jpeg_lossless(twelve, 12)
+    np.testing.assert_array_equal(
+        jpegll.decode_jpeg_lossless(enc, use_native=False)[0], twelve
+    )
+    shifted = (rng.integers(0, 2048, (20, 24)).astype(np.uint16) << 2)
+    enc = jpegll.encode_jpeg_lossless(shifted, 16, pt=2)
+    np.testing.assert_array_equal(
+        jpegll.decode_jpeg_lossless(enc, use_native=False)[0], shifted
+    )
+    # malformed streams fail loudly, not silently
+    import pytest
+
+    with pytest.raises(ValueError):
+        jpegll.decode_jpeg_lossless(b"\xff\xd8\xff\xd9", use_native=False)
+    truncated = jpegll.encode_jpeg_lossless(smooth, 16)[:-40]
+    with pytest.raises(ValueError):
+        jpegll.decode_jpeg_lossless(truncated, use_native=False)
