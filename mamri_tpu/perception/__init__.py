@@ -1,7 +1,11 @@
 from mamri_tpu.perception.volume import Volume, synthetic_volume, lps_to_ras, ras_to_lps
 from mamri_tpu.perception.segmentation import SegmentationParams, SegmentationResult, segment_volume
 from mamri_tpu.perception.io import load_nifti, save_nifti, resample_to_axis_aligned, volume_from_affine
-from mamri_tpu.perception.dicom import load_dicom_series, save_dicom_series
+from mamri_tpu.perception.dicom import (
+    load_dicom_series,
+    save_dicom_multiframe,
+    save_dicom_series,
+)
 
 __all__ = [
     "Volume",
@@ -16,5 +20,6 @@ __all__ = [
     "resample_to_axis_aligned",
     "volume_from_affine",
     "load_dicom_series",
+    "save_dicom_multiframe",
     "save_dicom_series",
 ]

@@ -4,19 +4,25 @@ The reference consumes scanner volumes through the Slicer scene
 (`sitkUtils.PullVolumeFromSlicer`, Mamri/Mamri.py:1306), whose DICOM plugin
 stack does the series assembly; standalone mamri_tpu does its own:
 
-  * `load_dicom_series(dir)` — single-frame MR series in implicit/explicit
-    VR little endian, explicit VR big endian, or RLE Lossless (the
-    encapsulated PackBits compression real scanner exports frequently use);
-    anything else (JPEG families) is rejected loudly. Slices sorted by the
-    projection of ImagePositionPatient onto the slice normal (row x col
-    direction), the standard geometric sort; rescale slope/intercept
-    applied. Axis-aligned orientations (any axis permutation/flip) map
-    directly onto the LPS `Volume` grid; oblique series are trilinearly
-    resampled (perception.io.resample_to_axis_aligned).
+  * `load_dicom_series(dir)` — MR series in implicit/explicit VR little
+    endian, explicit VR big endian, RLE Lossless (encapsulated PackBits), or
+    JPEG Lossless (.57/.70); anything lossy is rejected loudly. Both
+    one-file-per-slice series and multi-frame files assemble: classic
+    multi-frame (NumberOfFrames + SpacingBetweenSlices along the IOP
+    normal) and Enhanced MR (per-frame PlanePosition + shared
+    PlaneOrientation/PixelMeasures/PixelValueTransformation functional
+    groups, PS3.3 C.7.6.16). Slices sorted by the projection of
+    ImagePositionPatient onto the slice normal (row x col direction), the
+    standard geometric sort; rescale slope/intercept applied. Axis-aligned
+    orientations (any axis permutation/flip) map directly onto the LPS
+    `Volume` grid; oblique series are trilinearly resampled
+    (perception.io.resample_to_axis_aligned).
   * `save_dicom_series(dir, volume)` — MR Image Storage, one file per slice,
-    int16 with exact rescale, explicit VR LE or RLE Lossless
-    (`transfer="rle"`) — the round-trip oracle for the reader and a
-    capability the reference lacks (export).
+    int16 with exact rescale, explicit VR LE, RLE Lossless
+    (`transfer="rle"`) or JPEG Lossless (`transfer="jpegll"`) — the
+    round-trip oracle for the reader and a capability the reference lacks
+    (export). `save_dicom_multiframe(path, volume)` writes the Enhanced MR
+    single-file form of the same.
 
 DICOM patient coordinates are LPS, the same convention `Volume` stores, so no
 RAS flip happens here (the LPS->RAS flip lives at the segmentation boundary,
@@ -41,8 +47,21 @@ _RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 _JPEG_LL = "1.2.840.10008.1.2.4.57"  # lossless non-hierarchical, any predictor
 _JPEG_LL_SV1 = "1.2.840.10008.1.2.4.70"  # lossless first-order prediction
 _MR_STORAGE = "1.2.840.10008.5.1.4.1.1.4"
+_ENHANCED_MR_STORAGE = "1.2.840.10008.5.1.4.1.1.4.1"
 
 _LONG_VRS = {b"OB", b"OW", b"OF", b"OL", b"OD", b"SQ", b"UC", b"UR", b"UT", b"UN"}
+
+# Sequences we must structurally parse even in implicit VR (no VR byte says
+# "SQ" there): the Enhanced multi-frame functional-group containers
+# (PS3.3 C.7.6.16) and the macros that hold geometry/rescale inside them.
+_SQ_TAGS = {
+    (0x5200, 0x9229),  # SharedFunctionalGroupsSequence
+    (0x5200, 0x9230),  # PerFrameFunctionalGroupsSequence
+    (0x0020, 0x9113),  # PlanePositionSequence
+    (0x0020, 0x9116),  # PlaneOrientationSequence
+    (0x0028, 0x9110),  # PixelMeasuresSequence
+    (0x0028, 0x9145),  # PixelValueTransformationSequence
+}
 
 
 class _Reader:
@@ -93,14 +112,37 @@ class _Reader:
         if length == 0xFFFFFFFF:
             if tag == (0x7FE0, 0x0010):
                 return tag, self._read_fragments()
-            self._skip_undefined()
-            return tag, None
-        if vr == b"SQ":
-            self.pos += length
-            return tag, None
+            return tag, ("SQ", self._read_items(None))
+        if vr == b"SQ" or (not self.explicit and tag in _SQ_TAGS):
+            return tag, ("SQ", self._read_items(length))
         value = self.buf[self.pos : self.pos + length]
         self.pos += length
         return tag, value
+
+    def _read_items(self, length: Optional[int]) -> List[bytes]:
+        """Parse SQ content into one byte blob per item (each blob is an
+        element stream in the parent's encoding). `length=None` walks an
+        undefined-length sequence to its (FFFE,E0DD) delimiter."""
+        items: List[bytes] = []
+        end = None if length is None else self.pos + length
+        while (self.pos < end) if end is not None else not self.eof():
+            group = self._u16()
+            elem = self._u16()
+            ilen = self._u32()
+            if (group, elem) == (0xFFFE, 0xE0DD):
+                return items
+            if (group, elem) != (0xFFFE, 0xE000):
+                raise ValueError("malformed sequence item")
+            if ilen == 0xFFFFFFFF:
+                start = self.pos
+                self._skip_item_undefined()
+                items.append(self.buf[start : self.pos - 8])  # minus (FFFE,E00D)+len
+            else:
+                items.append(self.buf[self.pos : self.pos + ilen])
+                self.pos += ilen
+        if end is None:
+            raise ValueError("unterminated undefined-length sequence")
+        return items
 
     def _read_fragments(self) -> List[bytes]:
         """Encapsulated pixel data: item 0 = basic offset table (dropped),
@@ -123,23 +165,6 @@ class _Reader:
                 frags.append(value)
         raise ValueError("unterminated encapsulated pixel data")
 
-    def _skip_undefined(self):
-        """Skip an undefined-length value: scan items until the sequence
-        delimiter (FFFE, E0DD), recursing into undefined-length items."""
-        while not self.eof():
-            group = self._u16()
-            elem = self._u16()
-            length = self._u32()
-            if (group, elem) == (0xFFFE, 0xE0DD):
-                return
-            if (group, elem) == (0xFFFE, 0xE000):
-                if length == 0xFFFFFFFF:
-                    self._skip_item_undefined()
-                else:
-                    self.pos += length
-            else:  # malformed; bail to avoid infinite loop
-                raise ValueError("malformed undefined-length sequence")
-
     def _skip_item_undefined(self):
         while not self.eof():
             group = self._u16()
@@ -150,6 +175,69 @@ class _Reader:
             # nested element inside the item — reuse the normal path
             self.pos -= 4
             self.read_element()
+
+
+def _parse_item(blob: bytes, explicit: bool, be: bool) -> Dict[Tuple[int, int], object]:
+    """Parse one sequence-item blob (an element stream in the parent's
+    encoding) into a tag -> value map; nested sequences come back as
+    ("SQ", [item_blob, ...])."""
+    r = _Reader(blob, explicit=explicit, big_endian=be)
+    out: Dict[Tuple[int, int], object] = {}
+    while not r.eof():
+        tag, val = r.read_element()
+        out[tag] = val
+    return out
+
+
+def _floats(val: bytes) -> List[float]:
+    return [float(x) for x in val.decode("ascii").strip("\x00 ").split("\\")]
+
+
+def _resolve_functional_groups(out: Dict, explicit: bool, be: bool) -> None:
+    """Enhanced multi-frame files keep geometry/rescale in functional-group
+    sequences (PS3.3 C.7.6.16) rather than top-level elements: hoist the
+    shared macros into `out` (top-level elements win if both exist) and
+    collect per-frame ImagePositionPatient into `out["perframe_ipp"]`."""
+
+    def first_item(d: Dict, tag) -> Optional[Dict]:
+        v = d.get(tag)
+        if isinstance(v, tuple) and v[0] == "SQ" and v[1]:
+            return _parse_item(v[1][0], explicit, be)
+        return None
+
+    shared = out.get("shared_fg") or []
+    sh = _parse_item(shared[0], explicit, be) if shared else {}
+    pm = first_item(sh, (0x0028, 0x9110))  # PixelMeasures
+    if pm is not None:
+        if "pixel_spacing" not in out and (0x0028, 0x0030) in pm:
+            out["pixel_spacing"] = _floats(pm[(0x0028, 0x0030)])
+        if "spacing_between" not in out and (0x0018, 0x0088) in pm:
+            out["spacing_between"] = _floats(pm[(0x0018, 0x0088)])
+    po = first_item(sh, (0x0020, 0x9116))  # PlaneOrientation
+    if po is not None and "iop" not in out and (0x0020, 0x0037) in po:
+        out["iop"] = _floats(po[(0x0020, 0x0037)])
+    pv = first_item(sh, (0x0028, 0x9145))  # PixelValueTransformation
+    if pv is not None:
+        if "intercept" not in out and (0x0028, 0x1052) in pv:
+            out["intercept"] = _floats(pv[(0x0028, 0x1052)])
+        if "slope" not in out and (0x0028, 0x1053) in pv:
+            out["slope"] = _floats(pv[(0x0028, 0x1053)])
+
+    ipps: List[List[float]] = []
+    for blob in out.get("perframe_fg") or []:
+        fr = _parse_item(blob, explicit, be)
+        pp = first_item(fr, (0x0020, 0x9113))  # PlanePosition
+        if pp is None or (0x0020, 0x0032) not in pp:
+            ipps = []  # incomplete per-frame geometry: fall back to classic
+            break
+        ipps.append(_floats(pp[(0x0020, 0x0032)]))
+        if "iop" not in out:
+            po = first_item(fr, (0x0020, 0x9116))
+            if po is not None and (0x0020, 0x0037) in po:
+                out["iop"] = _floats(po[(0x0020, 0x0037)])
+    if ipps:
+        out["perframe_ipp"] = ipps
+        out.setdefault("ipp", ipps[0])
 
 
 def _parse_file(path: str) -> Dict:
@@ -191,6 +279,8 @@ def _parse_file(path: str) -> Dict:
         (0x0020, 0x000E): "series_uid",
         (0x0020, 0x0032): "ipp",
         (0x0020, 0x0037): "iop",
+        (0x0018, 0x0088): "spacing_between",
+        (0x0028, 0x0008): "nframes",
         (0x0028, 0x0010): "rows",
         (0x0028, 0x0011): "cols",
         (0x0028, 0x0030): "pixel_spacing",
@@ -198,6 +288,8 @@ def _parse_file(path: str) -> Dict:
         (0x0028, 0x0103): "pixel_representation",
         (0x0028, 0x1052): "intercept",
         (0x0028, 0x1053): "slope",
+        (0x5200, 0x9229): "shared_fg",
+        (0x5200, 0x9230): "perframe_fg",
         (0x7FE0, 0x0010): "pixels",
     }
     out: Dict = {"path": path, "transfer": transfer}
@@ -207,18 +299,71 @@ def _parse_file(path: str) -> Dict:
         name = want.get(tag)
         if name is None or val is None:
             continue
+        if isinstance(val, tuple) and val[0] == "SQ":
+            if name in ("shared_fg", "perframe_fg"):
+                out[name] = val[1]
+            continue
         if name in ("rows", "cols", "bits_allocated", "pixel_representation"):
             out[name] = struct.unpack(us, val[:2])[0]
-        elif name in ("ipp", "iop", "pixel_spacing", "intercept", "slope"):
-            out[name] = [float(x) for x in val.decode("ascii").strip("\x00 ").split("\\")]
+        elif name == "nframes":
+            out[name] = int(val.decode("ascii").strip("\x00 "))
+        elif name in ("ipp", "iop", "pixel_spacing", "intercept", "slope", "spacing_between"):
+            out[name] = _floats(val)
         elif name == "series_uid":
             out[name] = val.decode("ascii").strip("\x00 ")
         else:
             out[name] = val
+    if "shared_fg" in out or "perframe_fg" in out:
+        _resolve_functional_groups(
+            out, explicit=(transfer != _IMPLICIT_LE), be=(transfer == _EXPLICIT_BE)
+        )
     for req in ("ipp", "iop", "rows", "cols", "pixel_spacing", "pixels"):
         if req not in out:
             raise ValueError(f"{path}: missing required DICOM element for {req}")
     return out
+
+
+def _split_frames(info: Dict) -> List[Dict]:
+    """Expand one multi-frame file into synthetic single-frame slice infos.
+
+    Enhanced files carry a per-frame ImagePositionPatient (collected by
+    `_resolve_functional_groups`); classic multi-frame files stack along the
+    slice normal at SpacingBetweenSlices (default 1 mm) from the one IPP.
+    """
+    n = info["nframes"]
+    ipps = info.get("perframe_ipp")
+    if ipps is not None and len(ipps) != n:
+        raise ValueError(
+            f"{info['path']}: {len(ipps)} per-frame positions for {n} frames"
+        )
+    if ipps is None:
+        step = info.get("spacing_between", [1.0])[0]
+        iop = np.asarray(info["iop"], dtype=np.float64)
+        normal = np.cross(iop[:3], iop[3:])
+        base = np.asarray(info["ipp"], dtype=np.float64)
+        ipps = [(base + normal * (step * k)).tolist() for k in range(n)]
+    pixels = info["pixels"]
+    nbytes = info["rows"] * info["cols"] * (info.get("bits_allocated", 16) // 8)
+    frames: List[Dict] = []
+    for k in range(n):
+        fi = dict(info)
+        fi["nframes"] = 1
+        fi["ipp"] = ipps[k]
+        fi.pop("perframe_ipp", None)
+        if isinstance(pixels, list):
+            # encapsulated multi-frame: PS3.5 A.4 requires one fragment per
+            # frame when frames > 1 (no other split is decodable frame-wise)
+            if len(pixels) != n:
+                raise ValueError(
+                    f"{info['path']}: {len(pixels)} pixel fragments for {n} frames"
+                )
+            fi["pixels"] = [pixels[k]]
+        else:
+            if len(pixels) < nbytes * n:
+                raise ValueError(f"{info['path']}: pixel data too short for {n} frames")
+            fi["pixels"] = pixels[nbytes * k : nbytes * (k + 1)]
+        frames.append(fi)
+    return frames
 
 
 # --------------------------------------------------- RLE Lossless (PackBits)
@@ -375,6 +520,10 @@ def load_dicom_series(directory: str, series_uid: Optional[str] = None) -> Volum
             continue  # non-DICOM file in the directory
     if not infos:
         raise ValueError(f"{directory}: no readable DICOM slices")
+    expanded: List[Dict] = []
+    for i in infos:
+        expanded.extend(_split_frames(i) if i.get("nframes", 1) > 1 else [i])
+    infos = expanded
     by_series: Dict[str, List[Dict]] = {}
     for i in infos:
         by_series.setdefault(i.get("series_uid", ""), []).append(i)
@@ -434,6 +583,60 @@ def _ds(vals) -> bytes:
     return "\\".join(f"{v:.10g}" for v in np.atleast_1d(vals)).encode("ascii")
 
 
+def _sq(group: int, elem: int, items: List[bytes]) -> bytes:
+    """Defined-length SQ element (explicit VR LE) from item element streams."""
+    body = b"".join(
+        struct.pack("<HHI", 0xFFFE, 0xE000, len(it)) + it for it in items
+    )
+    return struct.pack("<HH2sHI", group, elem, b"SQ", 0, len(body)) + body
+
+
+def _rescale_int16(data: np.ndarray) -> Tuple[np.ndarray, float, float]:
+    """int16 stored values + (slope, intercept) for a lossless-for-rounded-data
+    rescale: stored = round((data - lo)/scale) - 32000, keeping hi's stored
+    value <= 32767 (64767 steps max; 65000 silently CLIPPED the top 233 steps
+    of the range before round 3). Integer-valued data that fits the window
+    stores at slope 1 — bit-exact round-trip (CT/MR intensities are
+    integral); anything else quantizes onto the grid."""
+    lo, hi = float(data.min()), float(data.max())
+    integral = hi - lo <= 64767.0 and bool(np.all(data == np.round(data)))
+    if hi <= lo or integral:
+        scale = 1.0
+    else:
+        scale = max((hi - lo) / 64767.0, 1e-6)
+    slope, inter = scale, lo + 32000.0 * scale
+    stored = np.clip(np.round((data - inter) / slope), -32768, 32767).astype(np.int16)
+    return stored, slope, inter
+
+
+def _compress_frame(a: np.ndarray, transfer: str) -> bytes:
+    """One (rows, cols) int16 frame -> an even-length compressed fragment."""
+    if transfer == "rle":
+        u = a.view(np.uint16)
+        frame = _rle_encode_frame(
+            [(u >> 8).astype(np.uint8).tobytes(), (u & 0xFF).astype(np.uint8).tobytes()]
+        )
+    else:
+        from mamri_tpu.perception.jpegll import encode_jpeg_lossless
+
+        # signed samples ride as their 16-bit two's-complement patterns
+        frame = encode_jpeg_lossless(a.view(np.uint16), precision=16)
+    if len(frame) % 2:
+        frame += b"\x00"
+    return frame
+
+
+def _encapsulate(frags: List[bytes]) -> bytes:
+    """Encapsulated (7FE0,0010): empty basic offset table, one item per
+    compressed frame, sequence delimiter."""
+    return (
+        struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF)
+        + struct.pack("<HHI", 0xFFFE, 0xE000, 0)
+        + b"".join(struct.pack("<HHI", 0xFFFE, 0xE000, len(f)) + f for f in frags)
+        + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
+    )
+
+
 def save_dicom_series(
     directory: str, volume: Volume, series_number: int = 1, transfer: str = "explicit_le"
 ) -> List[str]:
@@ -453,19 +656,7 @@ def save_dicom_series(
     os.makedirs(directory, exist_ok=True)
     data = np.asarray(volume.data, dtype=np.float32)
     nx, ny, nz = data.shape
-    lo, hi = float(data.min()), float(data.max())
-    # stored = round((data - lo)/scale) - 32000, so the grid must keep
-    # hi's stored value <= 32767: 64767 steps max (65000 silently CLIPPED
-    # the top 233 steps of the range before round 3). Integer-valued data
-    # that fits the window stores at slope 1 — bit-exact round-trip (CT/MR
-    # intensities are integral); anything else quantizes onto the grid.
-    integral = hi - lo <= 64767.0 and bool(np.all(data == np.round(data)))
-    if hi <= lo or integral:
-        scale = 1.0
-    else:
-        scale = max((hi - lo) / 64767.0, 1e-6)
-    slope, inter = scale, lo + 32000.0 * scale
-    stored = np.clip(np.round((data - inter) / slope), -32768, 32767).astype(np.int16)
+    stored, slope, inter = _rescale_int16(data)
 
     uid_base = "1.2.826.0.1.3680043.9.7431"  # arbitrary org root for synthetic data
     series_uid = f"{uid_base}.{series_number}.1"
@@ -478,25 +669,7 @@ def save_dicom_series(
         rows, cols = ny, nx
         a = np.ascontiguousarray(sl.T)  # (rows, cols) C-order int16
         if transfer in ("rle", "jpegll"):
-            if transfer == "rle":
-                u = a.view(np.uint16)
-                frame = _rle_encode_frame(
-                    [(u >> 8).astype(np.uint8).tobytes(), (u & 0xFF).astype(np.uint8).tobytes()]
-                )
-            else:
-                from mamri_tpu.perception.jpegll import encode_jpeg_lossless
-
-                # signed samples ride as their 16-bit two's-complement patterns
-                frame = encode_jpeg_lossless(a.view(np.uint16), precision=16)
-            if len(frame) % 2:
-                frame += b"\x00"
-            pixel_el = (
-                struct.pack("<HH2sHI", 0x7FE0, 0x0010, b"OB", 0, 0xFFFFFFFF)
-                + struct.pack("<HHI", 0xFFFE, 0xE000, 0)  # empty basic offset table
-                + struct.pack("<HHI", 0xFFFE, 0xE000, len(frame))
-                + frame
-                + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0)
-            )
+            pixel_el = _encapsulate([_compress_frame(a, transfer)])
         else:
             pixel_el = _el(0x7FE0, 0x0010, b"OW", a.tobytes())
         body = b"".join(
@@ -546,3 +719,103 @@ def save_dicom_series(
             f.write(b"\x00" * 128 + b"DICM" + meta + body)
         paths.append(path)
     return paths
+
+
+def save_dicom_multiframe(
+    path: str, volume: Volume, series_number: int = 1, transfer: str = "explicit_le"
+) -> str:
+    """Write the volume as ONE Enhanced MR multi-frame file (the modern
+    single-file export modern scanners produce): all geometry and rescale
+    live in functional-group sequences (PS3.3 C.7.6.16) — shared
+    PlaneOrientation/PixelMeasures/PixelValueTransformation macros plus a
+    per-frame PlanePosition — with no top-level IPP/IOP/PixelSpacing, which
+    is exactly what exercises the reader's Enhanced path. Same transfer
+    choices and the same lossless-for-integral rescale as
+    `save_dicom_series`; compressed transfers write one fragment per frame
+    (PS3.5 A.4)."""
+    if transfer not in ("explicit_le", "rle", "jpegll"):
+        raise ValueError(
+            f"transfer must be 'explicit_le', 'rle' or 'jpegll', got {transfer!r}"
+        )
+    data = np.asarray(volume.data, dtype=np.float32)
+    nx, ny, nz = data.shape
+    rows, cols = ny, nx
+    stored, slope, inter = _rescale_int16(data)
+    frames = [np.ascontiguousarray(stored[:, :, k].T) for k in range(nz)]
+    if transfer == "explicit_le":
+        pixel_el = _el(0x7FE0, 0x0010, b"OW", b"".join(a.tobytes() for a in frames))
+    else:
+        pixel_el = _encapsulate([_compress_frame(a, transfer) for a in frames])
+
+    sx, sy, sz = [float(s) for s in volume.spacing]
+    ox, oy, oz = [float(o) for o in volume.origin]
+    shared_item = b"".join(
+        [
+            _sq(0x0020, 0x9116, [_el(0x0020, 0x0037, b"DS", _ds([1, 0, 0, 0, 1, 0]))]),
+            _sq(
+                0x0028, 0x9110,
+                [
+                    _el(0x0018, 0x0088, b"DS", _ds([sz]))
+                    + _el(0x0028, 0x0030, b"DS", _ds([sy, sx]))
+                ],
+            ),
+            _sq(
+                0x0028, 0x9145,
+                [
+                    _el(0x0028, 0x1052, b"DS", _ds([inter]))
+                    + _el(0x0028, 0x1053, b"DS", _ds([slope]))
+                ],
+            ),
+        ]
+    )
+    perframe_items = [
+        _sq(0x0020, 0x9113, [_el(0x0020, 0x0032, b"DS", _ds([ox, oy, oz + sz * k]))])
+        for k in range(nz)
+    ]
+
+    uid_base = "1.2.826.0.1.3680043.9.7431"
+    series_uid = f"{uid_base}.{series_number}.1"
+    study_uid = f"{uid_base}.{series_number}.0"
+    sop_uid = f"{series_uid}.mf"
+    body = b"".join(
+        [
+            _el(0x0008, 0x0016, b"UI", _ENHANCED_MR_STORAGE.encode()),
+            _el(0x0008, 0x0018, b"UI", sop_uid.encode()),
+            _el(0x0008, 0x0060, b"CS", b"MR"),
+            _el(0x0020, 0x000D, b"UI", study_uid.encode()),
+            _el(0x0020, 0x000E, b"UI", series_uid.encode()),
+            _el(0x0020, 0x0011, b"IS", str(series_number).encode()),
+            _el(0x0028, 0x0002, b"US", struct.pack("<H", 1)),
+            _el(0x0028, 0x0004, b"CS", b"MONOCHROME2"),
+            _el(0x0028, 0x0008, b"IS", str(nz).encode()),
+            _el(0x0028, 0x0010, b"US", struct.pack("<H", rows)),
+            _el(0x0028, 0x0011, b"US", struct.pack("<H", cols)),
+            _el(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
+            _el(0x0028, 0x0101, b"US", struct.pack("<H", 16)),
+            _el(0x0028, 0x0102, b"US", struct.pack("<H", 15)),
+            _el(0x0028, 0x0103, b"US", struct.pack("<H", 1)),
+            _sq(0x5200, 0x9229, [shared_item]),
+            _sq(0x5200, 0x9230, perframe_items),
+            pixel_el,
+        ]
+    )
+    meta_body = b"".join(
+        [
+            _el(0x0002, 0x0001, b"OB", b"\x00\x01"),
+            _el(0x0002, 0x0002, b"UI", _ENHANCED_MR_STORAGE.encode()),
+            _el(0x0002, 0x0003, b"UI", sop_uid.encode()),
+            _el(
+                0x0002, 0x0010, b"UI",
+                {
+                    "rle": _RLE_LOSSLESS,
+                    "jpegll": _JPEG_LL_SV1,
+                    "explicit_le": _EXPLICIT_LE,
+                }[transfer].encode(),
+            ),
+        ]
+    )
+    meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+    return path

@@ -434,3 +434,115 @@ def test_jpegll_codec_property():
     truncated = jpegll.encode_jpeg_lossless(smooth, 16)[:-40]
     with pytest.raises(ValueError):
         jpegll.decode_jpeg_lossless(truncated, use_native=False)
+
+
+def test_dicom_enhanced_multiframe_roundtrip(tmp_path):
+    """Enhanced MR single-file multi-frame exports (per-frame PlanePosition +
+    shared PlaneOrientation/PixelMeasures/PixelValueTransformation functional
+    groups, PS3.3 C.7.6.16 — geometry deliberately absent at top level)
+    assemble identically to the one-file-per-slice series, for every
+    supported transfer syntax."""
+    from mamri_tpu.perception.dicom import load_dicom_series, save_dicom_multiframe
+    from mamri_tpu.perception.volume import Volume
+
+    rng = np.random.default_rng(5)
+    data = rng.integers(-200, 2000, (14, 12, 9)).astype(np.float32)
+    v = Volume(data=data, spacing=(0.8, 1.25, 2.5), origin=(-10.0, 4.0, 7.5))
+    for transfer in ("explicit_le", "rle", "jpegll"):
+        d = tmp_path / transfer
+        save_dicom_multiframe(str(d / "vol.dcm"), v, transfer=transfer)
+        back = load_dicom_series(str(d))
+        np.testing.assert_array_equal(back.data, data)  # integral -> bit-exact
+        np.testing.assert_allclose(back.spacing, v.spacing, atol=1e-6)
+        np.testing.assert_allclose(back.origin, v.origin, atol=1e-5)
+
+
+def test_dicom_multiframe_implicit_vr_and_classic(tmp_path):
+    """Hand-packed implicit VR multi-frame files — the wire forms no explicit
+    writer produces: (a) an Enhanced file whose functional groups are
+    implicit-VR sequences mixing defined/undefined sequence lengths and an
+    undefined-length item; (b) a classic multi-frame file (top-level
+    geometry, NumberOfFrames, SpacingBetweenSlices along the IOP normal)."""
+    import struct
+
+    from mamri_tpu.perception.dicom import load_dicom_series
+
+    rng = np.random.default_rng(9)
+    rows, cols, nf = 6, 5, 3
+    frames = rng.integers(0, 3000, (nf, rows, cols)).astype(np.uint16)
+
+    def imp(g, e, v):
+        if len(v) % 2:
+            v += b" "
+        return struct.pack("<HHI", g, e, len(v)) + v
+
+    def item(content):
+        return struct.pack("<HHI", 0xFFFE, 0xE000, len(content)) + content
+
+    def item_undef(content):
+        return (struct.pack("<HHI", 0xFFFE, 0xE000, 0xFFFFFFFF) + content
+                + struct.pack("<HHI", 0xFFFE, 0xE00D, 0))
+
+    def sq(g, e, items_bytes):
+        return imp(g, e, b"".join(items_bytes))
+
+    def sq_undef(g, e, items_bytes):
+        return (struct.pack("<HHI", g, e, 0xFFFFFFFF) + b"".join(items_bytes)
+                + struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+
+    def common(uid):
+        return (
+            imp(0x0020, 0x000E, uid)
+            + imp(0x0028, 0x0008, str(nf).encode())
+            + imp(0x0028, 0x0010, struct.pack("<H", rows))
+            + imp(0x0028, 0x0011, struct.pack("<H", cols))
+            + imp(0x0028, 0x0100, struct.pack("<H", 16))
+            + imp(0x0028, 0x0103, struct.pack("<H", 0))
+        )
+
+    pix = imp(0x7FE0, 0x0010, frames.tobytes())
+
+    shared_item = (
+        sq(0x0020, 0x9116, [item(imp(0x0020, 0x0037, b"1\\0\\0\\0\\1\\0"))])
+        + sq(0x0028, 0x9110,
+             [item_undef(imp(0x0018, 0x0088, b"2.5")
+                         + imp(0x0028, 0x0030, b"1.5\\1.25"))])
+    )
+    perframe = [
+        item(sq_undef(0x0020, 0x9113,
+                      [item(imp(0x0020, 0x0032, f"3\\-4\\{7 + 2.5 * k:g}".encode()))]))
+        for k in range(nf)
+    ]
+    enhanced = (
+        common(b"1.2.3.4")
+        + sq(0x5200, 0x9229, [item_undef(shared_item)])
+        + sq_undef(0x5200, 0x9230, perframe)
+        + pix
+    )
+    d1 = tmp_path / "enhanced"
+    d1.mkdir()
+    (d1 / "f.dcm").write_bytes(enhanced)
+    vol = load_dicom_series(str(d1))
+    assert vol.data.shape == (cols, rows, nf)
+    np.testing.assert_allclose(vol.spacing, (1.25, 1.5, 2.5), atol=1e-6)
+    np.testing.assert_allclose(vol.origin, (3.0, -4.0, 7.0), atol=1e-6)
+    for k in range(nf):
+        np.testing.assert_array_equal(vol.data[:, :, k], frames[k].T.astype(np.float32))
+
+    classic = (
+        imp(0x0018, 0x0088, b"2")
+        + common(b"9.8.7")
+        + imp(0x0020, 0x0032, b"0\\0\\5")
+        + imp(0x0020, 0x0037, b"1\\0\\0\\0\\1\\0")
+        + imp(0x0028, 0x0030, b"1\\1")
+        + pix
+    )
+    d2 = tmp_path / "classic"
+    d2.mkdir()
+    (d2 / "f.dcm").write_bytes(classic)
+    vol2 = load_dicom_series(str(d2))
+    assert vol2.data.shape == (cols, rows, nf)
+    np.testing.assert_allclose(vol2.spacing, (1.0, 1.0, 2.0), atol=1e-6)
+    np.testing.assert_allclose(vol2.origin, (0.0, 0.0, 5.0), atol=1e-6)
+    for k in range(nf):
+        np.testing.assert_array_equal(vol2.data[:, :, k], frames[k].T.astype(np.float32))
