@@ -880,14 +880,14 @@ class MamriEngine:
             )
         return jax.device_get(res)
 
-    def _get_plan_fn(self, has_world: bool, world_shape, mode: str, n: int = 0):
+    def _get_plan_fn(self, world_shape, mode: str, n: int = 0):
         """jit-cached planning programs, keyed by collision-world shape:
         "goal" = trajectory IK; "sweep" = vmapped IK over n safety
         distances; "path" = IK + up-over-down keyframes + 25/25/50
         interpolation + whole-path collision sweep, all ONE program (the
         re-plan step of streaming runs at jitted cost instead of eager
         per-op relay dispatch)."""
-        key = ("plan", mode, has_world, world_shape, n)
+        key = ("plan", mode, world_shape, n)  # world_shape None <=> no world
         if key not in self._pipeline_cache:
             model, geometry = self.model, self.geometry
 
@@ -937,7 +937,7 @@ class MamriEngine:
         """`planTrajectory` (Mamri.py:882-939): collision-aware goal IK."""
         args, world, wshape = self._plan_args(target_ras, entry_ras, safety_distance_mm)
         with self.tracer.span("plan_trajectory"):
-            fn = self._get_plan_fn(world is not None, wshape, "goal")
+            fn = self._get_plan_fn(wshape, "goal")
             res = fn(*args, world=world) if world is not None else fn(*args)
         return jax.device_get(res)
 
@@ -947,7 +947,7 @@ class MamriEngine:
         distances = np.asarray(safety_distances_mm, dtype=np.float32)
         args, world, wshape = self._plan_args(target_ras, entry_ras, distances)
         with self.tracer.span("plan_trajectory_sweep"):
-            fn = self._get_plan_fn(world is not None, wshape, "sweep", n=len(distances))
+            fn = self._get_plan_fn(wshape, "sweep", n=len(distances))
             out = fn(*args, world=world) if world is not None else fn(*args)
         return jax.device_get(out)
 
@@ -972,7 +972,7 @@ class MamriEngine:
             target_ras, entry_ras, safety_distance_mm, start=start
         )
         with self.tracer.span("plan_heuristic_path"):
-            fn = self._get_plan_fn(world is not None, wshape, "path", n=total_steps)
+            fn = self._get_plan_fn(wshape, "path", n=total_steps)
             out = jax.device_get(fn(*args, world=world) if world is not None else fn(*args))
         goal = out["goal"]
         if not bool(goal.success):

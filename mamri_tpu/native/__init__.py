@@ -164,18 +164,28 @@ def jpegll_decode_native(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
     lib = _load()
     if lib is None:
         return None
-    # two-pass capacity: SOF3 rows*cols is bounded by 16 bits each
-    cap = 1 << 32
-    out = None
     rows = ctypes.c_int32(0)
     cols = ctypes.c_int32(0)
     prec = ctypes.c_int32(0)
-    # parse dims cheaply from the SOF3 marker to size the buffer exactly
-    i = data.find(b"\xff\xc3")
-    if i < 0 or i + 9 > len(data):
+    # size the buffer exactly by walking marker segments to the real SOF3
+    # (a raw byte find() would match FF C3 inside APPn/COM payloads)
+    r = c = None
+    pos = 2 if data[:2] == b"\xff\xd8" else 0
+    while pos + 4 <= len(data) and data[pos] == 0xFF:
+        marker = data[pos + 1]
+        if marker == 0xC3:  # SOF3: len(2) prec(1) rows(2) cols(2)
+            if pos + 9 <= len(data):
+                r = int.from_bytes(data[pos + 5 : pos + 7], "big")
+                c = int.from_bytes(data[pos + 7 : pos + 9], "big")
+            break
+        if marker == 0xDA:  # SOS without a prior SOF3
+            break
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers carry no length
+            continue
+        pos += 2 + int.from_bytes(data[pos + 2 : pos + 4], "big")
+    if r is None:
         raise ValueError("not a JPEG Lossless stream (no SOF3 marker)")
-    r = int.from_bytes(data[i + 5 : i + 7], "big")
-    c = int.from_bytes(data[i + 7 : i + 9], "big")
     cap = max(r * c, 1)
     out = np.empty(cap, dtype=np.uint16)
     n = lib.mamri_jpegll_decode(

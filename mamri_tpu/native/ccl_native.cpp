@@ -223,7 +223,8 @@ int64_t mamri_jpegll_decode(const uint8_t* data, int64_t len, uint16_t* out,
       prec = body[0];
       rows = (body[1] << 8) | body[2];
       cols = (body[3] << 8) | body[4];
-      if (body[5] != 1 || rows == 0 || body[7] != 0x11) { cleanup(); return -1; }
+      if (body[5] != 1 || rows == 0 || cols == 0 || body[7] != 0x11 ||
+          prec < 2 || prec > 16) { cleanup(); return -1; }
       have_frame = true;
     } else if (marker >= 0xFFC0 && marker < 0xFFD0 && marker != 0xFFC4 &&
                marker != 0xFFC8 && marker != 0xFFCC) {
@@ -246,6 +247,9 @@ int64_t mamri_jpegll_decode(const uint8_t* data, int64_t len, uint16_t* out,
         for (int ln = 1; ln <= 16; ++ln) {
           for (int c = 0; c < body[off + ln]; ++c) {
             int sym = body[off + 17 + k++];
+            // lossless SSSS categories are 0..16; larger symbols would drive
+            // negative shift counts (UB) in the entropy loop
+            if (sym > 16) { cleanup(); return -1; }
             int lo = code << (16 - ln);
             int hi = lo + (1 << (16 - ln));
             if (hi > (1 << 16)) { cleanup(); return -1; }
@@ -267,7 +271,8 @@ int64_t mamri_jpegll_decode(const uint8_t* data, int64_t len, uint16_t* out,
       table = body[2] >> 4;
       pred_sel = body[3];
       pt = body[5] & 0x0F;
-      if (pred_sel < 1 || pred_sel > 7 || table > 3 || !sym_tab[table]) {
+      if (pred_sel < 1 || pred_sel > 7 || table > 3 || !sym_tab[table] ||
+          pt >= prec) {  // def = 1 << (prec-pt-1) must not shift negatively
         cleanup(); return -1;
       }
       scan_off = pos;

@@ -224,6 +224,7 @@ def _resolve_functional_groups(out: Dict, explicit: bool, be: bool) -> None:
             out["slope"] = _floats(pv[(0x0028, 0x1053)])
 
     ipps: List[List[float]] = []
+    rescales: List[Optional[Tuple[float, float]]] = []
     for blob in out.get("perframe_fg") or []:
         fr = _parse_item(blob, explicit, be)
         pp = first_item(fr, (0x0020, 0x9113))  # PlanePosition
@@ -235,9 +236,27 @@ def _resolve_functional_groups(out: Dict, explicit: bool, be: bool) -> None:
             po = first_item(fr, (0x0020, 0x9116))
             if po is not None and (0x0020, 0x0037) in po:
                 out["iop"] = _floats(po[(0x0020, 0x0037)])
+        pm = first_item(fr, (0x0028, 0x9110))  # per-frame PixelMeasures
+        if pm is not None:
+            if "pixel_spacing" not in out and (0x0028, 0x0030) in pm:
+                out["pixel_spacing"] = _floats(pm[(0x0028, 0x0030)])
+            if "spacing_between" not in out and (0x0018, 0x0088) in pm:
+                out["spacing_between"] = _floats(pm[(0x0018, 0x0088)])
+        # per-frame rescale (some vendors put PixelValueTransformation here
+        # rather than in the shared group); applied frame-wise on split
+        pv = first_item(fr, (0x0028, 0x9145))
+        if pv is not None and ((0x0028, 0x1052) in pv or (0x0028, 0x1053) in pv):
+            rescales.append((
+                _floats(pv[(0x0028, 0x1053)])[0] if (0x0028, 0x1053) in pv else 1.0,
+                _floats(pv[(0x0028, 0x1052)])[0] if (0x0028, 0x1052) in pv else 0.0,
+            ))
+        else:
+            rescales.append(None)
     if ipps:
         out["perframe_ipp"] = ipps
         out.setdefault("ipp", ipps[0])
+        if any(r is not None for r in rescales):
+            out["perframe_rescale"] = rescales
 
 
 def _parse_file(path: str) -> Dict:
@@ -279,6 +298,7 @@ def _parse_file(path: str) -> Dict:
         (0x0020, 0x000E): "series_uid",
         (0x0020, 0x0032): "ipp",
         (0x0020, 0x0037): "iop",
+        (0x0018, 0x0050): "slice_thickness",
         (0x0018, 0x0088): "spacing_between",
         (0x0028, 0x0008): "nframes",
         (0x0028, 0x0010): "rows",
@@ -307,7 +327,10 @@ def _parse_file(path: str) -> Dict:
             out[name] = struct.unpack(us, val[:2])[0]
         elif name == "nframes":
             out[name] = int(val.decode("ascii").strip("\x00 "))
-        elif name in ("ipp", "iop", "pixel_spacing", "intercept", "slope", "spacing_between"):
+        elif name in (
+            "ipp", "iop", "pixel_spacing", "intercept", "slope",
+            "spacing_between", "slice_thickness",
+        ):
             out[name] = _floats(val)
         elif name == "series_uid":
             out[name] = val.decode("ascii").strip("\x00 ")
@@ -337,11 +360,18 @@ def _split_frames(info: Dict) -> List[Dict]:
             f"{info['path']}: {len(ipps)} per-frame positions for {n} frames"
         )
     if ipps is None:
-        step = info.get("spacing_between", [1.0])[0]
+        step_l = info.get("spacing_between") or info.get("slice_thickness")
+        if step_l is None:
+            raise ValueError(
+                f"{info['path']}: multi-frame file has neither per-frame "
+                "positions nor a slice spacing (0018,0088 / 0018,0050)"
+            )
+        step = step_l[0]
         iop = np.asarray(info["iop"], dtype=np.float64)
         normal = np.cross(iop[:3], iop[3:])
         base = np.asarray(info["ipp"], dtype=np.float64)
         ipps = [(base + normal * (step * k)).tolist() for k in range(n)]
+    rescales = info.get("perframe_rescale")
     pixels = info["pixels"]
     nbytes = info["rows"] * info["cols"] * (info.get("bits_allocated", 16) // 8)
     frames: List[Dict] = []
@@ -349,7 +379,10 @@ def _split_frames(info: Dict) -> List[Dict]:
         fi = dict(info)
         fi["nframes"] = 1
         fi["ipp"] = ipps[k]
+        if rescales is not None and rescales[k] is not None:
+            fi["slope"], fi["intercept"] = [rescales[k][0]], [rescales[k][1]]
         fi.pop("perframe_ipp", None)
+        fi.pop("perframe_rescale", None)
         if isinstance(pixels, list):
             # encapsulated multi-frame: PS3.5 A.4 requires one fragment per
             # frame when frames > 1 (no other split is decodable frame-wise)
@@ -776,7 +809,9 @@ def save_dicom_multiframe(
     uid_base = "1.2.826.0.1.3680043.9.7431"
     series_uid = f"{uid_base}.{series_number}.1"
     study_uid = f"{uid_base}.{series_number}.0"
-    sop_uid = f"{series_uid}.mf"
+    # UID components must be numeric; ".2" branches off the per-slice
+    # writer's f"{series_uid}.{k+1}" instance space
+    sop_uid = f"{uid_base}.{series_number}.2"
     body = b"".join(
         [
             _el(0x0008, 0x0016, b"UI", _ENHANCED_MR_STORAGE.encode()),

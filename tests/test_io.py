@@ -509,8 +509,14 @@ def test_dicom_multiframe_implicit_vr_and_classic(tmp_path):
                          + imp(0x0028, 0x0030, b"1.5\\1.25"))])
     )
     perframe = [
-        item(sq_undef(0x0020, 0x9113,
-                      [item(imp(0x0020, 0x0032, f"3\\-4\\{7 + 2.5 * k:g}".encode()))]))
+        item(
+            sq_undef(0x0020, 0x9113,
+                     [item(imp(0x0020, 0x0032, f"3\\-4\\{7 + 2.5 * k:g}".encode()))])
+            # vendor-style per-frame rescale: value = stored*2 + 1000k
+            + sq(0x0028, 0x9145,
+                 [item(imp(0x0028, 0x1052, f"{1000 * k}".encode())
+                       + imp(0x0028, 0x1053, b"2"))])
+        )
         for k in range(nf)
     ]
     enhanced = (
@@ -527,10 +533,13 @@ def test_dicom_multiframe_implicit_vr_and_classic(tmp_path):
     np.testing.assert_allclose(vol.spacing, (1.25, 1.5, 2.5), atol=1e-6)
     np.testing.assert_allclose(vol.origin, (3.0, -4.0, 7.0), atol=1e-6)
     for k in range(nf):
-        np.testing.assert_array_equal(vol.data[:, :, k], frames[k].T.astype(np.float32))
+        np.testing.assert_array_equal(
+            vol.data[:, :, k], frames[k].T.astype(np.float32) * 2.0 + 1000.0 * k
+        )
 
+    # classic: spacing from SliceThickness (no SpacingBetweenSlices present)
     classic = (
-        imp(0x0018, 0x0088, b"2")
+        imp(0x0018, 0x0050, b"2")
         + common(b"9.8.7")
         + imp(0x0020, 0x0032, b"0\\0\\5")
         + imp(0x0020, 0x0037, b"1\\0\\0\\0\\1\\0")
@@ -546,3 +555,58 @@ def test_dicom_multiframe_implicit_vr_and_classic(tmp_path):
     np.testing.assert_allclose(vol2.origin, (0.0, 0.0, 5.0), atol=1e-6)
     for k in range(nf):
         np.testing.assert_array_equal(vol2.data[:, :, k], frames[k].T.astype(np.float32))
+
+    # a multi-frame file with neither per-frame positions nor any slice
+    # spacing must fail LOUDLY, not silently default to 1 mm
+    no_spacing = (
+        common(b"6.6.6")
+        + imp(0x0020, 0x0032, b"0\\0\\5")
+        + imp(0x0020, 0x0037, b"1\\0\\0\\0\\1\\0")
+        + imp(0x0028, 0x0030, b"1\\1")
+        + pix
+    )
+    d3 = tmp_path / "nospacing"
+    d3.mkdir()
+    (d3 / "f.dcm").write_bytes(no_spacing)
+    with pytest.raises(ValueError, match="slice spacing"):
+        load_dicom_series(str(d3))
+
+
+def test_jpegll_app_com_segments_and_malformed_dht():
+    """(a) APPn/COM segments BEFORE SOF3 — including payloads containing the
+    FF C3 byte pair — must not fool either decoder's marker walk (a raw
+    find() prescan once did). (b) A DHT defining an out-of-range SSSS symbol
+    (>16) must fail loudly in both decoders, never shift-UB."""
+    import struct
+
+    import pytest
+
+    from mamri_tpu import native
+    from mamri_tpu.perception import jpegll
+
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 4096, (19, 23)).astype(np.uint16)
+    enc = jpegll.encode_jpeg_lossless(img, 16)
+    assert enc[:2] == b"\xff\xd8"
+    payload = b"decoy \xff\xc3" + struct.pack(">BHHB", 16, 60000, 60000, 1)
+    com = struct.pack(">HH", 0xFFFE, len(payload) + 2) + payload
+    app1 = struct.pack(">HH", 0xFFE1, 8) + b"Exif\x00\x00"
+    doctored = enc[:2] + app1 + com + enc[2:]
+    dec, prec = jpegll.decode_jpeg_lossless(doctored, use_native=False)
+    assert prec == 16
+    np.testing.assert_array_equal(dec, img)
+    if native.available():
+        dn, pn = native.jpegll_decode_native(doctored)
+        assert pn == 16
+        np.testing.assert_array_equal(dn, img)
+
+    # DHT with symbol 0xFF: counts say one 1-bit code, symbol value 255
+    bad_dht = struct.pack(">HH", 0xFFC4, 2 + 17 + 1) + bytes([0, 1] + [0] * 15 + [255])
+    sof = struct.pack(">HH", 0xFFC3, 11) + struct.pack(">BHHB", 16, 2, 2, 1) + bytes([1, 0x11, 0])
+    sos = struct.pack(">HH", 0xFFDA, 8) + bytes([1, 1, 0x00, 1, 0, 0])
+    bad = b"\xff\xd8" + sof + bad_dht + sos + b"\x00\x00\x00\x00" + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        jpegll.decode_jpeg_lossless(bad, use_native=False)
+    if native.available():
+        with pytest.raises(ValueError):
+            native.jpegll_decode_native(bad)
