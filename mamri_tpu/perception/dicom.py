@@ -5,8 +5,10 @@ The reference consumes scanner volumes through the Slicer scene
 stack does the series assembly; standalone mamri_tpu does its own:
 
   * `load_dicom_series(dir)` — MR series in implicit/explicit VR little
-    endian, explicit VR big endian, RLE Lossless (encapsulated PackBits), or
-    JPEG Lossless (.57/.70); anything lossy is rejected loudly. Both
+    endian, deflated explicit VR LE, explicit VR big endian, RLE Lossless
+    (encapsulated PackBits), JPEG Lossless (.57/.70), or JPEG-LS lossless
+    (.80); anything lossy (incl. JPEG-LS near-lossless .81) is rejected
+    loudly. Both
     one-file-per-slice series and multi-frame files assemble: classic
     multi-frame (NumberOfFrames + SpacingBetweenSlices along the IOP
     normal) and Enhanced MR (per-frame PlanePosition + shared
@@ -18,8 +20,9 @@ stack does the series assembly; standalone mamri_tpu does its own:
     `Volume` grid; oblique series are trilinearly resampled
     (perception.io.resample_to_axis_aligned).
   * `save_dicom_series(dir, volume)` — MR Image Storage, one file per slice,
-    int16 with exact rescale, explicit VR LE, RLE Lossless
-    (`transfer="rle"`) or JPEG Lossless (`transfer="jpegll"`) — the
+    int16 with exact rescale, explicit VR LE, deflated (`transfer="deflated"`),
+    RLE Lossless (`transfer="rle"`), JPEG Lossless (`transfer="jpegll"`)
+    or JPEG-LS (`transfer="jpegls"`) — the
     round-trip oracle for the reader and a capability the reference lacks
     (export). `save_dicom_multiframe(path, volume)` writes the Enhanced MR
     single-file form of the same.
@@ -42,10 +45,13 @@ from mamri_tpu.perception.volume import Volume
 # transfer syntaxes
 _IMPLICIT_LE = "1.2.840.10008.1.2"
 _EXPLICIT_LE = "1.2.840.10008.1.2.1"
+_DEFLATED_LE = "1.2.840.10008.1.2.1.99"  # raw-deflate over the dataset
 _EXPLICIT_BE = "1.2.840.10008.1.2.2"
 _RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 _JPEG_LL = "1.2.840.10008.1.2.4.57"  # lossless non-hierarchical, any predictor
 _JPEG_LL_SV1 = "1.2.840.10008.1.2.4.70"  # lossless first-order prediction
+_JPEG_LS = "1.2.840.10008.1.2.4.80"  # JPEG-LS lossless (NEAR=0)
+_JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"  # JPEG-LS near-lossless: NOT lossless
 _MR_STORAGE = "1.2.840.10008.5.1.4.1.1.4"
 _ENHANCED_MR_STORAGE = "1.2.840.10008.5.1.4.1.1.4.1"
 
@@ -281,16 +287,23 @@ def _parse_file(path: str) -> Dict:
         transfer = _IMPLICIT_LE
         body_off = 0
     if transfer not in (
-        _IMPLICIT_LE, _EXPLICIT_LE, _EXPLICIT_BE, _RLE_LOSSLESS, _JPEG_LL, _JPEG_LL_SV1,
+        _IMPLICIT_LE, _EXPLICIT_LE, _DEFLATED_LE, _EXPLICIT_BE, _RLE_LOSSLESS,
+        _JPEG_LL, _JPEG_LL_SV1, _JPEG_LS,
     ):
         raise ValueError(
-            f"{path}: unsupported transfer syntax {transfer} (lossy/JPEG-2000 "
-            "compression is not implemented; implicit/explicit VR LE, explicit "
-            "VR BE, RLE Lossless and JPEG Lossless are)"
+            f"{path}: unsupported transfer syntax {transfer} (lossy/JPEG-2000/"
+            "near-lossless compression is not implemented; implicit/explicit "
+            "VR LE, deflated explicit VR LE, explicit VR BE, RLE Lossless, "
+            "JPEG Lossless and JPEG-LS lossless are)"
         )
 
+    body = raw[body_off:]
+    if transfer == _DEFLATED_LE:
+        import zlib
+
+        body = zlib.decompress(body, -15)  # raw deflate, PS3.5 A.5
     r = _Reader(
-        raw[body_off:],
+        body,
         explicit=(transfer != _IMPLICIT_LE),
         big_endian=(transfer == _EXPLICIT_BE),
     )
@@ -490,7 +503,22 @@ def _slice_array(info: Dict) -> np.ndarray:
     npix = info["rows"] * info["cols"]
     if bits not in (8, 16):
         raise ValueError(f"{info['path']}: unsupported BitsAllocated {bits}")
-    if info.get("transfer") in (_JPEG_LL, _JPEG_LL_SV1):
+    if info.get("transfer") == _JPEG_LS:
+        from mamri_tpu.perception.jpegls import decode_jpeg_ls
+
+        frags = info["pixels"]
+        if not isinstance(frags, list):
+            raise ValueError(f"{info['path']}: JPEG-LS pixel data must be encapsulated")
+        arr, _prec = decode_jpeg_ls(b"".join(frags))
+        if arr.shape != (info["rows"], info["cols"]):
+            raise ValueError(
+                f"{info['path']}: JPEG-LS frame {arr.shape} != ({info['rows']}, {info['cols']})"
+            )
+        if bits == 16 and signed:
+            arr = arr.view(np.int16)
+        elif bits == 8:
+            arr = arr.astype(np.int8 if signed else np.uint8)
+    elif info.get("transfer") in (_JPEG_LL, _JPEG_LL_SV1):
         from mamri_tpu.perception.jpegll import decode_jpeg_lossless
 
         frags = info["pixels"]
@@ -546,13 +574,15 @@ def load_dicom_series(directory: str, series_uid: Optional[str] = None) -> Volum
         if not f.startswith(".") and os.path.isfile(os.path.join(directory, f))
     ]
     infos: List[Dict] = []
+    errors: List[str] = []
     for p in files:
         try:
             infos.append(_parse_file(p))
-        except ValueError:
-            continue  # non-DICOM file in the directory
+        except ValueError as e:  # non-DICOM file in the directory, or
+            errors.append(str(e))  # unsupported syntax — surfaced if NOTHING loads
     if not infos:
-        raise ValueError(f"{directory}: no readable DICOM slices")
+        detail = f" ({errors[0]})" if errors else ""
+        raise ValueError(f"{directory}: no readable DICOM slices{detail}")
     expanded: List[Dict] = []
     for i in infos:
         expanded.extend(_split_frames(i) if i.get("nframes", 1) > 1 else [i])
@@ -624,6 +654,17 @@ def _sq(group: int, elem: int, items: List[bytes]) -> bytes:
     return struct.pack("<HH2sHI", group, elem, b"SQ", 0, len(body)) + body
 
 
+def _deflate_body(body: bytes, transfer: str) -> bytes:
+    """Raw-deflate the dataset for the deflated transfer (PS3.5 A.5);
+    pass-through otherwise."""
+    if transfer != "deflated":
+        return body
+    import zlib
+
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    return co.compress(body) + co.flush()
+
+
 def _rescale_int16(data: np.ndarray) -> Tuple[np.ndarray, float, float]:
     """int16 stored values + (slope, intercept) for a lossless-for-rounded-data
     rescale: stored = round((data - lo)/scale) - 32000, keeping hi's stored
@@ -649,6 +690,11 @@ def _compress_frame(a: np.ndarray, transfer: str) -> bytes:
         frame = _rle_encode_frame(
             [(u >> 8).astype(np.uint8).tobytes(), (u & 0xFF).astype(np.uint8).tobytes()]
         )
+    elif transfer == "jpegls":
+        from mamri_tpu.perception.jpegls import encode_jpeg_ls
+
+        # signed samples ride as their 16-bit two's-complement patterns
+        frame = encode_jpeg_ls(a.view(np.uint16), precision=16)
     else:
         from mamri_tpu.perception.jpegll import encode_jpeg_lossless
 
@@ -682,9 +728,10 @@ def save_dicom_series(
     rescale precision (exact for integer-valued data within range; RLE and
     JPEG Lossless are lossless codecs, so identically exact).
     """
-    if transfer not in ("explicit_le", "rle", "jpegll"):
+    if transfer not in ("explicit_le", "deflated", "rle", "jpegll", "jpegls"):
         raise ValueError(
-            f"transfer must be 'explicit_le', 'rle' or 'jpegll', got {transfer!r}"
+            f"transfer must be 'explicit_le', 'deflated', 'rle', 'jpegll' or "
+            f"'jpegls', got {transfer!r}"
         )
     os.makedirs(directory, exist_ok=True)
     data = np.asarray(volume.data, dtype=np.float32)
@@ -701,7 +748,7 @@ def save_dicom_series(
         sl = stored[:, :, k]  # (nx, ny) = (cols-axis, rows-axis)
         rows, cols = ny, nx
         a = np.ascontiguousarray(sl.T)  # (rows, cols) C-order int16
-        if transfer in ("rle", "jpegll"):
+        if transfer in ("rle", "jpegll", "jpegls"):
             pixel_el = _encapsulate([_compress_frame(a, transfer)])
         else:
             pixel_el = _el(0x7FE0, 0x0010, b"OW", a.tobytes())
@@ -741,7 +788,9 @@ def save_dicom_series(
                     {
                         "rle": _RLE_LOSSLESS,
                         "jpegll": _JPEG_LL_SV1,
+                        "jpegls": _JPEG_LS,
                         "explicit_le": _EXPLICIT_LE,
+                        "deflated": _DEFLATED_LE,
                     }[transfer].encode(),
                 ),
             ]
@@ -749,7 +798,7 @@ def save_dicom_series(
         meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
         path = os.path.join(directory, f"slice_{k:04d}.dcm")
         with open(path, "wb") as f:
-            f.write(b"\x00" * 128 + b"DICM" + meta + body)
+            f.write(b"\x00" * 128 + b"DICM" + meta + _deflate_body(body, transfer))
         paths.append(path)
     return paths
 
@@ -766,16 +815,17 @@ def save_dicom_multiframe(
     choices and the same lossless-for-integral rescale as
     `save_dicom_series`; compressed transfers write one fragment per frame
     (PS3.5 A.4)."""
-    if transfer not in ("explicit_le", "rle", "jpegll"):
+    if transfer not in ("explicit_le", "deflated", "rle", "jpegll", "jpegls"):
         raise ValueError(
-            f"transfer must be 'explicit_le', 'rle' or 'jpegll', got {transfer!r}"
+            f"transfer must be 'explicit_le', 'deflated', 'rle', 'jpegll' or "
+            f"'jpegls', got {transfer!r}"
         )
     data = np.asarray(volume.data, dtype=np.float32)
     nx, ny, nz = data.shape
     rows, cols = ny, nx
     stored, slope, inter = _rescale_int16(data)
     frames = [np.ascontiguousarray(stored[:, :, k].T) for k in range(nz)]
-    if transfer == "explicit_le":
+    if transfer in ("explicit_le", "deflated"):  # native pixels (deflate wraps the dataset)
         pixel_el = _el(0x7FE0, 0x0010, b"OW", b"".join(a.tobytes() for a in frames))
     else:
         pixel_el = _encapsulate([_compress_frame(a, transfer) for a in frames])
@@ -844,7 +894,9 @@ def save_dicom_multiframe(
                 {
                     "rle": _RLE_LOSSLESS,
                     "jpegll": _JPEG_LL_SV1,
+                    "jpegls": _JPEG_LS,
                     "explicit_le": _EXPLICIT_LE,
+                    "deflated": _DEFLATED_LE,
                 }[transfer].encode(),
             ),
         ]
@@ -852,5 +904,5 @@ def save_dicom_multiframe(
     meta = _el(0x0002, 0x0000, b"UL", struct.pack("<I", len(meta_body))) + meta_body
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
-        f.write(b"\x00" * 128 + b"DICM" + meta + body)
+        f.write(b"\x00" * 128 + b"DICM" + meta + _deflate_body(body, transfer))
     return path

@@ -610,3 +610,112 @@ def test_jpegll_app_com_segments_and_malformed_dht():
     if native.available():
         with pytest.raises(ValueError):
             native.jpegll_decode_native(bad)
+
+
+def test_dicom_deflated_roundtrip(tmp_path):
+    """Deflated Explicit VR LE (1.2.840.10008.1.2.1.99, PS3.5 A.5): the whole
+    dataset rides as one raw-deflate stream after the meta group. Both the
+    per-slice and the multi-frame writer round-trip bit-exactly, and the
+    compressed series is genuinely smaller on this smooth phantom."""
+    from mamri_tpu.perception.dicom import (
+        load_dicom_series,
+        save_dicom_multiframe,
+        save_dicom_series,
+    )
+    from mamri_tpu.perception.volume import Volume
+
+    rng = np.random.default_rng(13)
+    base = rng.integers(0, 40, (22, 18, 7)).astype(np.int64)
+    data = np.cumsum(np.cumsum(base, 0), 1).astype(np.float32)  # compressible
+    v = Volume(data=data, spacing=(1.0, 1.2, 2.0), origin=(1.0, -2.0, 3.0))
+    d_z = str(tmp_path / "deflated")
+    d_raw = str(tmp_path / "raw")
+    save_dicom_series(d_z, v, transfer="deflated")
+    save_dicom_series(d_raw, v)
+    back = load_dicom_series(d_z)
+    np.testing.assert_array_equal(back.data, data)
+    np.testing.assert_allclose(back.spacing, v.spacing, atol=1e-6)
+    np.testing.assert_allclose(back.origin, v.origin, atol=1e-5)
+    z_size = sum(os.path.getsize(os.path.join(d_z, f)) for f in os.listdir(d_z))
+    raw_size = sum(os.path.getsize(os.path.join(d_raw, f)) for f in os.listdir(d_raw))
+    assert z_size < raw_size
+    mf = tmp_path / "mf"
+    save_dicom_multiframe(str(mf / "vol.dcm"), v, transfer="deflated")
+    np.testing.assert_array_equal(load_dicom_series(str(mf)).data, data)
+
+
+def test_jpegls_codec_property():
+    """Property sweep of the T.87 (JPEG-LS) codec: smooth/random/flat/run-
+    heavy images, 8/12/16-bit, single-row/column edges — every image must
+    round-trip bit-exactly, and near-lossless streams must be rejected."""
+    from mamri_tpu.perception import jpegls
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 500, (61, 45)).astype(np.int64)
+    images = [
+        ((np.cumsum(np.cumsum(base, 0), 1)) % 65536).astype(np.uint16),
+        rng.integers(0, 65536, (33, 40)).astype(np.uint16),
+        np.full((17, 19), 4242, np.uint16),
+        (np.repeat(rng.integers(0, 4, (9, 7)), 5, axis=1) * 100).astype(np.uint16),
+        np.zeros((13, 29), np.uint16),
+        rng.integers(0, 65536, (20, 1)).astype(np.uint16),
+        rng.integers(0, 65536, (1, 37)).astype(np.uint16),
+    ]
+    for img in images:
+        enc = jpegls.encode_jpeg_ls(img, 16)
+        dec, prec = jpegls.decode_jpeg_ls(enc)
+        assert prec == 16
+        np.testing.assert_array_equal(dec, img)
+    for prec, hi in ((8, 256), (12, 4096)):
+        img = rng.integers(0, hi, (22, 26)).astype(np.uint16)
+        dec, p = jpegls.decode_jpeg_ls(jpegls.encode_jpeg_ls(img, prec))
+        assert p == prec
+        np.testing.assert_array_equal(dec, img)
+    # run mode must actually compress the run-heavy phantom
+    runs = (np.repeat(rng.integers(0, 3, (40, 8)), 16, axis=1) * 7).astype(np.uint16)
+    assert len(jpegls.encode_jpeg_ls(runs, 16)) < runs.nbytes // 4
+    # NEAR>0 (DICOM .81 near-lossless) is rejected loudly
+    enc = bytearray(jpegls.encode_jpeg_ls(images[0], 16))
+    sos = enc.find(b"\xff\xda")
+    enc[sos + 7] = 2  # NEAR byte
+    with pytest.raises(ValueError, match="near-lossless"):
+        jpegls.decode_jpeg_ls(bytes(enc))
+    # truncated stream fails loudly
+    with pytest.raises(ValueError):
+        jpegls.decode_jpeg_ls(jpegls.encode_jpeg_ls(images[1], 16)[:30])
+
+
+def test_dicom_jpegls_roundtrip(tmp_path):
+    """JPEG-LS lossless (1.2.840.10008.1.2.4.80) — the third common lossless
+    scanner transfer syntax (Slicer ingests it via its DICOM stack,
+    Mamri.py:1306) — must round-trip BIT-exactly through both writers, and
+    a directory of solely-unsupported files must say why it failed."""
+    from mamri_tpu.perception.dicom import (
+        load_dicom_series,
+        save_dicom_multiframe,
+        save_dicom_series,
+    )
+    from mamri_tpu.perception.volume import Volume
+
+    rng = np.random.default_rng(15)
+    data = rng.integers(-500, 2500, (20, 16, 6)).astype(np.float32)
+    v = Volume(data=data, spacing=(1.0, 1.0, 2.0), origin=(-3.0, 2.0, 1.0))
+    d = str(tmp_path / "ls")
+    save_dicom_series(d, v, transfer="jpegls")
+    back = load_dicom_series(d)
+    np.testing.assert_array_equal(back.data, data)
+    np.testing.assert_allclose(back.spacing, v.spacing, atol=1e-6)
+    np.testing.assert_allclose(back.origin, v.origin, atol=1e-5)
+    mf = tmp_path / "mf"
+    save_dicom_multiframe(str(mf / "vol.dcm"), v, transfer="jpegls")
+    np.testing.assert_array_equal(load_dicom_series(str(mf)).data, data)
+    # rewrite one file's transfer UID to .81 (near-lossless): the loud-reject
+    # reason must surface when a directory has no loadable slices
+    d81 = tmp_path / "near"
+    d81.mkdir()
+    raw = bytearray((tmp_path / "ls" / "slice_0000.dcm").read_bytes())
+    i = raw.find(b"1.2.840.10008.1.2.4.80")
+    raw[i : i + 22] = b"1.2.840.10008.1.2.4.81"
+    (d81 / "f.dcm").write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="unsupported transfer syntax"):
+        load_dicom_series(str(d81))
