@@ -86,6 +86,8 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.mamri_jpegls_decode.restype = ctypes.c_int64
+    lib.mamri_jpegls_decode.argtypes = list(lib.mamri_jpegll_decode.argtypes)
     _lib = lib
     return lib
 
@@ -199,4 +201,49 @@ def jpegll_decode_native(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
     )
     if n < 0:
         raise ValueError(f"JPEG Lossless decode failed (native error {n})")
+    return out[:n].reshape(rows.value, cols.value), prec.value
+
+
+def jpegls_decode_native(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
+    """JPEG-LS lossless decode via the C++ codec -> ((rows, cols) uint16,
+    precision); None if the native library is unavailable, ValueError on a
+    malformed/unsupported stream (perception.jpegls is the fallback and
+    oracle — both must produce identical samples)."""
+    lib = _load()
+    if lib is None:
+        return None
+    # size the buffer from SOF55, walking marker segments (cf. jpegll above)
+    r = c = None
+    pos = 2 if data[:2] == b"\xff\xd8" else 0
+    while pos + 4 <= len(data) and data[pos] == 0xFF:
+        marker = data[pos + 1]
+        if marker == 0xF7:  # SOF55: len(2) prec(1) rows(2) cols(2)
+            if pos + 9 <= len(data):
+                r = int.from_bytes(data[pos + 5 : pos + 7], "big")
+                c = int.from_bytes(data[pos + 7 : pos + 9], "big")
+            break
+        if marker == 0xDA:
+            break
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        pos += 2 + int.from_bytes(data[pos + 2 : pos + 4], "big")
+    if r is None:
+        raise ValueError("not a JPEG-LS stream (no SOF55 marker)")
+    cap = max(r * c, 1)
+    out = np.empty(cap, dtype=np.uint16)
+    rows = ctypes.c_int32(0)
+    cols = ctypes.c_int32(0)
+    prec = ctypes.c_int32(0)
+    n = lib.mamri_jpegls_decode(
+        data,
+        len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        cap,
+        ctypes.byref(rows),
+        ctypes.byref(cols),
+        ctypes.byref(prec),
+    )
+    if n < 0:
+        raise ValueError(f"JPEG-LS decode failed (native error {n})")
     return out[:n].reshape(rows.value, cols.value), prec.value

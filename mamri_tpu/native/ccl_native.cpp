@@ -1,6 +1,7 @@
 // Native host-side runtime for mamri_tpu: fast binary STL ingest,
 // union-find connected-component labeling, and the DICOM RLE (PackBits)
-// codec, plus a JPEG Lossless (T.81 process 14) decoder.
+// codec, plus JPEG Lossless (T.81 process 14) and JPEG-LS (T.87)
+// decoders.
 //
 // Role: the reference delegates its host-side heavy lifting to native C++
 // libraries (SimpleITK/VTK and Slicer's DICOM stack). mamri_tpu's device
@@ -373,6 +374,292 @@ int64_t mamri_jpegll_decode(const uint8_t* data, int64_t len, uint16_t* out,
   *cols_out = cols;
   *prec_out = prec;
   return total;
+}
+
+
+// ----------------------------------------------- JPEG-LS (T.87) decoder
+// Lossless (NEAR=0), single-component scans, default or LSE-preset coding
+// parameters — the native fast path under perception/jpegls.py, whose
+// pure-Python codec is the oracle (CharLS-faithful arithmetic in both).
+// Returns sample count, or -1 malformed/unsupported, -2 cap too small,
+// -3 corrupt entropy stream.
+static const int JLS_J[32] = {0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,  2,  3,  3,  3,  3,
+                              4, 4, 5, 5, 6, 6, 7, 7, 8, 9, 10, 11, 12, 13, 14, 15};
+
+struct JlsBitReader {
+  const uint8_t* data;
+  int64_t len, pos;
+  uint64_t acc;
+  int nbits;
+  bool prev_ff;
+  void fill() {
+    if (pos < len) {
+      uint8_t b = data[pos];
+      if (prev_ff) {
+        if (b & 0x80) {  // real marker terminates the scan: zero-pad
+          acc <<= 8;
+          nbits += 8;
+          return;
+        }
+        ++pos;
+        acc = (acc << 7) | b;
+        nbits += 7;
+        prev_ff = false;
+      } else {
+        ++pos;
+        acc = (acc << 8) | b;
+        nbits += 8;
+        prev_ff = (b == 0xFF);
+      }
+    } else {
+      acc <<= 8;
+      nbits += 8;
+    }
+  }
+  int bits(int n) {
+    while (nbits < n) fill();
+    nbits -= n;
+    int v = static_cast<int>((acc >> nbits) & ((1u << n) - 1));
+    acc &= (nbits == 64) ? ~0ull : ((1ull << nbits) - 1);
+    return v;
+  }
+  int unary(int cap, bool* err) {
+    int n = 0;
+    while (n <= cap) {
+      if (bits(1)) return n;
+      ++n;
+    }
+    *err = true;
+    return 0;
+  }
+};
+
+int64_t mamri_jpegls_decode(const uint8_t* data, int64_t len, uint16_t* out,
+                            int64_t cap, int32_t* rows_out, int32_t* cols_out,
+                            int32_t* prec_out) {
+  if (len < 4 || data[0] != 0xFF || data[1] != 0xD8) return -1;
+  int64_t pos = 2;
+  int rows = 0, cols = 0, prec = 0;
+  int maxval = -1, t1 = 0, t2 = 0, t3 = 0;
+  bool have_frame = false, have_preset = false;
+  int64_t scan_off = -1;
+  while (pos + 4 <= len) {
+    if (data[pos] != 0xFF) return -1;
+    int marker = 0xFF00 | data[pos + 1];
+    int seglen = (data[pos + 2] << 8) | data[pos + 3];
+    const uint8_t* body = data + pos + 4;
+    int64_t blen = seglen - 2;
+    if (pos + 2 + seglen > len) return -1;
+    pos += 2 + seglen;
+    if (marker == 0xFFF7) {  // SOF55
+      if (blen < 9) return -1;
+      prec = body[0];
+      rows = (body[1] << 8) | body[2];
+      cols = (body[3] << 8) | body[4];
+      if (body[5] != 1 || rows == 0 || cols == 0 || prec < 2 || prec > 16) return -1;
+      have_frame = true;
+    } else if (marker == 0xFFF8) {  // LSE preset parameters
+      if (blen < 11 || body[0] != 1) return -1;
+      maxval = (body[1] << 8) | body[2];
+      t1 = (body[3] << 8) | body[4];
+      t2 = (body[5] << 8) | body[6];
+      t3 = (body[7] << 8) | body[8];
+      int reset = (body[9] << 8) | body[10];
+      if (reset != 0 && reset != 64) return -1;
+      have_preset = true;
+    } else if (marker == 0xFFDD) {  // DRI: restart intervals unsupported
+      if (blen < 2 || ((body[0] << 8) | body[1]) != 0) return -1;
+    } else if (marker == 0xFFDA) {  // SOS
+      if (blen < 6 || body[0] != 1 || !have_frame) return -1;
+      int near = body[3], ilv = body[4];
+      if (near != 0 || ilv != 0) return -1;
+      scan_off = pos;
+      break;
+    } else if (marker >= 0xFFC0 && marker < 0xFFD0) {
+      return -1;  // a non-JPEG-LS SOF / DHT family marker
+    }
+  }
+  if (scan_off < 0) return -1;
+  if (static_cast<int64_t>(rows) * cols > cap) return -2;
+
+  if (maxval <= 0) maxval = (1 << prec) - 1;
+  if (!have_preset || (t1 == 0 && t2 == 0 && t3 == 0)) {
+    // default thresholds (T.87 C.2.4.1.1.1, NEAR=0)
+    int dt1, dt2, dt3;
+    if (maxval >= 128) {
+      int factor = (std::min(maxval, 4095) + 128) / 256;
+      dt1 = factor + 2;
+      dt2 = 4 * factor + 3;
+      dt3 = 17 * factor + 4;
+    } else {
+      int factor = 256 / (maxval + 1);
+      dt1 = std::max(2, 3 / factor);
+      dt2 = std::max(3, 7 / factor);
+      dt3 = std::max(4, 21 / factor);
+    }
+    auto clampv = [&](int v, int lo) { return std::min(std::max(v, lo), maxval); };
+    if (t1 == 0) t1 = clampv(dt1, 1);
+    if (t2 == 0) t2 = clampv(dt2, t1);
+    if (t3 == 0) t3 = clampv(dt3, t2);
+  }
+  const int rng = maxval + 1;
+  int qbpp = 1;
+  while ((1 << qbpp) < rng) ++qbpp;
+  const int bpp = std::max(2, qbpp);
+  const int limit = 2 * (bpp + std::max(8, bpp));
+
+  // gradient quantizer LUT over [-maxval, maxval]
+  std::vector<int8_t> qlut(2 * maxval + 1);
+  for (int d = -maxval; d <= maxval; ++d) {
+    int q;
+    if (d <= -t3) q = -4;
+    else if (d <= -t2) q = -3;
+    else if (d <= -t1) q = -2;
+    else if (d < 0) q = -1;
+    else if (d == 0) q = 0;
+    else if (d < t1) q = 1;
+    else if (d < t2) q = 2;
+    else if (d < t3) q = 3;
+    else q = 4;
+    qlut[d + maxval] = static_cast<int8_t>(q);
+  }
+
+  int64_t A[367], B[367], Cc[367], N[367], Nn[2] = {0, 0};
+  const int64_t a0 = std::max(2, (rng + 32) / 64);
+  for (int i = 0; i < 367; ++i) { A[i] = a0; B[i] = 0; Cc[i] = 0; N[i] = 1; }
+  int run_index = 0;
+
+  JlsBitReader br{data, len, scan_off, 0, 0, false};
+  std::vector<int32_t> prevline(cols, 0);
+  bool err = false;
+  int c_first = 0;
+  const int half = (rng + 1) / 2;
+
+  for (int y = 0; y < rows && !err; ++y) {
+    // decode into a scratch int32 row, then narrow
+    static thread_local std::vector<int32_t> currow;
+    currow.assign(cols, 0);
+    int32_t* cur32 = currow.data();
+    int i = 0;
+    while (i < cols && !err) {
+      int ra = i > 0 ? cur32[i - 1] : prevline[0];
+      int rb = prevline[i];
+      int rc = i > 0 ? prevline[i - 1] : c_first;
+      int rd = (i + 1 < cols) ? prevline[i + 1] : prevline[cols - 1];
+      int q1 = qlut[rd - rb + maxval];
+      int q2 = qlut[rb - rc + maxval];
+      int q3 = qlut[rc - ra + maxval];
+      if (q1 == 0 && q2 == 0 && q3 == 0) {
+        // run mode
+        bool ended = false;
+        while (true) {
+          if (br.bits(1)) {
+            int seg = 1 << JLS_J[run_index];
+            int fill = std::min(seg, cols - i);
+            for (int k2 = 0; k2 < fill; ++k2) cur32[i + k2] = ra;
+            i += fill;
+            if (fill == seg) {
+              if (run_index < 31) ++run_index;
+              if (i >= cols) { ended = true; break; }
+              continue;
+            }
+            ended = true;  // partial '1' only at EOL
+            break;
+          }
+          int cnt = JLS_J[run_index] ? br.bits(JLS_J[run_index]) : 0;
+          if (cnt > cols - i - 1) { err = true; break; }
+          for (int k2 = 0; k2 < cnt; ++k2) cur32[i + k2] = ra;
+          i += cnt;
+          break;
+        }
+        if (ended || err) break;
+        rb = prevline[i];
+        int ritype = (ra == rb) ? 1 : 0;
+        int px = ritype ? ra : rb;
+        int sign = (!ritype && rb < ra) ? -1 : 1;
+        int q = 365 + ritype;
+        int64_t temp = A[q] + (ritype ? (N[q] >> 1) : 0);
+        int k = 0;
+        while ((N[q] << k) < temp) ++k;
+        int rlimit = limit - JLS_J[run_index] - 1;
+        int u = br.unary(rlimit, &err);
+        if (err) break;
+        int emerr;
+        if (u < rlimit - qbpp - 1) emerr = (u << k) | (k ? br.bits(k) : 0);
+        else if (u == rlimit - qbpp - 1) emerr = br.bits(qbpp) + 1;
+        else { err = true; break; }
+        int t = emerr + ritype;
+        int m = t & 1;
+        int evabs = (t + m) / 2;
+        bool negflag = ((k != 0 || 2 * Nn[ritype] >= N[q]) ? 1 : 0) == m;
+        int errval = negflag ? -evabs : evabs;
+        int x = px + sign * errval;
+        if (x < 0) x += rng;
+        else if (x > maxval) x -= rng;
+        cur32[i] = x;
+        if (errval < 0) ++Nn[ritype];
+        A[q] += (emerr + 1 - ritype) >> 1;
+        if (N[q] == 64) { A[q] >>= 1; N[q] >>= 1; Nn[ritype] >>= 1; }
+        ++N[q];
+        if (run_index > 0) --run_index;
+        ++i;
+        continue;
+      }
+      // regular mode
+      int q = q1 * 81 + q2 * 9 + q3;
+      int sign = 1;
+      if (q < 0) { q = -q; sign = -1; }
+      int mn = ra < rb ? ra : rb, mx = ra < rb ? rb : ra;
+      int px;
+      if (rc >= mx) px = mn;
+      else if (rc <= mn) px = mx;
+      else px = ra + rb - rc;
+      px += sign * static_cast<int>(Cc[q]);
+      if (px < 0) px = 0;
+      else if (px > maxval) px = maxval;
+      int k = 0;
+      while ((N[q] << k) < A[q]) ++k;
+      bool special = (k == 0 && 2 * B[q] <= -N[q]);
+      int u = br.unary(limit, &err);
+      if (err) break;
+      int merr;
+      if (u < limit - qbpp - 1) merr = (u << k) | (k ? br.bits(k) : 0);
+      else if (u == limit - qbpp - 1) merr = br.bits(qbpp) + 1;
+      else { err = true; break; }
+      int errval;
+      if (special) errval = (merr & 1) ? (merr - 1) / 2 : -(merr / 2) - 1;
+      else errval = (merr & 1) ? -((merr + 1) / 2) : merr / 2;
+      int x = px + sign * errval;
+      if (x < 0) x += rng;
+      else if (x > maxval) x -= rng;
+      cur32[i] = x;
+      B[q] += errval;
+      A[q] += errval < 0 ? -errval : errval;
+      if (N[q] == 64) { A[q] >>= 1; B[q] >>= 1; N[q] >>= 1; }
+      ++N[q];
+      if (B[q] <= -N[q]) {
+        if (Cc[q] > -128) --Cc[q];
+        B[q] += N[q];
+        if (B[q] <= -N[q]) B[q] = -N[q] + 1;
+      } else if (B[q] > 0) {
+        if (Cc[q] < 127) ++Cc[q];
+        B[q] -= N[q];
+        if (B[q] > 0) B[q] = 0;
+      }
+      ++i;
+    }
+    if (err) break;
+    c_first = prevline[0];
+    for (int j = 0; j < cols; ++j) {
+      prevline[j] = cur32[j];
+      out[static_cast<int64_t>(y) * cols + j] = static_cast<uint16_t>(cur32[j]);
+    }
+  }
+  if (err) return -3;
+  *rows_out = rows;
+  *cols_out = cols;
+  *prec_out = prec;
+  return static_cast<int64_t>(rows) * cols;
 }
 
 }  // extern "C"

@@ -487,9 +487,17 @@ def _parse_markers(data: bytes) -> Dict:
     raise JpegLsError("no SOS marker found")
 
 
-def decode_jpeg_ls(data: bytes) -> Tuple[np.ndarray, int]:
+def decode_jpeg_ls(data: bytes, use_native: bool = True) -> Tuple[np.ndarray, int]:
     """Decode a lossless single-component JPEG-LS codestream ->
-    ((rows, cols) uint16 array, precision)."""
+    ((rows, cols) uint16 array, precision). Dispatches to the native C++
+    decoder when built (mamri_tpu.native.jpegls_decode_native, ~100x the
+    Python scan loop); the Python path below is the oracle."""
+    if use_native:
+        from mamri_tpu.native import jpegls_decode_native
+
+        native = jpegls_decode_native(data)
+        if native is not None:
+            return native
     scan = _parse_markers(data)
     prec = scan["precision"]
     maxval = (1 << prec) - 1

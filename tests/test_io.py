@@ -661,26 +661,39 @@ def test_jpegls_codec_property():
         rng.integers(0, 65536, (20, 1)).astype(np.uint16),
         rng.integers(0, 65536, (1, 37)).astype(np.uint16),
     ]
+    from mamri_tpu import native
+
     for img in images:
         enc = jpegls.encode_jpeg_ls(img, 16)
-        dec, prec = jpegls.decode_jpeg_ls(enc)
+        dec, prec = jpegls.decode_jpeg_ls(enc, use_native=False)
         assert prec == 16
         np.testing.assert_array_equal(dec, img)
+        if native.available():  # the C++ decoder must agree with the oracle
+            dn, pn = native.jpegls_decode_native(enc)
+            assert pn == 16
+            np.testing.assert_array_equal(dn, img)
     for prec, hi in ((8, 256), (12, 4096)):
         img = rng.integers(0, hi, (22, 26)).astype(np.uint16)
-        dec, p = jpegls.decode_jpeg_ls(jpegls.encode_jpeg_ls(img, prec))
+        enc = jpegls.encode_jpeg_ls(img, prec)
+        dec, p = jpegls.decode_jpeg_ls(enc, use_native=False)
         assert p == prec
         np.testing.assert_array_equal(dec, img)
+        if native.available():
+            np.testing.assert_array_equal(native.jpegls_decode_native(enc)[0], img)
     # run mode must actually compress the run-heavy phantom
     runs = (np.repeat(rng.integers(0, 3, (40, 8)), 16, axis=1) * 7).astype(np.uint16)
     assert len(jpegls.encode_jpeg_ls(runs, 16)) < runs.nbytes // 4
-    # NEAR>0 (DICOM .81 near-lossless) is rejected loudly
+    # NEAR>0 (DICOM .81 near-lossless) is rejected loudly by both decoders
     enc = bytearray(jpegls.encode_jpeg_ls(images[0], 16))
     sos = enc.find(b"\xff\xda")
     enc[sos + 7] = 2  # NEAR byte
     with pytest.raises(ValueError, match="near-lossless"):
+        jpegls.decode_jpeg_ls(bytes(enc), use_native=False)
+    with pytest.raises(ValueError):
         jpegls.decode_jpeg_ls(bytes(enc))
     # truncated stream fails loudly
+    with pytest.raises(ValueError):
+        jpegls.decode_jpeg_ls(jpegls.encode_jpeg_ls(images[1], 16)[:30], use_native=False)
     with pytest.raises(ValueError):
         jpegls.decode_jpeg_ls(jpegls.encode_jpeg_ls(images[1], 16)[:30])
 
