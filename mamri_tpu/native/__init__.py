@@ -88,6 +88,15 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.mamri_jpegls_decode.restype = ctypes.c_int64
     lib.mamri_jpegls_decode.argtypes = list(lib.mamri_jpegll_decode.argtypes)
+    lib.mamri_jpegls_encode.restype = ctypes.c_int64
+    lib.mamri_jpegls_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint16),
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+    ]
     _lib = lib
     return lib
 
@@ -247,3 +256,30 @@ def jpegls_decode_native(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
     if n < 0:
         raise ValueError(f"JPEG-LS decode failed (native error {n})")
     return out[:n].reshape(rows.value, cols.value), prec.value
+
+
+def jpegls_encode_native(img: np.ndarray, precision: int) -> Optional[bytes]:
+    """JPEG-LS lossless entropy coding of one (rows, cols) uint16 image via
+    the C++ codec -> raw scan bytes (no marker framing; perception.jpegls
+    wraps them). Bit-identical to the Python encoder. None if the native
+    library is unavailable, ValueError on bad samples."""
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(img, dtype=np.uint16)
+    rows, cols = a.shape
+    # worst case is the limited-Golomb escape every sample: LIMIT bits
+    # (<= 64) plus 8/7 stuffing overhead
+    cap = a.size * 10 + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.mamri_jpegls_encode(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        rows,
+        cols,
+        precision,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+    )
+    if n < 0:
+        raise ValueError(f"JPEG-LS encode failed (native error {n})")
+    return out[:n].tobytes()

@@ -662,4 +662,213 @@ int64_t mamri_jpegls_decode(const uint8_t* data, int64_t len, uint16_t* out,
   return static_cast<int64_t>(rows) * cols;
 }
 
+
+// ----------------------------------------------- JPEG-LS (T.87) encoder
+// Entropy-codes one lossless (NEAR=0) single-component scan with DEFAULT
+// coding parameters; the caller (perception/jpegls.py) wraps the marker
+// framing. Bit-identical to the Python encoder (same arithmetic, same
+// zero-padded flush). Returns scan byte count, or -1 bad args, -2 cap.
+struct JlsBitWriter {
+  uint8_t* out;
+  int64_t cap, n;
+  uint32_t cur;
+  int curbits, capbits;
+  bool overflow;
+  void close_byte() {
+    if (n >= cap) { overflow = true; n = 0; }
+    out[n++] = static_cast<uint8_t>(cur);
+    capbits = (cur == 0xFF) ? 7 : 8;  // stuff a 0 MSB after FF bytes
+    cur = 0;
+    curbits = 0;
+  }
+  void put(uint32_t value, int nbits) {
+    for (int i = nbits - 1; i >= 0; --i) {
+      cur = (cur << 1) | ((value >> i) & 1);
+      if (++curbits == capbits) close_byte();
+    }
+  }
+  void zeros(int nz) {
+    while (nz > 0) {
+      int take = std::min(nz, capbits - curbits);
+      cur <<= take;
+      curbits += take;
+      nz -= take;
+      if (curbits == capbits) close_byte();
+    }
+  }
+  void flush() {
+    if (curbits) {
+      cur <<= capbits - curbits;
+      if (n >= cap) { overflow = true; n = 0; }
+      out[n++] = static_cast<uint8_t>(cur);
+      cur = 0;
+      curbits = 0;
+    }
+  }
+};
+
+static inline void jls_golomb_encode(JlsBitWriter& w, int k, int val, int limit,
+                                     int qbpp) {
+  int high = val >> k;
+  if (high < limit - qbpp - 1) {
+    w.zeros(high);
+    w.put(1, 1);
+    if (k) w.put(val & ((1 << k) - 1), k);
+  } else {
+    w.zeros(limit - qbpp - 1);
+    w.put(1, 1);
+    w.put(val - 1, qbpp);
+  }
+}
+
+int64_t mamri_jpegls_encode(const uint16_t* img, int32_t rows, int32_t cols,
+                            int32_t prec, uint8_t* out, int64_t cap) {
+  if (rows <= 0 || cols <= 0 || prec < 2 || prec > 16) return -1;
+  const int maxval = (1 << prec) - 1;
+  int t1, t2, t3;
+  if (maxval >= 128) {
+    int factor = (std::min(maxval, 4095) + 128) / 256;
+    t1 = factor + 2;
+    t2 = 4 * factor + 3;
+    t3 = 17 * factor + 4;
+  } else {
+    int factor = 256 / (maxval + 1);
+    t1 = std::max(2, 3 / factor);
+    t2 = std::max(3, 7 / factor);
+    t3 = std::max(4, 21 / factor);
+  }
+  auto clampv = [&](int v, int lo) { return std::min(std::max(v, lo), maxval); };
+  t1 = clampv(t1, 1);
+  t2 = clampv(t2, t1);
+  t3 = clampv(t3, t2);
+  const int rng = maxval + 1;
+  int qbpp = 1;
+  while ((1 << qbpp) < rng) ++qbpp;
+  const int bpp = std::max(2, qbpp);
+  const int limit = 2 * (bpp + std::max(8, bpp));
+  const int half = (rng + 1) / 2;
+
+  std::vector<int8_t> qlut(2 * maxval + 1);
+  for (int d = -maxval; d <= maxval; ++d) {
+    int q;
+    if (d <= -t3) q = -4;
+    else if (d <= -t2) q = -3;
+    else if (d <= -t1) q = -2;
+    else if (d < 0) q = -1;
+    else if (d == 0) q = 0;
+    else if (d < t1) q = 1;
+    else if (d < t2) q = 2;
+    else if (d < t3) q = 3;
+    else q = 4;
+    qlut[d + maxval] = static_cast<int8_t>(q);
+  }
+  int64_t A[367], B[367], Cc[367], N[367], Nn[2] = {0, 0};
+  const int64_t a0 = std::max(2, (rng + 32) / 64);
+  for (int i = 0; i < 367; ++i) { A[i] = a0; B[i] = 0; Cc[i] = 0; N[i] = 1; }
+  int run_index = 0;
+  int c_first = 0;
+  JlsBitWriter w{out, cap, 0, 0, 0, 8, false};
+
+  for (int y = 0; y < rows; ++y) {
+    const uint16_t* cur = img + static_cast<int64_t>(y) * cols;
+    const uint16_t* prev = y > 0 ? img + static_cast<int64_t>(y - 1) * cols : nullptr;
+    int i = 0;
+    while (i < cols) {
+      int ra = i > 0 ? cur[i - 1] : (prev ? prev[0] : 0);
+      int rb = prev ? prev[i] : 0;
+      int rc = i > 0 ? (prev ? prev[i - 1] : 0) : c_first;
+      int rd = prev ? ((i + 1 < cols) ? prev[i + 1] : prev[cols - 1]) : 0;
+      if (static_cast<unsigned>(cur[i]) > static_cast<unsigned>(maxval)) return -1;
+      int q1 = qlut[rd - rb + maxval];
+      int q2 = qlut[rb - rc + maxval];
+      int q3 = qlut[rc - ra + maxval];
+      if (q1 == 0 && q2 == 0 && q3 == 0) {
+        // run mode
+        int start = i;
+        while (i < cols && cur[i] == ra) ++i;
+        int cnt = i - start;
+        while (cnt >= (1 << JLS_J[run_index])) {
+          w.put(1, 1);
+          cnt -= 1 << JLS_J[run_index];
+          if (run_index < 31) ++run_index;
+        }
+        if (i == cols) {
+          if (cnt > 0) w.put(1, 1);
+          break;
+        }
+        w.put(0, 1);
+        if (JLS_J[run_index]) w.put(cnt, JLS_J[run_index]);
+        int x = cur[i];
+        rb = prev ? prev[i] : 0;
+        int ritype = (ra == rb) ? 1 : 0;
+        int px = ritype ? ra : rb;
+        int sign = (!ritype && rb < ra) ? -1 : 1;
+        int q = 365 + ritype;
+        int64_t temp = A[q] + (ritype ? (N[q] >> 1) : 0);
+        int k = 0;
+        while ((N[q] << k) < temp) ++k;
+        int errval = (x - px) * sign;
+        if (errval < 0) errval += rng;
+        if (errval >= half) errval -= rng;
+        bool m;
+        if (errval == 0) m = false;
+        else if (k == 0 && errval > 0 && 2 * Nn[ritype] < N[q]) m = true;
+        else if (errval < 0 && 2 * Nn[ritype] >= N[q]) m = true;
+        else if (errval < 0 && k != 0) m = true;
+        else m = false;
+        int emerr = 2 * (errval < 0 ? -errval : errval) - ritype - (m ? 1 : 0);
+        jls_golomb_encode(w, k, emerr, limit - JLS_J[run_index] - 1, qbpp);
+        if (errval < 0) ++Nn[ritype];
+        A[q] += (emerr + 1 - ritype) >> 1;
+        if (N[q] == 64) { A[q] >>= 1; N[q] >>= 1; Nn[ritype] >>= 1; }
+        ++N[q];
+        if (run_index > 0) --run_index;
+        ++i;
+        continue;
+      }
+      // regular mode
+      int q = q1 * 81 + q2 * 9 + q3;
+      int sign = 1;
+      if (q < 0) { q = -q; sign = -1; }
+      int mn = ra < rb ? ra : rb, mx = ra < rb ? rb : ra;
+      int px;
+      if (rc >= mx) px = mn;
+      else if (rc <= mn) px = mx;
+      else px = ra + rb - rc;
+      px += sign * static_cast<int>(Cc[q]);
+      if (px < 0) px = 0;
+      else if (px > maxval) px = maxval;
+      int k = 0;
+      while ((N[q] << k) < A[q]) ++k;
+      bool special = (k == 0 && 2 * B[q] <= -N[q]);
+      int errval = (cur[i] - px) * sign;
+      if (errval < 0) errval += rng;
+      if (errval >= half) errval -= rng;
+      int merr;
+      if (special) merr = errval >= 0 ? 2 * errval + 1 : -2 * (errval + 1);
+      else merr = errval >= 0 ? 2 * errval : -2 * errval - 1;
+      jls_golomb_encode(w, k, merr, limit, qbpp);
+      B[q] += errval;
+      A[q] += errval < 0 ? -errval : errval;
+      if (N[q] == 64) { A[q] >>= 1; B[q] >>= 1; N[q] >>= 1; }
+      ++N[q];
+      if (B[q] <= -N[q]) {
+        if (Cc[q] > -128) --Cc[q];
+        B[q] += N[q];
+        if (B[q] <= -N[q]) B[q] = -N[q] + 1;
+      } else if (B[q] > 0) {
+        if (Cc[q] < 127) ++Cc[q];
+        B[q] -= N[q];
+        if (B[q] > 0) B[q] = 0;
+      }
+      ++i;
+    }
+    c_first = prev ? prev[0] : 0;
+    if (w.overflow) return -2;
+  }
+  w.flush();
+  if (w.overflow) return -2;
+  return w.n;
+}
+
 }  // extern "C"

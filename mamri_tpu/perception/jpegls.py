@@ -417,9 +417,11 @@ def _codec(img, shape, p: _Params, writer=None, reader=None):
     return out
 
 
-def encode_jpeg_ls(img: np.ndarray, precision: int) -> bytes:
+def encode_jpeg_ls(img: np.ndarray, precision: int, use_native: bool = True) -> bytes:
     """Encode a 2-D unsigned image (values < 2**precision) as a lossless
-    (NEAR=0) single-component JPEG-LS codestream."""
+    (NEAR=0) single-component JPEG-LS codestream. Dispatches the entropy
+    coding to the native C++ codec when built (bit-identical output); the
+    Python scan loop below is the oracle."""
     if img.ndim != 2:
         raise JpegLsError("only 2-D grayscale images")
     if not 2 <= precision <= 16:
@@ -429,14 +431,21 @@ def encode_jpeg_ls(img: np.ndarray, precision: int) -> bytes:
     if a.min() < 0 or a.max() > maxval:
         raise JpegLsError("sample values exceed the stated precision")
     H, W = a.shape
-    p = _Params(precision, maxval, *_default_thresholds(maxval))
-    w = _BitWriter()
-    _codec(a, (H, W), p, writer=w)
     head = struct.pack(">H", _SOI)
     head += struct.pack(">HHBHHB", _SOF55, 11, precision, H, W, 1)
     head += bytes([1, 0x11, 0])  # component 1, no subsampling, Tq=0
     head += struct.pack(">HH", _SOS, 8) + bytes([1, 1, 0, 0, 0, 0])  # NEAR=0, ILV=0
-    return head + w.flush() + struct.pack(">H", _EOI)
+    scan = None
+    if use_native:
+        from mamri_tpu.native import jpegls_encode_native
+
+        scan = jpegls_encode_native(a.astype(np.uint16), precision)
+    if scan is None:
+        p = _Params(precision, maxval, *_default_thresholds(maxval))
+        w = _BitWriter()
+        _codec(a, (H, W), p, writer=w)
+        scan = w.flush()
+    return head + scan + struct.pack(">H", _EOI)
 
 
 def _parse_markers(data: bytes) -> Dict:

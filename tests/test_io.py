@@ -664,14 +664,15 @@ def test_jpegls_codec_property():
     from mamri_tpu import native
 
     for img in images:
-        enc = jpegls.encode_jpeg_ls(img, 16)
+        enc = jpegls.encode_jpeg_ls(img, 16, use_native=False)
         dec, prec = jpegls.decode_jpeg_ls(enc, use_native=False)
         assert prec == 16
         np.testing.assert_array_equal(dec, img)
-        if native.available():  # the C++ decoder must agree with the oracle
+        if native.available():  # the C++ codec must agree with the oracle
             dn, pn = native.jpegls_decode_native(enc)
             assert pn == 16
             np.testing.assert_array_equal(dn, img)
+            assert jpegls.encode_jpeg_ls(img, 16, use_native=True) == enc
     for prec, hi in ((8, 256), (12, 4096)):
         img = rng.integers(0, hi, (22, 26)).astype(np.uint16)
         enc = jpegls.encode_jpeg_ls(img, prec)
