@@ -483,8 +483,10 @@ int64_t mamri_jpegls_decode(const uint8_t* data, int64_t len, uint16_t* out,
   if (static_cast<int64_t>(rows) * cols > cap) return -2;
 
   if (maxval <= 0) maxval = (1 << prec) - 1;
-  if (!have_preset || (t1 == 0 && t2 == 0 && t3 == 0)) {
-    // default thresholds (T.87 C.2.4.1.1.1, NEAR=0)
+  {
+    // default thresholds (T.87 C.2.4.1.1.1, NEAR=0); an LSE preset value of
+    // 0 means "use the default" PER THRESHOLD (CharLS convention — matching
+    // the Python oracle's `pt1 or t1` substitution)
     int dt1, dt2, dt3;
     if (maxval >= 128) {
       int factor = (std::min(maxval, 4095) + 128) / 256;
@@ -501,7 +503,10 @@ int64_t mamri_jpegls_decode(const uint8_t* data, int64_t len, uint16_t* out,
     if (t1 == 0) t1 = clampv(dt1, 1);
     if (t2 == 0) t2 = clampv(dt2, t1);
     if (t3 == 0) t3 = clampv(dt3, t2);
+    (void)have_preset;
   }
+  if (t1 > maxval || t2 > maxval || t3 > maxval || t1 < 1 || t2 < t1 || t3 < t2)
+    return -1;  // inconsistent LSE preset
   const int rng = maxval + 1;
   int qbpp = 1;
   while ((1 << qbpp) < rng) ++qbpp;
@@ -580,7 +585,8 @@ int64_t mamri_jpegls_decode(const uint8_t* data, int64_t len, uint16_t* out,
         int q = 365 + ritype;
         int64_t temp = A[q] + (ritype ? (N[q] >> 1) : 0);
         int k = 0;
-        while ((N[q] << k) < temp) ++k;
+        while (k < 24 && (N[q] << k) < temp) ++k;
+        if (k >= 24) { err = true; break; }  // impossible on valid streams
         int rlimit = limit - JLS_J[run_index] - 1;
         int u = br.unary(rlimit, &err);
         if (err) break;
@@ -596,6 +602,7 @@ int64_t mamri_jpegls_decode(const uint8_t* data, int64_t len, uint16_t* out,
         int x = px + sign * errval;
         if (x < 0) x += rng;
         else if (x > maxval) x -= rng;
+        if (x < 0 || x > maxval) { err = true; break; }  // corrupt stream
         cur32[i] = x;
         if (errval < 0) ++Nn[ritype];
         A[q] += (emerr + 1 - ritype) >> 1;
@@ -618,7 +625,8 @@ int64_t mamri_jpegls_decode(const uint8_t* data, int64_t len, uint16_t* out,
       if (px < 0) px = 0;
       else if (px > maxval) px = maxval;
       int k = 0;
-      while ((N[q] << k) < A[q]) ++k;
+      while (k < 24 && (N[q] << k) < A[q]) ++k;
+      if (k >= 24) { err = true; break; }  // impossible on valid streams
       bool special = (k == 0 && 2 * B[q] <= -N[q]);
       int u = br.unary(limit, &err);
       if (err) break;
@@ -632,6 +640,7 @@ int64_t mamri_jpegls_decode(const uint8_t* data, int64_t len, uint16_t* out,
       int x = px + sign * errval;
       if (x < 0) x += rng;
       else if (x > maxval) x -= rng;
+      if (x < 0 || x > maxval) { err = true; break; }  // corrupt stream
       cur32[i] = x;
       B[q] += errval;
       A[q] += errval < 0 ? -errval : errval;
@@ -799,6 +808,7 @@ int64_t mamri_jpegls_encode(const uint16_t* img, int32_t rows, int32_t cols,
         w.put(0, 1);
         if (JLS_J[run_index]) w.put(cnt, JLS_J[run_index]);
         int x = cur[i];
+        if (x > maxval) return -1;  // the loop-top check covered run entry only
         rb = prev ? prev[i] : 0;
         int ritype = (ra == rb) ? 1 : 0;
         int px = ritype ? ra : rb;

@@ -301,7 +301,10 @@ def _parse_file(path: str) -> Dict:
     if transfer == _DEFLATED_LE:
         import zlib
 
-        body = zlib.decompress(body, -15)  # raw deflate, PS3.5 A.5
+        try:
+            body = zlib.decompress(body, -15)  # raw deflate, PS3.5 A.5
+        except zlib.error as e:  # keep the loader's per-file ValueError contract
+            raise ValueError(f"{path}: corrupt deflated dataset ({e})") from e
     r = _Reader(
         body,
         explicit=(transfer != _IMPLICIT_LE),
@@ -720,13 +723,14 @@ def save_dicom_series(
     directory: str, volume: Volume, series_number: int = 1, transfer: str = "explicit_le"
 ) -> List[str]:
     """Write the volume as an MR series (one file per z slice): explicit VR
-    LE, RLE Lossless encapsulated (`transfer="rle"`), or JPEG Lossless SV1
-    encapsulated (`transfer="jpegll"`).
+    LE, deflated explicit VR LE (`transfer="deflated"`), RLE Lossless
+    (`transfer="rle"`), JPEG Lossless SV1 (`transfer="jpegll"`) or JPEG-LS
+    lossless (`transfer="jpegls"`), the last three encapsulated.
 
     Intensities are stored as int16 with a lossless-for-rounded-data rescale;
     the reader round-trips `load_dicom_series(save_dicom_series(v)) == v` to
-    rescale precision (exact for integer-valued data within range; RLE and
-    JPEG Lossless are lossless codecs, so identically exact).
+    rescale precision (exact for integer-valued data within range; all the
+    compressed transfers here are lossless codecs, so identically exact).
     """
     if transfer not in ("explicit_le", "deflated", "rle", "jpegll", "jpegls"):
         raise ValueError(

@@ -340,6 +340,8 @@ def _codec(img, shape, p: _Params, writer=None, reader=None):
                         x += rng
                     elif x > maxval:
                         x -= rng
+                    if not 0 <= x <= maxval:
+                        raise JpegLsError("corrupt stream: sample out of range")
                     cur[i] = x
                 if errval < 0:
                     Nn[ritype] += 1
@@ -391,6 +393,8 @@ def _codec(img, shape, p: _Params, writer=None, reader=None):
                     x += rng
                 elif x > maxval:
                     x -= rng
+                if not 0 <= x <= maxval:
+                    raise JpegLsError("corrupt stream: sample out of range")
                 cur[i] = x
             B[q] += errval
             A[q] += abs(errval)

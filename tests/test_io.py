@@ -733,3 +733,32 @@ def test_dicom_jpegls_roundtrip(tmp_path):
     (d81 / "f.dcm").write_bytes(bytes(raw))
     with pytest.raises(ValueError, match="unsupported transfer syntax"):
         load_dicom_series(str(d81))
+
+
+def test_jpegls_corrupt_streams_fail_loudly():
+    """Byte-flip fuzz over a valid stream: BOTH decoders must either decode
+    (agreeing with each other) or raise ValueError — never crash, never
+    index out of bounds (the native decoder runs by default on untrusted
+    scanner files)."""
+    from mamri_tpu import native
+    from mamri_tpu.perception import jpegls
+
+    rng = np.random.default_rng(31)
+    img = (np.cumsum(rng.integers(0, 200, (24, 31)), 1) % 60000).astype(np.uint16)
+    enc = bytearray(jpegls.encode_jpeg_ls(img, 16))
+    scan_start = enc.find(b"\xff\xda") + 10
+    for _ in range(120):
+        bad = bytearray(enc)
+        pos = int(rng.integers(scan_start, len(bad) - 2))
+        bad[pos] ^= int(rng.integers(1, 256))
+        try:
+            py = jpegls.decode_jpeg_ls(bytes(bad), use_native=False)[0]
+        except ValueError:
+            py = None
+        if native.available():
+            try:
+                nat = native.jpegls_decode_native(bytes(bad))[0]
+            except ValueError:
+                nat = None
+            if py is not None and nat is not None:
+                np.testing.assert_array_equal(py, nat)
