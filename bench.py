@@ -18,6 +18,10 @@ the directly-observed J1 — markers sit only on Baseplate/J2/J4/J6, so J4/J6
 can trade degrees at sub-mm RMSE near the wrist; TCP is the honest
 invariant, see tests/test_engine.py::test_estimate_pose_random_pose_sweep).
 
+PLANNING (BASELINE config 4): entry-point search, the fused up-over-down
+heuristic-path program and an 8-distance safety sweep are timed through the
+public API (p50 incl. one host fetch each).
+
 STREAMING (BASELINE config 5): N sequential single-volume frames through
 `api.streaming.PoseTracker` — fresh host array each frame, so H2D transfer
 and the relay RTT are inside the measurement; reports p50/p95 frame latency
@@ -305,6 +309,35 @@ def main():
         stream_ok = stream_ok and r.success
     stream_fps = STREAM_FRAMES / (time.perf_counter() - t0)
 
+    # ---- planning (BASELINE config 4): entry-point search + collision-
+    # checked up-over-down path + safety-distance sweep through the public
+    # API (jit-cached fused plan programs; timings include the host fetch,
+    # i.e. one relay RTT each — what an interactive caller experiences).
+    est = engine.estimate_pose(vols[0])
+    plan_ok = bool(est.success)
+    target = np.asarray(body_center, dtype=np.float32)
+
+    def timed_p50(fn, reps=8):
+        fn()  # warm / compile
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2] * 1e3
+
+    entry_ms = timed_p50(lambda: engine.find_entry_point(target))
+    ep = engine.find_entry_point(target)
+    plan_ok = plan_ok and bool(ep.found)
+    path_ms = timed_p50(
+        lambda: engine.plan_heuristic_path(target, ep.point_ras, 5.0, start_pose_steps=est.steps)
+    )
+    sweep_d = [2.0, 5.0, 7.5, 10.0, 12.5, 15.0, 17.5, 20.0]
+    sweep_ms = timed_p50(lambda: engine.plan_trajectory_sweep(target, ep.point_ras, sweep_d))
+    plan = engine.plan_heuristic_path(target, ep.point_ras, 5.0, start_pose_steps=est.steps)
+    plan_ok = plan_ok and plan.success and not plan.collision_detected
+
     # ---- robustness: dense-speckle noisy variant at the noisy-scan settings
     # (the caps the engine's certificate escalation would land on, pre-set so
     # the measurement is one compile). ~1500 single-voxel speckle components
@@ -382,6 +415,13 @@ def main():
                     "all_success": stream_ok,
                     "interactive": stream_p50_ms < TARGET_STREAM_MS,
                     "includes": "H2D upload + relay RTT + device compute, per frame (pipelined_fps overlaps them across frames)",
+                },
+                "planning": {
+                    "entry_search_p50_ms": round(entry_ms, 2),
+                    "heuristic_path_p50_ms": round(path_ms, 2),
+                    "safety_sweep8_p50_ms": round(sweep_ms, 2),
+                    "success_collision_free": plan_ok,
+                    "includes": "public-API calls incl. one host fetch (relay RTT) each; fused jit-cached plan programs",
                 },
                 "noisy_scan": {
                     "vols_per_s": round(noisy_vols_per_s, 3),
