@@ -6,6 +6,8 @@ over NIfTI volumes or DICOM series directories.
     python -m mamri_tpu entry    scan.nii.gz --target X Y Z
     python -m mamri_tpu plan     scan.nii.gz --target X Y Z [--entry X Y Z]
                                  [--safety 5.0] [--out plan.npz]
+    python -m mamri_tpu convert scan_dir/ out.nii.gz
+    python -m mamri_tpu convert scan.nii.gz series_out/ --transfer jpegls
     python -m mamri_tpu info
 """
 
@@ -38,6 +40,41 @@ def _load(path):
     except (OSError, ValueError) as e:
         print(json.dumps({"success": False, "message": f"cannot load volume: {e}"}))
         raise SystemExit(2)
+
+
+def cmd_convert(args) -> int:
+    """Volume format conversion over the ingest codecs: NIfTI <-> DICOM
+    (per-slice series directory or Enhanced MR multi-frame file), any
+    supported transfer syntax — a capability the reference outsources to
+    Slicer's DICOM module."""
+    import os
+
+    vol = _load(args.input)
+    out = args.output
+    if out.endswith(".nii") or out.endswith(".nii.gz"):
+        from mamri_tpu.perception.io import save_nifti
+
+        save_nifti(out, vol)
+        written = [out]
+    elif out.endswith(".dcm"):
+        from mamri_tpu.perception.dicom import save_dicom_multiframe
+
+        written = [save_dicom_multiframe(out, vol, series_number=args.series_number,
+                                         transfer=args.transfer)]
+    else:  # directory -> one file per slice
+        from mamri_tpu.perception.dicom import save_dicom_series
+
+        written = save_dicom_series(out, vol, series_number=args.series_number,
+                                    transfer=args.transfer)
+    print(json.dumps({
+        "success": True,
+        "files": len(written),
+        "output": out,
+        "shape": list(np.asarray(vol.data).shape),
+        "spacing_mm": np.asarray(vol.spacing).tolist(),
+        "bytes": int(sum(os.path.getsize(w) for w in written)),
+    }))
+    return 0
 
 
 def cmd_info(args) -> int:
@@ -237,6 +274,14 @@ def main(argv=None) -> int:
     px.add_argument("--safety", type=float, default=5.0)
     px.add_argument("--correction", action="store_true")
 
+    pc = sub.add_parser("convert", help="convert volumes: NIfTI <-> DICOM series/multi-frame, any supported transfer syntax")
+    pc.add_argument("input", help="NIfTI file or DICOM series directory")
+    pc.add_argument("output", help=".nii/.nii.gz, .dcm (Enhanced multi-frame), or a directory (per-slice series)")
+    pc.add_argument("--transfer", default="explicit_le",
+                    choices=["explicit_le", "deflated", "rle", "jpegll", "jpegls"],
+                    help="DICOM transfer syntax for DICOM outputs (default explicit_le)")
+    pc.add_argument("--series-number", type=int, default=1)
+
     args = ap.parse_args(argv)
     return {
         "info": cmd_info,
@@ -244,6 +289,7 @@ def main(argv=None) -> int:
         "entry": cmd_entry,
         "plan": cmd_plan,
         "export": cmd_export,
+        "convert": cmd_convert,
     }[args.cmd](args)
 
 

@@ -77,3 +77,25 @@ def test_cli_export_requires_an_output(scan_path, capsys):
     out = json.loads(capsys.readouterr().out)
     assert rc == 2 and not out["success"]
     assert "--scene" in out["message"] and "--render" in out["message"]
+
+
+def test_cli_convert_roundtrip(tmp_path, capsys):
+    """convert: NIfTI -> JPEG-LS DICOM series -> Enhanced multi-frame ->
+    NIfTI, bit-exact for integral data."""
+    from mamri_tpu.perception.io import load_nifti
+    from mamri_tpu.perception.volume import Volume
+
+    rng = np.random.default_rng(2)
+    v = Volume(data=rng.integers(0, 900, (12, 10, 6)).astype(np.float32),
+               spacing=(1.0, 1.0, 2.0), origin=(1.0, -2.0, 3.0))
+    src = str(tmp_path / "v.nii.gz")
+    save_nifti(src, v)
+    series = str(tmp_path / "series")
+    assert main(["convert", src, series, "--transfer", "jpegls"]) == 0
+    assert json.loads(capsys.readouterr().out)["files"] == 6
+    mf = str(tmp_path / "mf" / "vol.dcm")
+    assert main(["convert", series, mf, "--transfer", "rle"]) == 0
+    assert json.loads(capsys.readouterr().out)["files"] == 1
+    back = str(tmp_path / "back.nii.gz")
+    assert main(["convert", str(tmp_path / "mf"), back]) == 0
+    np.testing.assert_array_equal(np.asarray(load_nifti(back).data), v.data)
