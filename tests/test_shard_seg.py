@@ -234,3 +234,15 @@ def test_sharded_fast_passes_escalation_certifies():
     assert bool(ref.ccl_converged)
     np.testing.assert_array_equal(np.asarray(got.labels), np.asarray(ref.labels))
     assert int(got.num_components) == int(ref.num_components)
+
+
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_sharded_fast_pipeline_other_shard_counts(scene_vol, n_shards):
+    """Shard-count robustness: the fast kernel pipeline's halo exchange,
+    x-prefix fix and certificate collectives must be exact for any mesh
+    size, not just the 8-way mesh the other tests pin (nx=64 keeps the
+    per-shard nx a multiple of 8 at 2/4 shards)."""
+    params = SegmentationParams(max_sweeps=2, passes=5, use_pallas=True)
+    ref = segment_volume(scene_vol.data, scene_vol.spacing, scene_vol.origin, params)
+    got = _run_sharded(scene_vol, params, n_shards=n_shards, interpret=True)
+    _assert_parity(got, ref)
