@@ -36,13 +36,38 @@ class PoseTracker:
         apply_correction: bool = False,
         pipelined: bool = False,
         depth: int = 1,
+        target_ras=None,
+        entry_ras=None,
+        safety_mm: float = 5.0,
+        replan_every: int = 1,
     ):
+        """`target_ras` (with `entry_ras`) arms per-frame RE-PLANNING: after
+        every `replan_every`-th successful estimate the tracker re-solves
+        the collision-checked up-over-down path from the fresh pose (one
+        fused jitted program; the body world is rebuilt from that frame's
+        segmentation, so moving anatomy is honored). The latest plan is
+        `last_plan`; its latency is the "replan" tracer span."""
         if depth < 1:
             raise ValueError("pipeline depth must be >= 1")
+        if replan_every < 1:
+            raise ValueError("replan_every must be >= 1")
+        if target_ras is not None and entry_ras is None:
+            raise ValueError("re-planning needs entry_ras (run find_entry_point once)")
+        if target_ras is not None and pipelined:
+            raise ValueError(
+                "per-frame re-planning requires the synchronous tracker: the "
+                "collision world must come from the frame being planned, and "
+                "the pipelined path does not keep segmentations"
+            )
         self.engine = engine
         self.apply_correction = apply_correction
         self.pipelined = pipelined
         self.depth = depth
+        self.target_ras = target_ras
+        self.entry_ras = entry_ras
+        self.safety_mm = safety_mm
+        self.replan_every = replan_every
+        self.last_plan = None
         self.tracer = Tracer()
         self.frames = 0
         self.failures = 0
@@ -55,8 +80,12 @@ class PoseTracker:
         (None while the pipeline fills — call `flush()` at end of stream)."""
         t0 = time.perf_counter()
         if not self.pipelined:
+            # re-plan frames keep the segmentation: the body world used for
+            # collision checking is rebuilt from THIS frame's scan
             result = self.engine.estimate_pose(
-                volume, apply_correction=self.apply_correction, keep_segmentation=False
+                volume,
+                apply_correction=self.apply_correction,
+                keep_segmentation=self.target_ras is not None,
             )
         else:
             self._inflight.append(
@@ -84,13 +113,32 @@ class PoseTracker:
         if not result.success:
             self.failures += 1
         self.last_estimate = result
+        if (
+            self.target_ras is not None
+            and result.success
+            and (self.frames % self.replan_every) == 0
+        ):
+            t0 = time.perf_counter()
+            # the engine invalidated last_collision_world when this frame's
+            # segmentation was stored, so the plan's world IS this frame's
+            self.last_plan = self.engine.plan_heuristic_path(
+                self.target_ras,
+                self.entry_ras,
+                self.safety_mm,
+                start_pose_steps=result.steps,
+            )
+            self.tracer.spans["replan"].append(time.perf_counter() - t0)
 
     def stats(self) -> dict:
         s = self.tracer.stats("frame")
-        return {
+        out = {
             "frames": self.frames,
             "failures": self.failures,
             "p50_latency_ms": round(s.get("p50_s", 0.0) * 1e3, 2) if s else None,
             "max_latency_ms": round(s.get("max_s", 0.0) * 1e3, 2) if s else None,
             "interactive": bool(s and s["p50_s"] < 0.1),  # < 100 ms target
         }
+        r = self.tracer.stats("replan")
+        if r:
+            out["replan_p50_ms"] = round(r["p50_s"] * 1e3, 2)
+        return out

@@ -612,3 +612,30 @@ def test_streaming_tracker_pipelined(engine, scene):
     np.testing.assert_allclose(r1.angles_rad, ref.angles_rad, atol=1e-4)
     with pytest.raises(ValueError):
         PoseTracker(engine, pipelined=True, depth=0)
+
+
+def test_streaming_tracker_replans(engine, estimated):
+    """BASELINE config 5's full loop: scan -> pose -> RE-PLAN each frame.
+    The tracker re-solves the collision-checked path from every fresh pose
+    (fresh body world each frame) and records the re-plan latency."""
+    from mamri_tpu.api.streaming import PoseTracker
+
+    result, base = estimated
+    target = np.array([-60.0, -40.0, 130.0], dtype=np.float32)
+    ep = engine.find_entry_point(target)
+    assert bool(ep.found)
+    vol, _ = _make_scene(engine)
+    t = PoseTracker(engine, target_ras=target, entry_ras=ep.point_ras, safety_mm=5.0)
+    for _ in range(2):
+        r = t.step(vol)
+        assert r.success
+    assert t.last_plan is not None and t.last_plan.success, t.last_plan.message
+    assert t.last_plan.path.shape == (101, 6)
+    st = t.stats()
+    assert st["frames"] == 2 and "replan_p50_ms" in st
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="synchronous"):
+        PoseTracker(engine, pipelined=True, target_ras=target, entry_ras=ep.point_ras)
+    with _pytest.raises(ValueError, match="entry_ras"):
+        PoseTracker(engine, target_ras=target)
