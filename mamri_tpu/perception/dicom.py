@@ -552,6 +552,11 @@ def _slice_array(info: Dict) -> np.ndarray:
         else:
             arr = np.frombuffer(segs[0], np.int8 if signed else np.uint8)
     else:
+        if isinstance(info["pixels"], list):
+            raise ValueError(
+                f"{info['path']}: encapsulated pixel data under an uncompressed "
+                "transfer syntax"
+            )
         be = info.get("transfer") == _EXPLICIT_BE
         if bits == 16:
             dt = (">i2" if signed else ">u2") if be else ("<i2" if signed else "<u2")
@@ -581,7 +586,7 @@ def load_dicom_series(directory: str, series_uid: Optional[str] = None) -> Volum
     for p in files:
         try:
             infos.append(_parse_file(p))
-        except ValueError as e:  # non-DICOM file in the directory, or
+        except (ValueError, struct.error) as e:  # non-DICOM/truncated file, or
             errors.append(str(e))  # unsupported syntax — surfaced if NOTHING loads
     if not infos:
         detail = f" ({errors[0]})" if errors else ""

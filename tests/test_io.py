@@ -762,3 +762,38 @@ def test_jpegls_corrupt_streams_fail_loudly():
                 nat = None
             if py is not None and nat is not None:
                 np.testing.assert_array_equal(py, nat)
+
+
+def test_dicom_loader_fuzz_fails_loudly(tmp_path):
+    """Mutation fuzz over a valid file (truncations, single and multi byte
+    flips): load_dicom_series must return a Volume or raise ValueError —
+    never struct.error/TypeError/IndexError, never hang (corrupt scanner
+    dumps and half-written files are everyday inputs)."""
+    from mamri_tpu.perception.dicom import load_dicom_series, save_dicom_series
+    from mamri_tpu.perception.volume import Volume
+
+    rng = np.random.default_rng(3)
+    v = Volume(data=rng.integers(0, 100, (8, 8, 2)).astype(np.float32),
+               spacing=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0.0))
+    src = tmp_path / "src"
+    paths = save_dicom_series(str(src), v, transfer="rle")
+    raw = open(paths[0], "rb").read()
+    for trial in range(200):
+        mode = rng.integers(0, 3)
+        b = bytearray(raw)
+        if mode == 0:
+            b = b[: int(rng.integers(10, len(b)))]
+        elif mode == 1:
+            pos = int(rng.integers(0, len(b)))
+            b[pos] ^= int(rng.integers(1, 256))
+        else:
+            for _ in range(8):
+                pos = int(rng.integers(132, len(b)))
+                b[pos] ^= int(rng.integers(1, 256))
+        d = tmp_path / f"fuzz_{trial}"
+        d.mkdir()
+        (d / "f.dcm").write_bytes(bytes(b))
+        try:
+            load_dicom_series(str(d))
+        except ValueError:
+            pass
