@@ -161,7 +161,10 @@ def load_nifti(path: str) -> Volume:
     if datatype not in _DTYPES:
         raise ValueError(f"{path}: unsupported NIfTI datatype {datatype}")
     pixdim = struct.unpack(byteorder + "8f", raw[76:108])
-    vox_offset = int(struct.unpack(byteorder + "f", raw[108:112])[0])
+    vox_offset_f = struct.unpack(byteorder + "f", raw[108:112])[0]
+    if not np.isfinite(vox_offset_f):
+        raise ValueError(f"{path}: non-finite vox_offset")
+    vox_offset = int(vox_offset_f)
     scl_slope = struct.unpack(byteorder + "f", raw[112:116])[0] or 1.0
     scl_inter = struct.unpack(byteorder + "f", raw[116:120])[0]
     sform_code = struct.unpack(byteorder + "h", raw[254:256])[0]
@@ -169,6 +172,12 @@ def load_nifti(path: str) -> Volume:
 
     count = nx * ny * nz
     dt = np.dtype(_DTYPES[datatype]).newbyteorder(byteorder)
+    if nx <= 0 or ny <= 0 or nz <= 0:
+        raise ValueError(f"{path}: non-positive dims {dim[1:4]}")
+    if not 0 <= vox_offset <= len(raw) - count * dt.itemsize:
+        raise ValueError(
+            f"{path}: vox_offset {vox_offset} / dims {dim[1:4]} exceed the file"
+        )
     data = np.frombuffer(raw, dtype=dt, count=count, offset=vox_offset)
     data = data.reshape((nx, ny, nz), order="F")
     data = np.asarray(data, dtype=np.float32) * scl_slope + scl_inter

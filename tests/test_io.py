@@ -797,3 +797,38 @@ def test_dicom_loader_fuzz_fails_loudly(tmp_path):
             load_dicom_series(str(d))
         except ValueError:
             pass
+
+
+def test_nifti_loader_fuzz_fails_loudly(tmp_path):
+    """Same contract as the DICOM fuzz: corrupt/truncated NIfTI files load
+    or raise ValueError — no OverflowError from hostile vox_offset/dims."""
+    import warnings
+
+    from mamri_tpu.perception.volume import Volume
+
+    rng = np.random.default_rng(4)
+    v = Volume(data=rng.integers(0, 100, (8, 8, 4)).astype(np.float32),
+               spacing=(1.0, 1.0, 1.0), origin=(0.0, 0.0, 0.0))
+    p = str(tmp_path / "v.nii")
+    save_nifti(p, v)
+    raw = open(p, "rb").read()
+    p2 = str(tmp_path / "fz.nii")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # overflow in corrupt scl_slope math
+        for trial in range(200):
+            mode = rng.integers(0, 3)
+            b = bytearray(raw)
+            if mode == 0:
+                b = b[: int(rng.integers(4, len(b)))]
+            elif mode == 1:
+                pos = int(rng.integers(0, len(b)))
+                b[pos] ^= int(rng.integers(1, 256))
+            else:
+                for _ in range(8):
+                    pos = int(rng.integers(0, len(b)))
+                    b[pos] ^= int(rng.integers(1, 256))
+            open(p2, "wb").write(bytes(b))
+            try:
+                load_nifti(p2)
+            except ValueError:
+                pass
