@@ -78,9 +78,20 @@ def resample_to_axis_aligned(data: np.ndarray, affine_lps: np.ndarray, fill: flo
     )
     corners = corners_idx @ rot.T + t
     lo, hi = corners.min(axis=0), corners.max(axis=0)
+    if not (np.all(np.isfinite(affine_lps)) and np.all(spacing > 0)):
+        raise ValueError("degenerate affine: non-finite entries or zero-length axis")
     out_shape = np.maximum(np.ceil((hi - lo) / spacing).astype(int) + 1, 1)
-
-    inv = np.linalg.inv(rot)
+    # a rotation never inflates the voxel count beyond ~sqrt(3)^3 of the
+    # source; anything larger means a corrupt affine, not an oblique scan
+    if int(np.prod(out_shape)) > max(64, 8 * int(np.prod(shape))):
+        raise ValueError(
+            f"degenerate affine: resample target {tuple(out_shape)} is "
+            f"implausible for source {tuple(shape)}"
+        )
+    try:
+        inv = np.linalg.inv(rot)
+    except np.linalg.LinAlgError as e:
+        raise ValueError(f"degenerate affine: singular direction matrix ({e})") from e
     out = np.empty(tuple(out_shape), dtype=np.float32)
     ys = lo[1] + spacing[1] * np.arange(out_shape[1])
     zs = lo[2] + spacing[2] * np.arange(out_shape[2])
