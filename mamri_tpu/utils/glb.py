@@ -183,6 +183,8 @@ def read_glb(path: str) -> Tuple[dict, bytes]:
     """Parse a GLB container back into (gltf json, binary chunk)."""
     with open(path, "rb") as f:
         data = f.read()
+    if len(data) < 12:
+        raise ValueError(f"not a GLB file: {len(data)} bytes")
     magic, version, total = struct.unpack_from("<III", data, 0)
     if magic != _MAGIC or version != 2:
         raise ValueError(f"not a GLB v2 file: magic={magic:#x} version={version}")
@@ -191,7 +193,7 @@ def read_glb(path: str) -> Tuple[dict, bytes]:
     pos = 12
     gltf = None
     bin_blob = b""
-    while pos < len(data):
+    while pos + 8 <= len(data):
         clen, ctype = struct.unpack_from("<II", data, pos)
         pos += 8
         chunk = data[pos : pos + clen]
@@ -213,18 +215,30 @@ def read_glb_summary(path: str) -> dict:
     """
     gltf, bin_blob = read_glb(path)
     out = {}
-    for node in gltf.get("nodes", []):
-        mesh = gltf["meshes"][node["mesh"]]
-        prim = mesh["primitives"][0]
-        acc = gltf["accessors"][prim["attributes"]["POSITION"]]
-        view = gltf["bufferViews"][acc["bufferView"]]
-        raw = bin_blob[view["byteOffset"] : view["byteOffset"] + view["byteLength"]]
+    if not isinstance(gltf, dict):
+        raise ValueError("GLB JSON chunk is not an object")
+    try:
+        nodes = gltf.get("nodes", [])
+    except AttributeError as e:
+        raise ValueError(f"malformed glTF: {e}") from e
+    for node in nodes:
+        try:
+            name = node.get("name", "?") if isinstance(node, dict) else "?"
+            mesh = gltf["meshes"][node["mesh"]]
+            prim = mesh["primitives"][0]
+            acc = gltf["accessors"][prim["attributes"]["POSITION"]]
+            view = gltf["bufferViews"][acc["bufferView"]]
+            raw = bin_blob[view["byteOffset"] : view["byteOffset"] + view["byteLength"]]
+            count, amin, amax = int(acc["count"]), acc["min"], acc["max"]
+            mode = prim.get("mode", 4)
+        except (KeyError, IndexError, TypeError) as e:
+            raise ValueError(f"malformed glTF structure: {type(e).__name__} {e}") from e
         pts = np.frombuffer(raw, dtype="<f4").reshape(-1, 3)
-        if len(pts) != acc["count"]:
-            raise ValueError(f"{node['name']}: accessor count {acc['count']} != {len(pts)}")
-        if not np.allclose(pts.min(axis=0), acc["min"], atol=1e-5) or not np.allclose(
-            pts.max(axis=0), acc["max"], atol=1e-5
+        if len(pts) != count:
+            raise ValueError(f"{name}: accessor count {count} != {len(pts)}")
+        if not np.allclose(pts.min(axis=0), amin, atol=1e-5) or not np.allclose(
+            pts.max(axis=0), amax, atol=1e-5
         ):
-            raise ValueError(f"{node['name']}: accessor min/max do not match payload")
-        out[node["name"]] = {"mode": prim.get("mode", 4), "count": int(acc["count"])}
+            raise ValueError(f"{name}: accessor min/max do not match payload")
+        out[name] = {"mode": mode, "count": count}
     return out

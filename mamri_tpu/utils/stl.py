@@ -44,6 +44,8 @@ def load_stl(path: str) -> np.ndarray:
 
 
 def _load_binary(data: bytes) -> np.ndarray:
+    if len(data) < 84:
+        raise ValueError(f"binary STL truncated: {len(data)} bytes, need >= 84")
     ntri = struct.unpack("<I", data[80:84])[0]
     expected = 84 + ntri * 50
     if len(data) < expected:

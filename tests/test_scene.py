@@ -303,3 +303,43 @@ def test_export_trajectory_html_animation(tmp_path):
         assert s[spec.name]["link"] == eng.model.link_index(spec.name)
     assert s["Needle"]["link"] == eng.model.link_index("Needle")
     assert s["TrajectoryTipPath"]["kind"] == "line" and s["TrajectoryTipPath"]["verts"] == 11
+
+
+def test_mesh_readers_fuzz_fail_loudly(tmp_path):
+    """STL and GLB readers under mutation fuzz (truncations + byte flips):
+    parse or raise ValueError, never struct.error/KeyError/crash."""
+    import warnings
+
+    from mamri_tpu.utils.glb import read_glb, read_glb_summary, write_glb
+    from mamri_tpu.utils.stl import load_stl, save_stl
+
+    rng = np.random.default_rng(9)
+    tris = rng.normal(0, 10, (20, 3, 3)).astype(np.float32)
+    stl_p = str(tmp_path / "m.stl")
+    glb_p = str(tmp_path / "s.glb")
+    save_stl(stl_p, tris)
+    write_glb(glb_p, [("part", tris)], [("traj", rng.normal(0, 10, (5, 3)).astype(np.float32))])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        for raw, fuzz_path, readers in (
+            (open(stl_p, "rb").read(), str(tmp_path / "f.stl"), (load_stl,)),
+            (open(glb_p, "rb").read(), str(tmp_path / "f.glb"), (read_glb, read_glb_summary)),
+        ):
+            for _ in range(150):
+                b = bytearray(raw)
+                mode = rng.integers(0, 3)
+                if mode == 0:
+                    b = b[: int(rng.integers(1, len(b)))]
+                elif mode == 1:
+                    pos = int(rng.integers(0, len(b)))
+                    b[pos] ^= int(rng.integers(1, 256))
+                else:
+                    for _k in range(8):
+                        pos = int(rng.integers(0, len(b)))
+                        b[pos] ^= int(rng.integers(1, 256))
+                open(fuzz_path, "wb").write(bytes(b))
+                for fn in readers:
+                    try:
+                        fn(fuzz_path)
+                    except ValueError:
+                        pass
