@@ -141,6 +141,15 @@ def load_robot_model(config_path: Optional[str] = None, dtype=jnp.float32) -> Ro
     path = config_path or default_config_path()
     with open(path, "r") as f:
         cfg = json.load(f)
+    try:
+        return _build_robot_model(cfg, dtype)
+    except (KeyError, TypeError, IndexError) as e:
+        raise ValueError(
+            f"{path}: malformed robot definition ({type(e).__name__}: {e})"
+        ) from e
+
+
+def _build_robot_model(cfg: Dict[str, Any], dtype) -> RobotModel:
     links: List[Dict[str, Any]] = cfg["links"]
 
     name_to_idx = {l["link"]: i for i, l in enumerate(links)}

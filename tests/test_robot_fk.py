@@ -88,3 +88,46 @@ def test_fk_differentiable(model):
     for j in range(6):
         fd = (needle_x(base.at[j].set(base[j] + eps)) - needle_x(base.at[j].set(base[j] - eps))) / (2 * eps)
         assert abs(float(g[j]) - float(fd)) < 5e-2, (j, float(g[j]), float(fd))
+
+
+def test_load_robot_model_malformed_json_fails_loudly(tmp_path):
+    """Structural mutations of the definition file (missing keys, wrong
+    types, truncated link lists) raise ValueError naming the file — never
+    KeyError/TypeError (the definition is a user-editable file)."""
+    import copy
+    import json
+
+    import pytest
+
+    from mamri_tpu.core.robot import default_config_path, load_robot_model
+
+    src = json.load(open(default_config_path()))
+    rng = np.random.default_rng(6)
+
+    def mutate(d):
+        d = copy.deepcopy(d)
+        mode = rng.integers(0, 4)
+        if mode == 0 and d:
+            del d[list(d.keys())[rng.integers(0, len(d))]]
+        elif mode == 1 and d.get("links"):
+            lk = d["links"][rng.integers(0, len(d["links"]))]
+            if lk:
+                del lk[list(lk.keys())[rng.integers(0, len(lk))]]
+        elif mode == 2 and d.get("links"):
+            lk = d["links"][rng.integers(0, len(d["links"]))]
+            if lk:
+                lk[list(lk.keys())[rng.integers(0, len(lk))]] = ["bad", None]
+        elif "links" in d:
+            d["links"] = d["links"][: rng.integers(0, len(d["links"]))]
+        return d
+
+    p = tmp_path / "bad.json"
+    for _ in range(60):
+        p.write_text(json.dumps(mutate(src)))
+        try:
+            load_robot_model(str(p))
+        except ValueError:
+            pass
+    p.write_text("{not json")
+    with pytest.raises(ValueError):
+        load_robot_model(str(p))
