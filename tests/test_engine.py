@@ -639,3 +639,27 @@ def test_streaming_tracker_replans(engine, estimated):
         PoseTracker(engine, pipelined=True, target_ras=target, entry_ras=ep.point_ras)
     with _pytest.raises(ValueError, match="entry_ras"):
         PoseTracker(engine, target_ras=target)
+
+
+def test_estimate_pose_nonfinite_voxels(engine, estimated):
+    """Corrupt rescale chains can inject NaN/inf voxels: NaN thresholds
+    false (background), lone inf voxels die in the 50-1500 mm^3 volume
+    band, so a valid scene still solves; an all-NaN scan fails cleanly
+    with the no-baseplate message instead of crashing or certifying
+    garbage."""
+    result, base = estimated
+    vol, _ = _make_scene(engine)
+    data = np.array(vol.data, copy=True)
+    rng = np.random.default_rng(0)
+    idx = rng.integers(0, min(data.shape), size=(200, 3))
+    for i, (a, b, c) in enumerate(idx):
+        data[a, b, c] = np.nan if i % 2 else np.inf
+    res = engine.estimate_pose(Volume(data=data, spacing=vol.spacing, origin=vol.origin))
+    assert res.success and res.rmse_mm < 1.5
+
+    alln = synthetic_volume(shape=(48, 48, 48))
+    alln = Volume(data=np.full_like(np.asarray(alln.data), np.nan),
+                  spacing=alln.spacing, origin=alln.origin)
+    res2 = engine.estimate_pose(alln)
+    assert not res2.success
+    assert "baseplate" in res2.message.lower()
