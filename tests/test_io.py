@@ -832,3 +832,54 @@ def test_nifti_loader_fuzz_fails_loudly(tmp_path):
                 load_nifti(p2)
             except ValueError:
                 pass
+
+
+def test_jpegls_lse_preset_paths():
+    """LSE preset parameters (T.87 C.2.4.1.1): explicit-default presets must
+    decode identically to the preset-free stream, partial presets (only T1
+    set, 0 = use-default per threshold — the case the native decoder once
+    got wrong) must agree between the Python oracle and the C++ decoder."""
+    import struct
+
+    from mamri_tpu import native
+    from mamri_tpu.perception import jpegls
+
+    rng = np.random.default_rng(17)
+    img = (np.cumsum(rng.integers(0, 300, (21, 27)), 1) % 50000).astype(np.uint16)
+    enc = jpegls.encode_jpeg_ls(img, 16)
+    sof_end = enc.find(b"\xff\xda")  # insert LSE right before SOS
+
+    def with_lse(maxval, t1, t2, t3, reset):
+        lse = struct.pack(">HHB5H", 0xFFF8, 13, 1, maxval, t1, t2, t3, reset)
+        return enc[:sof_end] + lse + enc[sof_end:]
+
+    # defaults for maxval 65535: factor 16 -> T1=18, T2=67, T3=276
+    explicit = with_lse(65535, 18, 67, 276, 64)
+    dec, _ = jpegls.decode_jpeg_ls(explicit, use_native=False)
+    np.testing.assert_array_equal(dec, img)
+    if native.available():
+        np.testing.assert_array_equal(native.jpegls_decode_native(explicit)[0], img)
+
+    # partial preset: only T1 given (and it IS the default) -> still exact
+    partial = with_lse(0, 18, 0, 0, 0)
+    dec, _ = jpegls.decode_jpeg_ls(partial, use_native=False)
+    np.testing.assert_array_equal(dec, img)
+    if native.available():
+        np.testing.assert_array_equal(native.jpegls_decode_native(partial)[0], img)
+
+    # off-default T1: decoders must AGREE (same context evolution), whether
+    # they produce samples or both reject the now-inconsistent stream
+    off = with_lse(0, 25, 0, 0, 0)
+    try:
+        py = jpegls.decode_jpeg_ls(off, use_native=False)[0]
+    except ValueError:
+        py = None
+    if native.available():
+        try:
+            nat = native.jpegls_decode_native(off)[0]
+        except ValueError:
+            nat = None
+        if py is not None and nat is not None:
+            np.testing.assert_array_equal(py, nat)
+        else:
+            assert py is None and nat is None
