@@ -278,7 +278,7 @@ def main(argv=None) -> int:
     pc.add_argument("input", help="NIfTI file or DICOM series directory")
     pc.add_argument("output", help=".nii/.nii.gz, .dcm (Enhanced multi-frame), or a directory (per-slice series)")
     pc.add_argument("--transfer", default="explicit_le",
-                    choices=["explicit_le", "deflated", "rle", "jpegll", "jpegls"],
+                    choices=["explicit_le", "deflated", "rle", "jpegll", "jpegls", "j2k"],
                     help="DICOM transfer syntax for DICOM outputs (default explicit_le)")
     pc.add_argument("--series-number", type=int, default=1)
 

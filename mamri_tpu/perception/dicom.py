@@ -52,6 +52,8 @@ _JPEG_LL = "1.2.840.10008.1.2.4.57"  # lossless non-hierarchical, any predictor
 _JPEG_LL_SV1 = "1.2.840.10008.1.2.4.70"  # lossless first-order prediction
 _JPEG_LS = "1.2.840.10008.1.2.4.80"  # JPEG-LS lossless (NEAR=0)
 _JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"  # JPEG-LS near-lossless: NOT lossless
+_J2K_LL = "1.2.840.10008.1.2.4.90"  # JPEG 2000 lossless-only (reversible 5/3)
+_J2K = "1.2.840.10008.1.2.4.91"  # JPEG 2000 (decodable when reversible)
 _MR_STORAGE = "1.2.840.10008.5.1.4.1.1.4"
 _ENHANCED_MR_STORAGE = "1.2.840.10008.5.1.4.1.1.4.1"
 
@@ -288,13 +290,13 @@ def _parse_file(path: str) -> Dict:
         body_off = 0
     if transfer not in (
         _IMPLICIT_LE, _EXPLICIT_LE, _DEFLATED_LE, _EXPLICIT_BE, _RLE_LOSSLESS,
-        _JPEG_LL, _JPEG_LL_SV1, _JPEG_LS,
+        _JPEG_LL, _JPEG_LL_SV1, _JPEG_LS, _J2K_LL, _J2K,
     ):
         raise ValueError(
-            f"{path}: unsupported transfer syntax {transfer} (lossy/JPEG-2000/"
+            f"{path}: unsupported transfer syntax {transfer} (lossy/"
             "near-lossless compression is not implemented; implicit/explicit "
             "VR LE, deflated explicit VR LE, explicit VR BE, RLE Lossless, "
-            "JPEG Lossless and JPEG-LS lossless are)"
+            "JPEG Lossless, JPEG-LS lossless and JPEG 2000 lossless are)"
         )
 
     body = raw[body_off:]
@@ -537,6 +539,18 @@ def _slice_array(info: Dict) -> np.ndarray:
             arr = arr.view(np.int16)
         elif bits == 8:
             arr = arr.astype(np.int8 if signed else np.uint8)
+    elif info.get("transfer") in (_J2K_LL, _J2K):
+        from mamri_tpu.perception.jpeg2000 import decode_jpeg2000
+
+        frags = info["pixels"]
+        if not isinstance(frags, list):
+            raise ValueError(f"{info['path']}: JPEG 2000 pixel data must be encapsulated")
+        # sample values (incl. signedness) come from the codestream's SIZ
+        arr, _prec = decode_jpeg2000(b"".join(frags))
+        if arr.shape != (info["rows"], info["cols"]):
+            raise ValueError(
+                f"{info['path']}: JPEG 2000 frame {arr.shape} != ({info['rows']}, {info['cols']})"
+            )
     elif info.get("transfer") == _RLE_LOSSLESS:
         frags = info["pixels"]
         if not isinstance(frags, list) or len(frags) != 1:
@@ -703,6 +717,11 @@ def _compress_frame(a: np.ndarray, transfer: str) -> bytes:
 
         # signed samples ride as their 16-bit two's-complement patterns
         frame = encode_jpeg_ls(a.view(np.uint16), precision=16)
+    elif transfer == "j2k":
+        from mamri_tpu.perception.jpeg2000 import encode_jpeg2000
+
+        # JPEG 2000 carries signedness in the codestream (SIZ Ssiz)
+        frame = encode_jpeg2000(a.astype(np.int32), precision=16, signed=True)
     else:
         from mamri_tpu.perception.jpegll import encode_jpeg_lossless
 
@@ -737,10 +756,10 @@ def save_dicom_series(
     rescale precision (exact for integer-valued data within range; all the
     compressed transfers here are lossless codecs, so identically exact).
     """
-    if transfer not in ("explicit_le", "deflated", "rle", "jpegll", "jpegls"):
+    if transfer not in ("explicit_le", "deflated", "rle", "jpegll", "jpegls", "j2k"):
         raise ValueError(
-            f"transfer must be 'explicit_le', 'deflated', 'rle', 'jpegll' or "
-            f"'jpegls', got {transfer!r}"
+            f"transfer must be 'explicit_le', 'deflated', 'rle', 'jpegll', "
+            f"'jpegls' or 'j2k', got {transfer!r}"
         )
     os.makedirs(directory, exist_ok=True)
     data = np.asarray(volume.data, dtype=np.float32)
@@ -757,7 +776,7 @@ def save_dicom_series(
         sl = stored[:, :, k]  # (nx, ny) = (cols-axis, rows-axis)
         rows, cols = ny, nx
         a = np.ascontiguousarray(sl.T)  # (rows, cols) C-order int16
-        if transfer in ("rle", "jpegll", "jpegls"):
+        if transfer in ("rle", "jpegll", "jpegls", "j2k"):
             pixel_el = _encapsulate([_compress_frame(a, transfer)])
         else:
             pixel_el = _el(0x7FE0, 0x0010, b"OW", a.tobytes())
@@ -798,6 +817,7 @@ def save_dicom_series(
                         "rle": _RLE_LOSSLESS,
                         "jpegll": _JPEG_LL_SV1,
                         "jpegls": _JPEG_LS,
+                        "j2k": _J2K_LL,
                         "explicit_le": _EXPLICIT_LE,
                         "deflated": _DEFLATED_LE,
                     }[transfer].encode(),
@@ -824,10 +844,10 @@ def save_dicom_multiframe(
     choices and the same lossless-for-integral rescale as
     `save_dicom_series`; compressed transfers write one fragment per frame
     (PS3.5 A.4)."""
-    if transfer not in ("explicit_le", "deflated", "rle", "jpegll", "jpegls"):
+    if transfer not in ("explicit_le", "deflated", "rle", "jpegll", "jpegls", "j2k"):
         raise ValueError(
-            f"transfer must be 'explicit_le', 'deflated', 'rle', 'jpegll' or "
-            f"'jpegls', got {transfer!r}"
+            f"transfer must be 'explicit_le', 'deflated', 'rle', 'jpegll', "
+            f"'jpegls' or 'j2k', got {transfer!r}"
         )
     data = np.asarray(volume.data, dtype=np.float32)
     nx, ny, nz = data.shape
@@ -904,6 +924,7 @@ def save_dicom_multiframe(
                     "rle": _RLE_LOSSLESS,
                     "jpegll": _JPEG_LL_SV1,
                     "jpegls": _JPEG_LS,
+                    "j2k": _J2K_LL,
                     "explicit_le": _EXPLICIT_LE,
                     "deflated": _DEFLATED_LE,
                 }[transfer].encode(),

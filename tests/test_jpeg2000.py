@@ -1,0 +1,263 @@
+"""JPEG 2000 lossless codec: properties, OpenJPEG interop, DICOM wiring.
+
+The reference gets JPEG 2000 DICOM ingest from Slicer's DICOM stack
+(GDCM/OpenJPEG) for free (/root/reference/Mamri/Mamri.py:1306); here the
+codec is ours, so it is validated three ways: internal round-trips of each
+coding stage, bidirectional bit-exact interop with OpenJPEG (via Pillow),
+and the DICOM transfer-syntax round-trip.
+"""
+
+import io
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from mamri_tpu.perception import jpeg2000 as j2k
+
+PIL_Image = pytest.importorskip("PIL.Image", reason="Pillow (OpenJPEG) interop oracle")
+
+
+def _pil_encode(img16: np.ndarray, **save_kw) -> bytes:
+    """Lossless raw-codestream encode through Pillow/OpenJPEG."""
+    h, w = img16.shape
+    im = PIL_Image.new("I;16", (w, h))
+    im.frombytes(np.ascontiguousarray(img16.astype(np.uint16)).tobytes())
+    buf = io.BytesIO()
+    im.save(buf, format="JPEG2000", irreversible=False, no_jp2=True, **save_kw)
+    return buf.getvalue()
+
+
+def _pil_decode(data: bytes) -> np.ndarray:
+    return np.array(PIL_Image.open(io.BytesIO(data))).astype(np.int64)
+
+
+def _test_image(shape, prec, rng):
+    hi = (1 << prec) - 1
+    yy, xx = np.mgrid[: shape[0], : shape[1]]
+    img = rng.integers(0, hi + 1, shape) // 3 + (yy * 7 + xx * 5) % max(hi // 2, 2)
+    return np.clip(img, 0, hi).astype(np.int32)
+
+
+# ------------------------------------------------------------------ stages
+
+
+def test_mq_coder_roundtrip_property():
+    rng = np.random.default_rng(7)
+    for _ in range(15):
+        n = int(rng.integers(1, 4000))
+        ctxs = rng.integers(0, 19, n)
+        bits = (rng.random(n) < rng.random()).astype(int)
+        enc = j2k._MQEncoder()
+        for c, b in zip(ctxs, bits):
+            enc.encode(int(c), int(b))
+        dec = j2k._MQDecoder(enc.flush())
+        assert [dec.decode(int(c)) for c in ctxs] == list(bits)
+
+
+def test_dwt53_roundtrip_property():
+    rng = np.random.default_rng(5)
+    for _ in range(30):
+        h, w = int(rng.integers(1, 40)), int(rng.integers(1, 40))
+        x0, y0 = int(rng.integers(0, 5)), int(rng.integers(0, 5))
+        lev = int(rng.integers(0, 4))
+        a = rng.integers(-30000, 30000, (h, w)).astype(np.int64)
+        assert (j2k._idwt53(j2k._fdwt53(a, x0, y0, lev), x0, y0, lev) == a).all()
+
+
+def test_tagtree_roundtrip_property():
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        gw, gh = int(rng.integers(1, 7)), int(rng.integers(1, 7))
+        vals = rng.integers(0, 6, (gh, gw))
+        te = j2k._TagTree(gw, gh)
+        for y in range(gh):
+            for x in range(gw):
+                te.set_value(x, y, int(vals[y, x]))
+        te.finalize()
+        wr = j2k._HeaderWriter()
+        qs = [(x, y, int(rng.integers(1, 8))) for y in range(gh) for x in range(gw)]
+        for x, y, t in qs:
+            te.encode(wr, x, y, t)
+        td = j2k._TagTree(gw, gh)
+        rd = j2k._HeaderReader(wr.flush(), 0)
+        for x, y, t in qs:
+            assert td.decode(rd, x, y, t) == (vals[y, x] < t)
+
+
+# ------------------------------------------------------------ self roundtrip
+
+
+@pytest.mark.parametrize(
+    "shape,prec,signed",
+    [
+        ((8, 8), 8, False),
+        ((37, 29), 12, False),
+        ((64, 64), 16, False),
+        ((21, 5), 10, True),
+        ((1, 17), 8, False),
+        ((17, 1), 8, False),
+        ((130, 97), 16, True),
+    ],
+)
+def test_self_roundtrip(shape, prec, signed):
+    rng = np.random.default_rng(3)
+    lo, hi = (-(1 << prec - 1), (1 << prec - 1) - 1) if signed else (0, (1 << prec) - 1)
+    img = rng.integers(lo, hi + 1, shape).astype(np.int32)
+    back, p = j2k.decode_jpeg2000(j2k.encode_jpeg2000(img, prec, signed=signed))
+    assert p == prec
+    np.testing.assert_array_equal(back, img)
+
+
+def test_self_roundtrip_multitile_and_extremes():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 1 << 16, (96, 112)).astype(np.int32)
+    for ts in [(64, 64), (48, 32), (37, 41)]:
+        data = j2k.encode_jpeg2000(img, 16, tile_size=ts)
+        np.testing.assert_array_equal(j2k.decode_jpeg2000(data)[0], img)
+        np.testing.assert_array_equal(_pil_decode(data), img)  # OpenJPEG agrees
+    for v in (0, 65535):
+        c = np.full((70, 50), v, np.int32)
+        np.testing.assert_array_equal(j2k.decode_jpeg2000(j2k.encode_jpeg2000(c, 16))[0], c)
+
+
+# ------------------------------------------------------------------ interop
+
+
+def test_decode_openjpeg_streams_bit_exact():
+    rng = np.random.default_rng(11)
+    for shape in [(64, 80), (100, 61), (33, 33)]:
+        img = _test_image(shape, 16, rng)
+        back, prec = j2k.decode_jpeg2000(_pil_encode(img))
+        assert prec == 16
+        np.testing.assert_array_equal(back, img)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(precinct_size=(128, 128)),
+        dict(precinct_size=(32, 32)),
+        dict(progression="RPCL"),
+        dict(progression="RLCP"),
+        dict(codeblock_size=(32, 32)),
+        dict(num_resolutions=3),
+        dict(num_resolutions=1),
+        dict(quality_layers=[8, 4, 0]),  # multi-layer, last layer lossless
+    ],
+    ids=lambda kw: next(iter(kw.items()))[0] + "=" + str(next(iter(kw.values()))),
+)
+def test_decode_openjpeg_coding_variants(kw):
+    rng = np.random.default_rng(5)
+    img = _test_image((96, 112), 12, rng)
+    data = _pil_encode(img, **kw)
+    assert (_pil_decode(data) == img).all(), "oracle itself must be lossless here"
+    np.testing.assert_array_equal(j2k.decode_jpeg2000(data)[0], img)
+
+
+def test_decode_openjpeg_tiled_matches_openjpeg():
+    # Pillow's tiled *encoder* mangles right-edge tiles (its own decode of
+    # its own stream differs from the source), so the check here is
+    # decoder-vs-decoder agreement on the same stream.
+    rng = np.random.default_rng(5)
+    img = _test_image((96, 112), 12, rng)
+    data = _pil_encode(img, tile_size=(64, 64))
+    np.testing.assert_array_equal(j2k.decode_jpeg2000(data)[0], _pil_decode(data))
+
+
+def test_openjpeg_decodes_our_streams():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 1 << 16, (100, 61)).astype(np.int32)
+    np.testing.assert_array_equal(_pil_decode(j2k.encode_jpeg2000(img, 16)), img)
+    img12 = rng.integers(0, 1 << 12, (64, 80)).astype(np.int32)
+    # Pillow presents sub-16-bit samples shifted into the 16-bit range
+    np.testing.assert_array_equal(
+        _pil_decode(j2k.encode_jpeg2000(img12, 12)) >> 4, img12
+    )
+
+
+def test_jp2_container_unwrap():
+    rng = np.random.default_rng(17)
+    img = _test_image((40, 56), 12, rng)
+    im = PIL_Image.new("I;16", (56, 40))
+    im.frombytes(np.ascontiguousarray(img.astype(np.uint16)).tobytes())
+    buf = io.BytesIO()
+    im.save(buf, format="JPEG2000", irreversible=False)  # full JP2 file
+    np.testing.assert_array_equal(j2k.decode_jpeg2000(buf.getvalue())[0], img)
+
+
+# ------------------------------------------------------------------- DICOM
+
+
+def test_dicom_j2k_roundtrip_series_and_multiframe():
+    from mamri_tpu.perception.dicom import (
+        load_dicom_series,
+        save_dicom_multiframe,
+        save_dicom_series,
+    )
+    from mamri_tpu.perception.volume import Volume
+
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 1200, (24, 20, 3)).astype(np.float32)
+    vol = Volume(
+        data=data,
+        spacing=np.array([1.0, 1.2, 2.0], np.float32),
+        origin=np.array([-5.0, 3.0, 10.0], np.float32),
+    )
+    with tempfile.TemporaryDirectory() as d:
+        save_dicom_series(d, vol, transfer="j2k")
+        back = load_dicom_series(d)
+        np.testing.assert_array_equal(np.asarray(back.data), data)
+        np.testing.assert_allclose(np.asarray(back.spacing), vol.spacing)
+        d2 = os.path.join(d, "mf")
+        os.makedirs(d2)
+        save_dicom_multiframe(os.path.join(d2, "v.dcm"), vol, transfer="j2k")
+        np.testing.assert_array_equal(np.asarray(load_dicom_series(d2).data), data)
+
+
+# --------------------------------------------------------------- rejection
+
+
+def test_rejects_out_of_scope_streams_loudly():
+    rng = np.random.default_rng(1)
+    img = _test_image((32, 32), 8, rng)
+    data = bytearray(j2k.encode_jpeg2000(img, 8))
+    # flip the COD transform byte to 9/7 irreversible
+    cod = data.find(b"\xff\x52")
+    data[cod + 2 + 2 + 9] = 0  # SPcod transform field
+    with pytest.raises(ValueError, match="9/7|reversible"):
+        j2k.decode_jpeg2000(bytes(data))
+    with pytest.raises(ValueError):
+        j2k.decode_jpeg2000(b"\x00\x01\x02")
+    with pytest.raises(ValueError):
+        j2k.decode_jpeg2000(b"")
+    # irreversible Pillow stream (quality-layered lossy) must be refused,
+    # not silently mis-decoded
+    im = PIL_Image.new("I;16", (32, 32))
+    im.frombytes(np.ascontiguousarray(img.astype(np.uint16)).tobytes())
+    buf = io.BytesIO()
+    im.save(buf, format="JPEG2000", irreversible=True, no_jp2=True, quality_layers=[20])
+    with pytest.raises(ValueError):
+        j2k.decode_jpeg2000(buf.getvalue())
+
+
+def test_fuzz_corrupt_streams_raise_valueerror_only():
+    rng = np.random.default_rng(23)
+    img = _test_image((24, 40), 12, rng)
+    good = j2k.encode_jpeg2000(img, 12)
+    for trial in range(120):
+        data = bytearray(good)
+        for _ in range(int(rng.integers(1, 4))):
+            data[int(rng.integers(0, len(data)))] = int(rng.integers(0, 256))
+        try:
+            j2k.decode_jpeg2000(bytes(data))
+        except ValueError:
+            pass  # Jpeg2000Error subclasses ValueError
+        except (IndexError, KeyError, MemoryError, OverflowError, ZeroDivisionError) as e:
+            raise AssertionError(f"trial {trial}: non-ValueError crash {type(e).__name__}: {e}")
+    for cut in [3, 17, len(good) // 2, len(good) - 2]:
+        try:
+            j2k.decode_jpeg2000(good[:cut])
+        except ValueError:
+            pass
