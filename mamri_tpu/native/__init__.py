@@ -97,6 +97,19 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64,
     ]
+    lib.mamri_j2k_t1_decode.restype = ctypes.c_int64
+    lib.mamri_j2k_t1_decode.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.mamri_j2k_t1_encode.restype = ctypes.c_int64
+    lib.mamri_j2k_t1_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
     _lib = lib
     return lib
 
@@ -283,3 +296,50 @@ def jpegls_encode_native(img: np.ndarray, precision: int) -> Optional[bytes]:
     if n < 0:
         raise ValueError(f"JPEG-LS encode failed (native error {n})")
     return out[:n].tobytes()
+
+
+def j2k_t1_decode_native(
+    data: bytes, w: int, h: int, orient: int, bitplanes: int, npasses: int
+) -> Optional[np.ndarray]:
+    """EBCOT Tier-1 code-block decode via the C++ codec -> (h, w) int32;
+    None if the native library is unavailable, ValueError on a malformed
+    segment (perception.jpeg2000.t1_decode is the fallback and oracle)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.zeros(h * w, dtype=np.int32)
+    r = lib.mamri_j2k_t1_decode(
+        data, len(data), w, h, orient, bitplanes, npasses,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if r < 0:
+        raise ValueError(f"JPEG 2000 code-block decode failed (native error {r})")
+    return out.reshape(h, w)
+
+
+def j2k_t1_encode_native(
+    coeffs: np.ndarray, orient: int, max_bitplanes: int
+) -> Optional[Tuple[bytes, int, int]]:
+    """EBCOT Tier-1 code-block encode via the C++ codec -> (data, zero
+    bitplanes, passes). Bit-identical to the Python encoder. None if the
+    native library is unavailable, ValueError on out-of-range coefficients."""
+    lib = _load()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(coeffs, dtype=np.int32)
+    h, w = a.shape
+    # worst case: ~3 passes/plane, < 2 decisions/sample/pass, << 1 byte each;
+    # 16 bytes/sample is a generous hard bound
+    cap = a.size * 16 + 1024
+    out = np.empty(cap, dtype=np.uint8)
+    zbp = ctypes.c_int32(0)
+    np_ = ctypes.c_int32(0)
+    n = lib.mamri_j2k_t1_encode(
+        a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        w, h, orient, max_bitplanes,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        ctypes.byref(zbp), ctypes.byref(np_),
+    )
+    if n < 0:
+        raise ValueError(f"JPEG 2000 code-block encode failed (native error {n})")
+    return out[:n].tobytes(), zbp.value, np_.value

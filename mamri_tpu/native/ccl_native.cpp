@@ -881,4 +881,390 @@ int64_t mamri_jpegls_encode(const uint16_t* img, int32_t rows, int32_t cols,
   return w.n;
 }
 
+// ------------------------------------------ JPEG 2000 Tier-1 (T.800 C + D)
+// Bit-identical port of perception/jpeg2000.py's MQ coder and EBCOT block
+// coder (the Python implementation is the oracle; parity is test-enforced).
+
+static const uint16_t J2K_QE[47] = {
+    0x5601, 0x3401, 0x1801, 0x0AC1, 0x0521, 0x0221, 0x5601, 0x5401, 0x4801,
+    0x3801, 0x3001, 0x2401, 0x1C01, 0x1601, 0x5601, 0x5401, 0x5101, 0x4801,
+    0x3801, 0x3401, 0x3001, 0x2801, 0x2401, 0x2201, 0x1C01, 0x1801, 0x1601,
+    0x1401, 0x1201, 0x1101, 0x0AC1, 0x09C1, 0x08A1, 0x0521, 0x0441, 0x02A1,
+    0x0221, 0x0141, 0x0111, 0x0085, 0x0049, 0x0025, 0x0015, 0x0009, 0x0005,
+    0x0001, 0x5601};
+static const uint8_t J2K_NMPS[47] = {1,  2,  3,  4,  5,  38, 7,  8,  9,  10, 11, 12,
+                                     13, 29, 15, 16, 17, 18, 19, 20, 21, 22, 23, 24,
+                                     25, 26, 27, 28, 29, 30, 31, 32, 33, 34, 35, 36,
+                                     37, 38, 39, 40, 41, 42, 43, 44, 45, 45, 46};
+static const uint8_t J2K_NLPS[47] = {1,  6,  9,  12, 29, 33, 6,  14, 14, 14, 17, 18,
+                                     20, 21, 14, 14, 15, 16, 17, 18, 19, 19, 20, 21,
+                                     22, 23, 24, 25, 26, 27, 28, 29, 30, 31, 32, 33,
+                                     34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 46};
+static const uint8_t J2K_SW[47] = {1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1, 0,
+                                   0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                                   0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0};
+static const uint8_t J2K_SC_CTX[9] = {13, 12, 11, 10, 9, 10, 11, 12, 13};
+static const uint8_t J2K_SC_XOR[9] = {1, 1, 1, 1, 0, 0, 0, 0, 0};
+
+struct J2kCtxState {
+  int idx[19];
+  int mps[19];
+  void init() {
+    for (int i = 0; i < 19; ++i) { idx[i] = 0; mps[i] = 0; }
+    idx[0] = 4; idx[17] = 3; idx[18] = 46;
+  }
+};
+
+struct J2kMqEnc : J2kCtxState {
+  uint32_t a, c;
+  int ct;
+  std::vector<uint8_t> out;  // leading sentinel byte absorbs a carry
+  void begin() { init(); a = 0x8000; c = 0; ct = 12; out.assign(1, 0); }
+  void byteout() {
+    if (out.back() == 0xFF) {
+      out.push_back((c >> 20) & 0xFF); c &= 0xFFFFF; ct = 7;
+    } else if (c < 0x8000000u) {
+      out.push_back((c >> 19) & 0xFF); c &= 0x7FFFF; ct = 8;
+    } else {
+      ++out.back();
+      if (out.back() == 0xFF) {
+        c &= 0x7FFFFFF; out.push_back((c >> 20) & 0xFF); c &= 0xFFFFF; ct = 7;
+      } else {
+        out.push_back((c >> 19) & 0xFF); c &= 0x7FFFF; ct = 8;
+      }
+    }
+  }
+  void encode(int ctx, int bit) {
+    const uint32_t qe = J2K_QE[idx[ctx]];
+    const int nm = J2K_NMPS[idx[ctx]], nl = J2K_NLPS[idx[ctx]], sw = J2K_SW[idx[ctx]];
+    a -= qe;
+    if (bit == mps[ctx]) {
+      if (a & 0x8000) { c += qe; return; }
+      if (a < qe) a = qe; else c += qe;  // conditional exchange
+      idx[ctx] = nm;
+    } else {
+      if (a < qe) c += qe; else a = qe;  // conditional exchange
+      if (sw) mps[ctx] ^= 1;
+      idx[ctx] = nl;
+    }
+    do {
+      a = (a << 1) & 0xFFFF;
+      c <<= 1;
+      if (--ct == 0) byteout();
+    } while (!(a & 0x8000));
+  }
+  int flush() {  // 0 ok, <0 internal error
+    uint32_t tempc = c + a;
+    c |= 0xFFFF;
+    if (c >= tempc) c -= 0x8000;
+    c <<= ct; byteout();
+    c <<= ct; byteout();
+    if (out.back() == 0xFF) out.pop_back();
+    return out[0] == 0 ? 0 : -1;
+  }
+};
+
+struct J2kMqDec : J2kCtxState {
+  const uint8_t* d;
+  int64_t n, bp;
+  uint32_t a, c;
+  int ct;
+  void begin(const uint8_t* data, int64_t len) {
+    init(); d = data; n = len; bp = 0;
+    c = (uint32_t)(n ? d[0] : 0xFF) << 16;
+    bytein();
+    c <<= 7; ct -= 7; a = 0x8000;
+  }
+  void bytein() {
+    const uint32_t cur = bp < n ? d[bp] : 0xFF;
+    if (cur == 0xFF) {
+      const uint32_t nxt = bp + 1 < n ? d[bp + 1] : 0xFF;
+      if (nxt > 0x8F) { c += 0xFF00; ct = 8; }
+      else { ++bp; c += nxt << 9; ct = 7; }
+    } else {
+      ++bp;
+      const uint32_t nxt = bp < n ? d[bp] : 0xFF;
+      c += nxt << 8; ct = 8;
+    }
+  }
+  int decode(int ctx) {
+    const uint32_t qe = J2K_QE[idx[ctx]];
+    const int nm = J2K_NMPS[idx[ctx]], nl = J2K_NLPS[idx[ctx]], sw = J2K_SW[idx[ctx]];
+    a -= qe;
+    int bit;
+    if ((c >> 16) < qe) {
+      if (a < qe) { bit = mps[ctx]; idx[ctx] = nm; }
+      else { bit = mps[ctx] ^ 1; if (sw) mps[ctx] ^= 1; idx[ctx] = nl; }
+      a = qe;
+    } else {
+      c -= qe << 16;
+      if (a & 0x8000) return mps[ctx];
+      if (a < qe) { bit = mps[ctx] ^ 1; if (sw) mps[ctx] ^= 1; idx[ctx] = nl; }
+      else { bit = mps[ctx]; idx[ctx] = nm; }
+    }
+    do {
+      if (ct == 0) bytein();
+      a = (a << 1) & 0xFFFF;
+      c <<= 1;
+      --ct;
+    } while (!(a & 0x8000));
+    return bit;
+  }
+};
+
+static inline int j2k_zc_ll(int h, int v, int d) {
+  if (h == 2) return 8;
+  if (h == 1) { if (v >= 1) return 7; return d >= 1 ? 6 : 5; }
+  if (v == 2) return 4;
+  if (v == 1) return 3;
+  return d >= 2 ? 2 : d;
+}
+static inline int j2k_zc_hh(int h, int v, int d) {
+  const int hv = h + v;
+  if (d >= 3) return 8;
+  if (d == 2) return hv >= 1 ? 7 : 6;
+  if (d == 1) return hv >= 2 ? 5 : (hv == 1 ? 4 : 3);
+  return hv >= 2 ? 2 : hv;
+}
+
+struct J2kBlock {
+  int w, h, st, orient;
+  std::vector<uint8_t> sigma, sgn, pi, refined;
+  std::vector<uint32_t> mag;
+  void begin(int w_, int h_, int orient_) {
+    w = w_; h = h_; st = w + 2; orient = orient_;
+    const size_t nn = (size_t)st * (h + 2);
+    sigma.assign(nn, 0); sgn.assign(nn, 0); pi.assign(nn, 0);
+    refined.assign(nn, 0); mag.assign(nn, 0);
+  }
+  inline int at(int x, int y) const { return (y + 1) * st + (x + 1); }
+  inline int hasnb(int i) const {
+    return sigma[i - 1] | sigma[i + 1] | sigma[i - st] | sigma[i + st] |
+           sigma[i - st - 1] | sigma[i - st + 1] | sigma[i + st - 1] | sigma[i + st + 1];
+  }
+  inline int zc(int i) const {
+    const int hh = sigma[i - 1] + sigma[i + 1];
+    const int vv = sigma[i - st] + sigma[i + st];
+    const int dd = sigma[i - st - 1] + sigma[i - st + 1] + sigma[i + st - 1] + sigma[i + st + 1];
+    if (orient == 1) return j2k_zc_ll(vv, hh, dd);
+    if (orient == 3) return j2k_zc_hh(hh, vv, dd);
+    return j2k_zc_ll(hh, vv, dd);
+  }
+  inline int sc(int i, int* xr) const {
+    int hc = 0, vc = 0;
+    if (sigma[i - 1]) hc += sgn[i - 1] ? -1 : 1;
+    if (sigma[i + 1]) hc += sgn[i + 1] ? -1 : 1;
+    if (sigma[i - st]) vc += sgn[i - st] ? -1 : 1;
+    if (sigma[i + st]) vc += sgn[i + st] ? -1 : 1;
+    hc = hc < -1 ? -1 : (hc > 1 ? 1 : hc);
+    vc = vc < -1 ? -1 : (vc > 1 ? 1 : vc);
+    const int k = (hc + 1) * 3 + (vc + 1);
+    *xr = J2K_SC_XOR[k];
+    return J2K_SC_CTX[k];
+  }
+};
+
+int64_t mamri_j2k_t1_decode(const uint8_t* data, int64_t len, int32_t w, int32_t h,
+                            int32_t orient, int32_t bitplanes, int32_t npasses,
+                            int32_t* out) {
+  if (w <= 0 || h <= 0 || w > 4096 || h > 4096) return -1;
+  memset(out, 0, (size_t)w * h * sizeof(int32_t));
+  if (bitplanes <= 0 || npasses <= 0) return 0;
+  if (npasses > 3 * bitplanes - 2 || bitplanes > 31) return -1;
+  J2kBlock b; b.begin(w, h, orient);
+  J2kMqDec mq; mq.begin(data, len);
+  int plane = bitplanes - 1, kind = 2, passno = 0;
+  while (passno < npasses) {
+    const uint32_t bit = 1u << plane;
+    if (kind == 0) {  // significance propagation
+      for (int y0 = 0; y0 < h; y0 += 4)
+        for (int x = 0; x < w; ++x) {
+          const int ylim = y0 + 4 < h ? y0 + 4 : h;
+          for (int y = y0; y < ylim; ++y) {
+            const int i = b.at(x, y);
+            if (b.sigma[i]) { b.pi[i] = 0; continue; }
+            if (b.hasnb(i)) {
+              b.pi[i] = 1;
+              if (mq.decode(b.zc(i))) {
+                int xr; const int ctx = b.sc(i, &xr);
+                b.sgn[i] = mq.decode(ctx) ^ xr; b.sigma[i] = 1; b.mag[i] = bit;
+              }
+            } else b.pi[i] = 0;
+          }
+        }
+    } else if (kind == 1) {  // magnitude refinement
+      for (int y0 = 0; y0 < h; y0 += 4)
+        for (int x = 0; x < w; ++x) {
+          const int ylim = y0 + 4 < h ? y0 + 4 : h;
+          for (int y = y0; y < ylim; ++y) {
+            const int i = b.at(x, y);
+            if (b.sigma[i] && !b.pi[i] && b.mag[i] != bit) {
+              const int ctx = b.refined[i] ? 16 : (b.hasnb(i) ? 15 : 14);
+              if (mq.decode(ctx)) b.mag[i] |= bit;
+              b.refined[i] = 1;
+            }
+          }
+        }
+    } else {  // cleanup
+      for (int y0 = 0; y0 < h; y0 += 4) {
+        const bool full = y0 + 4 <= h;
+        for (int x = 0; x < w; ++x) {
+          int y = y0;
+          if (full) {
+            const int col[4] = {b.at(x, y0), b.at(x, y0 + 1), b.at(x, y0 + 2), b.at(x, y0 + 3)};
+            bool any = false;
+            for (int k = 0; k < 4; ++k)
+              if (b.sigma[col[k]] || b.pi[col[k]] || b.hasnb(col[k])) { any = true; break; }
+            if (!any) {
+              if (!mq.decode(17)) continue;
+              const int r = (mq.decode(18) << 1) | mq.decode(18);
+              const int i = col[r];
+              int xr; const int ctx = b.sc(i, &xr);
+              b.sgn[i] = mq.decode(ctx) ^ xr; b.sigma[i] = 1; b.mag[i] = bit;
+              y = y0 + r + 1;
+            }
+          }
+          const int ylim = y0 + 4 < h ? y0 + 4 : h;
+          for (; y < ylim; ++y) {
+            const int i = b.at(x, y);
+            if (!b.sigma[i] && !b.pi[i]) {
+              if (mq.decode(b.zc(i))) {
+                int xr; const int ctx = b.sc(i, &xr);
+                b.sgn[i] = mq.decode(ctx) ^ xr; b.sigma[i] = 1; b.mag[i] = bit;
+              }
+            }
+            b.pi[i] = 0;
+          }
+        }
+      }
+    }
+    ++passno;
+    if (kind == 2) {
+      if (--plane < 0 && passno < npasses) return -1;
+      kind = 0;
+    } else ++kind;
+  }
+  for (int y = 0; y < h; ++y)
+    for (int x = 0; x < w; ++x) {
+      const int i = b.at(x, y);
+      if (b.sigma[i]) out[(int64_t)y * w + x] = b.sgn[i] ? -(int32_t)b.mag[i] : (int32_t)b.mag[i];
+    }
+  return 0;
+}
+
+int64_t mamri_j2k_t1_encode(const int32_t* coeffs, int32_t w, int32_t h,
+                            int32_t orient, int32_t max_bitplanes, uint8_t* out,
+                            int64_t cap, int32_t* zbp_out, int32_t* npasses_out) {
+  if (w <= 0 || h <= 0 || w > 4096 || h > 4096 || max_bitplanes > 31) return -1;
+  uint32_t maxmag = 0;
+  for (int64_t i = 0; i < (int64_t)w * h; ++i) {
+    const uint32_t m = coeffs[i] < 0 ? (uint32_t)(-(int64_t)coeffs[i]) : (uint32_t)coeffs[i];
+    if (m > maxmag) maxmag = m;
+  }
+  int nb = 0;
+  while ((1u << nb) <= maxmag && nb < 32) ++nb;
+  if (nb > max_bitplanes) return -2;
+  if (nb == 0) { *zbp_out = max_bitplanes; *npasses_out = 0; return 0; }
+  J2kBlock b; b.begin(w, h, orient);
+  const size_t nn = b.mag.size();
+  std::vector<uint32_t> tmag(nn, 0);
+  std::vector<uint8_t> tneg(nn, 0);
+  for (int y = 0; y < h; ++y)
+    for (int x = 0; x < w; ++x) {
+      const int32_t v = coeffs[(int64_t)y * w + x];
+      const int i = b.at(x, y);
+      tmag[i] = v < 0 ? (uint32_t)(-(int64_t)v) : (uint32_t)v;
+      tneg[i] = v < 0;
+    }
+  J2kMqEnc mq; mq.begin();
+  const int npasses = 3 * nb - 2;
+  int plane = nb - 1, kind = 2;
+  for (int p = 0; p < npasses; ++p) {
+    const uint32_t bit = 1u << plane;
+    if (kind == 0) {
+      for (int y0 = 0; y0 < h; y0 += 4)
+        for (int x = 0; x < w; ++x) {
+          const int ylim = y0 + 4 < h ? y0 + 4 : h;
+          for (int y = y0; y < ylim; ++y) {
+            const int i = b.at(x, y);
+            if (b.sigma[i]) { b.pi[i] = 0; continue; }
+            if (b.hasnb(i)) {
+              b.pi[i] = 1;
+              const int sb = (tmag[i] & bit) ? 1 : 0;
+              mq.encode(b.zc(i), sb);
+              if (sb) {
+                int xr; const int ctx = b.sc(i, &xr);
+                mq.encode(ctx, tneg[i] ^ xr);
+                b.sgn[i] = tneg[i]; b.sigma[i] = 1; b.mag[i] = bit;
+              }
+            } else b.pi[i] = 0;
+          }
+        }
+    } else if (kind == 1) {
+      for (int y0 = 0; y0 < h; y0 += 4)
+        for (int x = 0; x < w; ++x) {
+          const int ylim = y0 + 4 < h ? y0 + 4 : h;
+          for (int y = y0; y < ylim; ++y) {
+            const int i = b.at(x, y);
+            if (b.sigma[i] && !b.pi[i] && b.mag[i] != bit) {
+              const int ctx = b.refined[i] ? 16 : (b.hasnb(i) ? 15 : 14);
+              mq.encode(ctx, (tmag[i] & bit) ? 1 : 0);
+              if (tmag[i] & bit) b.mag[i] |= bit;
+              b.refined[i] = 1;
+            }
+          }
+        }
+    } else {
+      for (int y0 = 0; y0 < h; y0 += 4) {
+        const bool full = y0 + 4 <= h;
+        for (int x = 0; x < w; ++x) {
+          int y = y0;
+          if (full) {
+            const int col[4] = {b.at(x, y0), b.at(x, y0 + 1), b.at(x, y0 + 2), b.at(x, y0 + 3)};
+            bool any = false;
+            for (int k = 0; k < 4; ++k)
+              if (b.sigma[col[k]] || b.pi[col[k]] || b.hasnb(col[k])) { any = true; break; }
+            if (!any) {
+              int r = -1;
+              for (int k = 0; k < 4; ++k)
+                if (tmag[col[k]] & bit) { r = k; break; }
+              if (r < 0) { mq.encode(17, 0); continue; }
+              mq.encode(17, 1);
+              mq.encode(18, (r >> 1) & 1);
+              mq.encode(18, r & 1);
+              const int i = col[r];
+              int xr; const int ctx = b.sc(i, &xr);
+              mq.encode(ctx, tneg[i] ^ xr);
+              b.sgn[i] = tneg[i]; b.sigma[i] = 1; b.mag[i] = bit;
+              y = y0 + r + 1;
+            }
+          }
+          const int ylim = y0 + 4 < h ? y0 + 4 : h;
+          for (; y < ylim; ++y) {
+            const int i = b.at(x, y);
+            if (!b.sigma[i] && !b.pi[i]) {
+              const int sb = (tmag[i] & bit) ? 1 : 0;
+              mq.encode(b.zc(i), sb);
+              if (sb) {
+                int xr; const int ctx = b.sc(i, &xr);
+                mq.encode(ctx, tneg[i] ^ xr);
+                b.sgn[i] = tneg[i]; b.sigma[i] = 1; b.mag[i] = bit;
+              }
+            }
+            b.pi[i] = 0;
+          }
+        }
+      }
+    }
+    if (kind == 2) { --plane; kind = 0; } else ++kind;
+  }
+  if (mq.flush() != 0) return -3;
+  const int64_t nbytes = (int64_t)mq.out.size() - 1;  // drop the sentinel
+  if (nbytes > cap) return -4;
+  memcpy(out, mq.out.data() + 1, (size_t)nbytes);
+  *zbp_out = max_bitplanes - nb;
+  *npasses_out = npasses;
+  return nbytes;
+}
+
 }  // extern "C"

@@ -525,7 +525,8 @@ class _BlockCoder:
 
 
 def t1_decode(
-    data: bytes, w: int, h: int, orient: int, bitplanes: int, npasses: int
+    data: bytes, w: int, h: int, orient: int, bitplanes: int, npasses: int,
+    use_native: bool = True,
 ) -> np.ndarray:
     """Decode one code-block's codeword segment into signed coefficients."""
     if bitplanes <= 0 or npasses <= 0:
@@ -534,6 +535,15 @@ def t1_decode(
         raise Jpeg2000Error(
             f"code-block signals {npasses} passes but only {bitplanes} bitplanes"
         )
+    if use_native:
+        from mamri_tpu.native import j2k_t1_decode_native
+
+        try:
+            native = j2k_t1_decode_native(data, w, h, orient, bitplanes, npasses)
+        except ValueError as e:
+            raise Jpeg2000Error(str(e))
+        if native is not None:
+            return native
     cb = _BlockCoder(w, h, orient)
     mq = _MQDecoder(data)
     sigma, pi, refined, mag, sign = cb.sigma, cb.pi, cb.refined, cb.mag, cb.sign
@@ -605,7 +615,7 @@ def t1_decode(
     return cb.result()
 
 
-def t1_encode(coeffs: np.ndarray, orient: int, max_bitplanes: int):
+def t1_encode(coeffs: np.ndarray, orient: int, max_bitplanes: int, use_native: bool = True):
     """Encode one code-block.  Returns (data, zero_bitplanes, npasses)."""
     h, w = coeffs.shape
     mags = np.abs(coeffs.astype(np.int64))
@@ -617,6 +627,15 @@ def t1_encode(coeffs: np.ndarray, orient: int, max_bitplanes: int):
         )
     if nb == 0:
         return b"", max_bitplanes, 0
+    if use_native:
+        from mamri_tpu.native import j2k_t1_encode_native
+
+        try:
+            native = j2k_t1_encode_native(coeffs.astype(np.int32), orient, max_bitplanes)
+        except ValueError as e:
+            raise Jpeg2000Error(str(e))
+        if native is not None:
+            return native
     cb = _BlockCoder(w, h, orient)
     # preload target values
     tmag = [0] * len(cb.mag)
@@ -1219,7 +1238,7 @@ def _packet_order(cp: _CodingParams, resolutions: List[_Resolution], nlayers: in
                     yield layer, r, pidx
 
 
-def decode_jpeg2000(data: bytes) -> Tuple[np.ndarray, int]:
+def decode_jpeg2000(data: bytes, use_native: bool = True) -> Tuple[np.ndarray, int]:
     """Decode a raw JPEG 2000 codestream (or a JP2 file wrapping one).
 
     Returns (image int32 (rows, cols), precision_bits).  Signed components
@@ -1336,7 +1355,9 @@ def decode_jpeg2000(data: bytes) -> Tuple[np.ndarray, int]:
             ty1 = min(yto + (tj + 1) * yt, ysiz)
             if tx1 <= tx0 or ty1 <= ty0:
                 continue
-            tile = _decode_tile(b"".join(tile_parts[tidx]), cp, tx0, ty0, tx1, ty1)
+            tile = _decode_tile(
+                b"".join(tile_parts[tidx]), cp, tx0, ty0, tx1, ty1, use_native
+            )
             img[ty0 - yos : ty1 - yos, tx0 - xos : tx1 - xos] = tile
     if not signed:
         img += 1 << (prec - 1)
@@ -1347,7 +1368,8 @@ def decode_jpeg2000(data: bytes) -> Tuple[np.ndarray, int]:
 
 
 def _decode_tile(
-    body: bytes, cp: _CodingParams, tx0: int, ty0: int, tx1: int, ty1: int
+    body: bytes, cp: _CodingParams, tx0: int, ty0: int, tx1: int, ty1: int,
+    use_native: bool = True,
 ) -> np.ndarray:
     resolutions = _build_resolutions(
         tx0, ty0, tx1, ty1, cp.levels, cp.xcb, cp.ycb, cp.prec_sizes
@@ -1373,7 +1395,7 @@ def _decode_tile(
                         continue
                     coeffs = t1_decode(
                         bytes(cb.data), cb.x1 - cb.x0, cb.y1 - cb.y0,
-                        band.orient, cb.nbps, cb.npasses,
+                        band.orient, cb.nbps, cb.npasses, use_native,
                     )
                     _scatter_band(
                         quad, coeffs, band, cb, res.r, cp.levels, tx0, ty0, tx1, ty1
@@ -1443,7 +1465,8 @@ def _extract_jp2_codestream(data: bytes) -> bytes:
 
 
 def _encode_tile(
-    arr: np.ndarray, cp: _CodingParams, tx0: int, ty0: int, tx1: int, ty1: int
+    arr: np.ndarray, cp: _CodingParams, tx0: int, ty0: int, tx1: int, ty1: int,
+    use_native: bool = True,
 ) -> bytes:
     """Tier-1 + Tier-2 encode one tile; returns its packet bytes."""
     quad = _fdwt53(arr, tx0, ty0, cp.levels)
@@ -1460,7 +1483,7 @@ def _encode_tile(
                         quad, band, cb, res.r, cp.levels, tx0, ty0, tx1, ty1
                     )
                     data, zbp, np_ = t1_encode(
-                        coeffs.astype(np.int64), band.orient, mb
+                        coeffs.astype(np.int64), band.orient, mb, use_native
                     )
                     cb.data = bytearray(data)
                     cb.zbp = zbp
@@ -1478,6 +1501,7 @@ def encode_jpeg2000(
     signed: bool = False,
     levels: Optional[int] = None,
     tile_size: Optional[Tuple[int, int]] = None,
+    use_native: bool = True,
 ) -> bytes:
     """Encode a 2D integer image as a raw lossless JPEG 2000 codestream.
 
@@ -1531,7 +1555,9 @@ def encode_jpeg2000(
         for ti in range(ntx):
             tx0, ty0 = ti * xt, tj * yt
             tx1, ty1 = min(tx0 + xt, w), min(ty0 + yt, h)
-            packets = _encode_tile(arr[ty0:ty1, tx0:tx1], cp, tx0, ty0, tx1, ty1)
+            packets = _encode_tile(
+                arr[ty0:ty1, tx0:tx1], cp, tx0, ty0, tx1, ty1, use_native
+            )
             psot = 12 + 2 + len(packets)
             out += _SOT.to_bytes(2, "big") + (10).to_bytes(2, "big")
             out += (tj * ntx + ti).to_bytes(2, "big") + psot.to_bytes(4, "big")

@@ -261,3 +261,35 @@ def test_fuzz_corrupt_streams_raise_valueerror_only():
             j2k.decode_jpeg2000(good[:cut])
         except ValueError:
             pass
+
+
+# ------------------------------------------------------------------- native
+
+
+def test_native_t1_bit_identical_and_fuzz_safe():
+    from mamri_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(31)
+    for shape, prec in [((96, 80), 12), ((37, 29), 16), ((64, 64), 8)]:
+        img = rng.integers(0, 1 << prec, shape).astype(np.int32)
+        py = j2k.encode_jpeg2000(img, prec, use_native=False)
+        nat = j2k.encode_jpeg2000(img, prec, use_native=True)
+        assert py == nat, "native encoder must produce bit-identical streams"
+        np.testing.assert_array_equal(j2k.decode_jpeg2000(py, use_native=True)[0], img)
+    # corrupt segments must fail as ValueError through the native path too
+    good = j2k.encode_jpeg2000(rng.integers(0, 4096, (24, 40)).astype(np.int32), 12)
+    for _ in range(60):
+        data = bytearray(good)
+        data[int(rng.integers(0, len(data)))] = int(rng.integers(0, 256))
+        try:
+            a = j2k.decode_jpeg2000(bytes(data), use_native=True)[0]
+        except ValueError:
+            a = None
+        try:
+            b = j2k.decode_jpeg2000(bytes(data), use_native=False)[0]
+        except ValueError:
+            b = None
+        if a is not None and b is not None:
+            np.testing.assert_array_equal(a, b)
