@@ -6,9 +6,10 @@ stack does the series assembly; standalone mamri_tpu does its own:
 
   * `load_dicom_series(dir)` — MR series in implicit/explicit VR little
     endian, deflated explicit VR LE, explicit VR big endian, RLE Lossless
-    (encapsulated PackBits), JPEG Lossless (.57/.70), or JPEG-LS lossless
-    (.80); anything lossy (incl. JPEG-LS near-lossless .81) is rejected
-    loudly. Both
+    (encapsulated PackBits), JPEG Lossless (.57/.70), JPEG-LS lossless
+    (.80), or JPEG 2000 (.90, and .91 when reversible); anything lossy
+    (incl. JPEG-LS near-lossless .81 and irreversible-9/7 JPEG 2000) is
+    rejected loudly. Both
     one-file-per-slice series and multi-frame files assemble: classic
     multi-frame (NumberOfFrames + SpacingBetweenSlices along the IOP
     normal) and Enhanced MR (per-frame PlanePosition + shared
@@ -21,8 +22,8 @@ stack does the series assembly; standalone mamri_tpu does its own:
     (perception.io.resample_to_axis_aligned).
   * `save_dicom_series(dir, volume)` — MR Image Storage, one file per slice,
     int16 with exact rescale, explicit VR LE, deflated (`transfer="deflated"`),
-    RLE Lossless (`transfer="rle"`), JPEG Lossless (`transfer="jpegll"`)
-    or JPEG-LS (`transfer="jpegls"`) — the
+    RLE Lossless (`transfer="rle"`), JPEG Lossless (`transfer="jpegll"`),
+    JPEG-LS (`transfer="jpegls"`) or JPEG 2000 (`transfer="j2k"`) — the
     round-trip oracle for the reader and a capability the reference lacks
     (export). `save_dicom_multiframe(path, volume)` writes the Enhanced MR
     single-file form of the same.
