@@ -293,3 +293,70 @@ def test_native_t1_bit_identical_and_fuzz_safe():
             b = None
         if a is not None and b is not None:
             np.testing.assert_array_equal(a, b)
+
+
+def test_decode_opencv_jp2_container():
+    cv2 = pytest.importorskip("cv2", reason="OpenCV is a second OpenJPEG front-end")
+    rng = np.random.default_rng(4)
+    img = (rng.integers(0, 4096, (96, 112)) + np.mgrid[:96, :112][0] * 8).astype(np.uint16)
+    ok, enc = cv2.imencode(".jp2", img, [cv2.IMWRITE_JPEG2000_COMPRESSION_X1000, 1000])
+    assert ok
+    back, prec = j2k.decode_jpeg2000(enc.tobytes())
+    assert prec == 16
+    np.testing.assert_array_equal(back, img.astype(np.int32))
+
+
+def test_decode_multiple_tile_parts():
+    """Real scanners split tiles into tile-parts (SOT TPsot>0); synthesize
+    one by splitting our single tile's packet bytes across two parts."""
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 4096, (48, 56)).astype(np.int32)
+    data = j2k.encode_jpeg2000(img, 12)
+    sot = data.find(b"\xff\x90")
+    head, tail = data[:sot], data[sot:]
+    assert tail[:4] == b"\xff\x90\x00\x0a" and tail[12:14] == b"\xff\x93"
+    packets = tail[14:-2]
+    cut = len(packets) // 3
+    p1, p2 = packets[:cut], packets[cut:]
+
+    def tp(idx, payload, tn):
+        return (
+            b"\xff\x90\x00\x0a\x00\x00"
+            + (12 + 2 + len(payload)).to_bytes(4, "big")
+            + bytes([idx, tn])
+            + b"\xff\x93"
+            + payload
+        )
+
+    split = head + tp(0, p1, 2) + tp(1, p2, 2) + b"\xff\xd9"
+    np.testing.assert_array_equal(j2k.decode_jpeg2000(split)[0], img)
+    # last tile-part with Psot=0 (extends to EOC) must also parse
+    open_ended = head + tp(0, p1, 2) + (
+        b"\xff\x90\x00\x0a\x00\x00" + (0).to_bytes(4, "big") + bytes([1, 2])
+        + b"\xff\x93" + p2 + b"\xff\xd9"
+    )
+    np.testing.assert_array_equal(j2k.decode_jpeg2000(open_ended)[0], img)
+
+
+def test_decode_coc_qcc_component_overrides():
+    """COC/QCC for component 0 override COD/QCD; synthesize segments that
+    restate the same parameters and ones that contradict them."""
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 4096, (40, 44)).astype(np.int32)
+    data = j2k.encode_jpeg2000(img, 12)
+    qcd = data.find(b"\xff\x5c")
+    qcd_len = int.from_bytes(data[qcd + 2 : qcd + 4], "big")
+    qcd_body = data[qcd + 4 : qcd + 2 + qcd_len]
+    qcc = b"\xff\x5d" + (2 + 1 + len(qcd_body)).to_bytes(2, "big") + b"\x00" + qcd_body
+    cod = data.find(b"\xff\x52")
+    cod_len = int.from_bytes(data[cod + 2 : cod + 4], "big")
+    spcod = data[cod + 4 + 5 : cod + 2 + cod_len]  # SPcod part
+    coc = b"\xff\x53" + (2 + 2 + len(spcod)).to_bytes(2, "big") + b"\x00\x00" + spcod
+    sot = data.find(b"\xff\x90")
+    patched = data[:sot] + qcc + coc + data[sot:]
+    np.testing.assert_array_equal(j2k.decode_jpeg2000(patched)[0], img)
+    # a QCC that switches to scalar quantization must be rejected (lossy)
+    bad_body = bytes([qcd_body[0] & 0xE0 | 2]) + qcd_body[1:]
+    bad_qcc = b"\xff\x5d" + (2 + 1 + len(bad_body)).to_bytes(2, "big") + b"\x00" + bad_body
+    with pytest.raises(ValueError):
+        j2k.decode_jpeg2000(data[:sot] + bad_qcc + data[sot:])
