@@ -7,9 +7,9 @@ stack does the series assembly; standalone mamri_tpu does its own:
   * `load_dicom_series(dir)` — MR series in implicit/explicit VR little
     endian, deflated explicit VR LE, explicit VR big endian, RLE Lossless
     (encapsulated PackBits), JPEG Lossless (.57/.70), JPEG-LS lossless
-    (.80), or JPEG 2000 (.90, and .91 when reversible); anything lossy
-    (incl. JPEG-LS near-lossless .81 and irreversible-9/7 JPEG 2000) is
-    rejected loudly. Both
+    (.80), or JPEG 2000 (.90 lossless and .91 incl. irreversible 9/7);
+    other lossy syntaxes (incl. JPEG-LS near-lossless .81) are rejected
+    loudly. Both
     one-file-per-slice series and multi-frame files assemble: classic
     multi-frame (NumberOfFrames + SpacingBetweenSlices along the IOP
     normal) and Enhanced MR (per-frame PlanePosition + shared

@@ -11,9 +11,12 @@ DICOM stack (GDCM/OpenJPEG) when scans are loaded into the scene
 
 Scope (anything outside it raises ValueError loudly, never crashes):
 
-- reversible (5/3) transform only. Transfer syntax .90 is lossless-only, so
-  this covers every valid .90 stream; a .91 stream using the irreversible
-  9/7 wavelet is rejected with a clear message.
+- decode: both the reversible 5/3 transform (transfer syntax .90 is
+  lossless-only, so this covers every valid .90 stream) and the
+  irreversible 9/7 with scalar quantization (lossy .91 archives decode
+  with conformant midpoint reconstruction — E.1.1 allows any value in the
+  quantization interval; near-lossless rates match OpenJPEG within 1 LSB).
+  Encode: reversible/lossless only.
 - single-component (monochrome) images up to 16 bits, signed or unsigned —
   what MR exports are. Multi-component / MCT streams are rejected.
 - arbitrary tile grids, decomposition levels, precinct partitions,
@@ -891,6 +894,57 @@ class _Resolution:
         self.precincts = precincts  # list over precinct index -> list[_PrecinctBand]
 
 
+# Irreversible 9/7 inverse (T.800 F.4.8.3): float lifting, whole-sample
+# symmetric extension, parity by absolute coordinate like the 5/3 path.
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _inv97(low: np.ndarray, high: np.ndarray, u0: int) -> np.ndarray:
+    """1D inverse 9/7 along axis 0 over [u0, u0+n) (float64 in/out)."""
+    n = low.shape[0] + high.shape[0]
+    if n == 0:
+        return low[:0].astype(np.float64)
+    if n == 1:
+        return (low * _K97).astype(np.float64) if low.shape[0] else high / _K97
+    tail = low.shape[1:] if low.ndim > 1 else ()
+    y = np.empty((n,) + tail, dtype=np.float64)
+    j = np.arange(n)
+    odd = ((u0 + j) % 2 == 1)
+    y[~odd] = low * _K97        # undo the forward lowpass scale
+    y[odd] = high / _K97        # undo the forward highpass scale
+    ext = y[_reflect_idx(np.arange(-4, n + 4), n)]  # E[k] = y[j = k-4]
+    # undo the four lifting steps in reverse order; each formula is valid
+    # at its parity and only reads the other parity at +-1
+    s1 = ext[1:-1] - _D97 * (ext[:-2] + ext[2:])        # even abs, j=-3..n+2
+    d1 = ext[2:-2] - _G97 * (s1[:-2] + s1[2:])          # odd abs,  j=-2..n+1
+    s0 = s1[2:-2] - _B97 * (d1[:-2] + d1[2:])           # even abs, j=-1..n
+    d0 = d1[2:-2] - _A97 * (s0[:-2] + s0[2:])           # odd abs,  j=0..n-1
+    sel = odd.reshape((n,) + (1,) * (y.ndim - 1))
+    return np.where(sel, d0, s0[1 : n + 1])
+
+
+def _idwt97(t: np.ndarray, tx0: int, ty0: int, levels: int) -> np.ndarray:
+    """Inverse of the 9/7 forward transform on the quadrant layout."""
+    th, tw = t.shape
+    dims = [(tw, th, tx0, ty0)]
+    for _ in range(levels):
+        tw, th = _low_len(tx0, tw), _low_len(ty0, th)
+        tx0, ty0 = (tx0 + 1) // 2, (ty0 + 1) // 2
+        dims.append((tw, th, tx0, ty0))
+    out = t.astype(np.float64)
+    for lev in range(levels, 0, -1):
+        w, h, x0, y0 = dims[lev - 1]
+        lw, lh = _low_len(x0, w), _low_len(y0, h)
+        sub = out[:h, :w]
+        rows = _inv97(sub.T[:lw], sub.T[lw:], x0).T  # horizontal first
+        out[:h, :w] = _inv97(rows[:lh], rows[lh:], y0)
+    return out
+
+
 def _build_resolutions(
     tx0: int, ty0: int, tx1: int, ty1: int, nl: int,
     xcb: int, ycb: int, prec_sizes: Optional[List[Tuple[int, int]]],
@@ -1135,7 +1189,10 @@ class _CodingParams:
         self.use_sop = False
         self.use_eph = False
         self.guard_bits = 2
+        self.quant_style = 0
+        self.precision = 16
         self.exponents: List[int] = []
+        self.mantissas: List[int] = []
 
     def parse_cod(self, d: bytes, p: int, ln: int):
         scod = d[p]
@@ -1172,23 +1229,30 @@ class _CodingParams:
         sqcd = d[p]
         style = sqcd & 0x1F
         self.guard_bits = sqcd >> 5
-        nb = ln - 1
+        self.quant_style = style
         if style == 0:  # no quantization (reversible): one byte per subband
-            self.exponents = [d[p + 1 + i] >> 3 for i in range(nb)]
-        elif style in (1, 2):  # scalar quantization -> irreversible
-            raise Jpeg2000Error(
-                "quantized (irreversible) codestream: only reversible/lossless "
-                "JPEG 2000 is supported"
-            )
+            self.exponents = [d[p + 1 + i] >> 3 for i in range(ln - 1)]
+            self.mantissas = [0] * len(self.exponents)
+        elif style in (1, 2):  # scalar quantization: 16-bit (eps, mantissa)
+            npairs = (ln - 1) // 2
+            if npairs < 1 or (ln - 1) % 2:
+                raise Jpeg2000Error("malformed quantization segment")
+            self.exponents = []
+            self.mantissas = []
+            for i in range(npairs):
+                v = _u16(d, p + 1 + 2 * i)
+                self.exponents.append(v >> 11)
+                self.mantissas.append(v & 0x7FF)
         else:
             raise Jpeg2000Error(f"invalid quantization style {style}")
 
     def validate(self):
-        if self.transform != 1:
-            raise Jpeg2000Error(
-                "irreversible 9/7 wavelet: only the reversible 5/3 (lossless) "
-                "transform is supported"
-            )
+        if self.transform == 1 and self.quant_style != 0:
+            raise Jpeg2000Error("scalar quantization with the reversible 5/3 transform")
+        if self.transform == 0 and self.quant_style == 0:
+            raise Jpeg2000Error("9/7 transform requires scalar quantization")
+        if self.transform not in (0, 1):
+            raise Jpeg2000Error(f"unknown wavelet transform {self.transform}")
         if self.mct:
             raise Jpeg2000Error("multiple-component transform not supported")
         if self.cb_style:
@@ -1203,19 +1267,24 @@ class _CodingParams:
                 "single-component DICOM streams)"
             )
 
-    def band_exponent(self, r: int, orient: int, nl: int) -> int:
-        """Index into the QCD exponent list for resolution r band."""
-        if r == 0:
-            i = 0
-        else:
-            i = 3 * (r - 1) + orient  # orient 1,2,3 -> HL,LH,HH
+    def band_quant(self, r: int, orient: int) -> Tuple[int, int]:
+        """(exponent, mantissa) for the band, honoring derived quantization
+        (style 1: one pair for LL, others derived by level, E.1.1)."""
+        nl = self.levels
+        if self.quant_style == 1:
+            if not self.exponents:
+                raise Jpeg2000Error("QCD has no subband entries")
+            nb = nl if r == 0 else nl - r + 1  # decomposition level of band
+            return self.exponents[0] - nl + nb, self.mantissas[0]
+        i = 0 if r == 0 else 3 * (r - 1) + orient  # orient 1,2,3 -> HL,LH,HH
         if i >= len(self.exponents):
             raise Jpeg2000Error("QCD has too few subband entries")
-        return self.exponents[i]
+        return self.exponents[i], self.mantissas[i]
 
 
 def _mb_for(cp: _CodingParams, r: int, orient: int) -> int:
-    return cp.guard_bits + cp.band_exponent(r, orient, cp.levels) - 1
+    eps, _mu = cp.band_quant(r, orient)
+    return cp.guard_bits + eps - 1
 
 
 def _packet_order(cp: _CodingParams, resolutions: List[_Resolution], nlayers: int):
@@ -1345,7 +1414,11 @@ def decode_jpeg2000(data: bytes, use_native: bool = True) -> Tuple[np.ndarray, i
         tile_parts[isot].append(data[start:end])
         p = end
 
-    img = np.zeros((ysiz - yos, xsiz - xos), dtype=np.int64)
+    cp.precision = prec
+    irreversible = cp.transform == 0
+    img = np.zeros(
+        (ysiz - yos, xsiz - xos), dtype=np.float64 if irreversible else np.int64
+    )
     for tj in range(nty):
         for ti in range(ntx):
             tidx = tj * ntx + ti
@@ -1361,8 +1434,12 @@ def decode_jpeg2000(data: bytes, use_native: bool = True) -> Tuple[np.ndarray, i
             img[ty0 - yos : ty1 - yos, tx0 - xos : tx1 - xos] = tile
     if not signed:
         img += 1 << (prec - 1)
-        if (img < 0).any() or (img >= 1 << prec).any():
-            raise Jpeg2000Error("decoded samples out of range (corrupt stream)")
+    if irreversible:
+        # lossy samples: round and clamp into the declared range
+        lo, hi = (-(1 << prec - 1), (1 << prec - 1) - 1) if signed else (0, (1 << prec) - 1)
+        img = np.clip(np.rint(img), lo, hi)
+    elif not signed and ((img < 0).any() or (img >= 1 << prec).any()):
+        raise Jpeg2000Error("decoded samples out of range (corrupt stream)")
     out = img.astype(np.int32)
     return out, prec
 
@@ -1384,12 +1461,12 @@ def _decode_tile(
 
     # Tier-1 decode each code-block and scatter into the quadrant layout.
     th, tw = ty1 - ty0, tx1 - tx0
-    quad = np.zeros((th, tw), dtype=np.int64)
+    irreversible = cp.transform == 0
+    quad = np.zeros((th, tw), dtype=np.float64 if irreversible else np.int64)
     for res in resolutions:
         for pbands in res.precincts:
             for bi, pband in enumerate(pbands):
                 band = res.bands[bi]
-                mb = _mb_for(cp, res.r, band.orient)
                 for cb in pband.cblocks:
                     if not cb.included or cb.npasses == 0:
                         continue
@@ -1397,9 +1474,24 @@ def _decode_tile(
                         bytes(cb.data), cb.x1 - cb.x0, cb.y1 - cb.y0,
                         band.orient, cb.nbps, cb.npasses, use_native,
                     )
+                    if irreversible:
+                        # dequantize (E.1): step 2^(R_b - eps)(1 + mu/2^11)
+                        # with midpoint reconstruction half an ulp of the
+                        # lowest decoded bitplane
+                        eps, mu = cp.band_quant(res.r, band.orient)
+                        rb = cp.precision + band.gain
+                        delta = float(2.0 ** (rb - eps)) * (1.0 + mu / 2048.0)
+                        p_low = cb.nbps - 1 - (cb.npasses + 1) // 3
+                        half = 0.5 * (2.0 ** max(p_low, 0))
+                        coeffs = np.where(
+                            coeffs > 0, (coeffs + half) * delta,
+                            np.where(coeffs < 0, (coeffs - half) * delta, 0.0),
+                        )
                     _scatter_band(
                         quad, coeffs, band, cb, res.r, cp.levels, tx0, ty0, tx1, ty1
                     )
+    if irreversible:
+        return _idwt97(quad, tx0, ty0, cp.levels)
     return _idwt53(quad, tx0, ty0, cp.levels)
 
 
@@ -1534,6 +1626,7 @@ def encode_jpeg2000(
         exps += [precision + 1, precision + 1, precision + 2]  # HL, LH, HH
     cp.guard_bits = guard
     cp.exponents = exps[:nbands]
+    cp.mantissas = [0] * nbands
 
     out = bytearray()
     out += (0xFF4F).to_bytes(2, "big")  # SOC

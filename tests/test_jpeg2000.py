@@ -25,7 +25,8 @@ def _pil_encode(img16: np.ndarray, **save_kw) -> bytes:
     im = PIL_Image.new("I;16", (w, h))
     im.frombytes(np.ascontiguousarray(img16.astype(np.uint16)).tobytes())
     buf = io.BytesIO()
-    im.save(buf, format="JPEG2000", irreversible=False, no_jp2=True, **save_kw)
+    save_kw.setdefault("irreversible", False)
+    im.save(buf, format="JPEG2000", no_jp2=True, **save_kw)
     return buf.getvalue()
 
 
@@ -232,14 +233,13 @@ def test_rejects_out_of_scope_streams_loudly():
         j2k.decode_jpeg2000(b"\x00\x01\x02")
     with pytest.raises(ValueError):
         j2k.decode_jpeg2000(b"")
-    # irreversible Pillow stream (quality-layered lossy) must be refused,
-    # not silently mis-decoded
-    im = PIL_Image.new("I;16", (32, 32))
-    im.frombytes(np.ascontiguousarray(img.astype(np.uint16)).tobytes())
-    buf = io.BytesIO()
-    im.save(buf, format="JPEG2000", irreversible=True, no_jp2=True, quality_layers=[20])
-    with pytest.raises(ValueError):
-        j2k.decode_jpeg2000(buf.getvalue())
+    # ... and the complementary illegal combination: scalar quantization
+    # declared with the reversible transform
+    data2 = bytearray(j2k.encode_jpeg2000(img, 8))
+    qcd = data2.find(b"\xff\x5c")
+    data2[qcd + 4] = (data2[qcd + 4] & 0xE0) | 2
+    with pytest.raises(ValueError, match="quantization"):
+        j2k.decode_jpeg2000(bytes(data2))
 
 
 def test_fuzz_corrupt_streams_raise_valueerror_only():
@@ -360,3 +360,47 @@ def test_decode_coc_qcc_component_overrides():
     bad_qcc = b"\xff\x5d" + (2 + 1 + len(bad_body)).to_bytes(2, "big") + b"\x00" + bad_body
     with pytest.raises(ValueError):
         j2k.decode_jpeg2000(data[:sot] + bad_qcc + data[sot:])
+
+
+def test_decode_irreversible_97_streams():
+    """Lossy .91 archives use the 9/7 wavelet + scalar quantization; decode
+    must track OpenJPEG at near-lossless rates and stay quality-comparable
+    when truncated (reconstruction points inside a quantization interval
+    are conformant, E.1.1)."""
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[:96, :112]
+    img = np.clip(
+        800 + 500 * np.sin(yy / 19.0) + 420 * np.cos(xx / 13.0) + rng.normal(0, 20, (96, 112)),
+        0, 4095,
+    ).astype(np.uint16)
+    data = _pil_encode(img, irreversible=True, quality_layers=[2])
+    ours, prec = j2k.decode_jpeg2000(data)
+    assert prec == 16
+    assert np.abs(ours.astype(np.int64) - _pil_decode(data)).max() <= 2
+    for q in (8, 40):
+        data = _pil_encode(img, irreversible=True, quality_layers=[q])
+        ours, _ = j2k.decode_jpeg2000(data)
+        rms_ours = float(np.sqrt(((ours.astype(float) - img) ** 2).mean()))
+        rms_pil = float(np.sqrt(((_pil_decode(data).astype(float) - img) ** 2).mean()))
+        assert rms_ours <= max(rms_pil * 1.3, 1.0), (q, rms_ours, rms_pil)
+
+
+def test_dicom_j2k_91_transfer_syntax_loads():
+    """.91 may legally carry reversible streams; the loader must dispatch it
+    (and it is the syntax lossy archives use)."""
+    from mamri_tpu.perception.dicom import load_dicom_series, save_dicom_series
+    from mamri_tpu.perception.volume import Volume
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 900, (16, 12, 2)).astype(np.float32)
+    vol = Volume(data=data, spacing=np.ones(3, np.float32), origin=np.zeros(3, np.float32))
+    with tempfile.TemporaryDirectory() as d:
+        save_dicom_series(d, vol, transfer="j2k")
+        for name in os.listdir(d):
+            p = os.path.join(d, name)
+            raw = open(p, "rb").read()
+            open(p, "wb").write(
+                raw.replace(b"1.2.840.10008.1.2.4.90", b"1.2.840.10008.1.2.4.91")
+            )
+        back = load_dicom_series(d)
+        np.testing.assert_array_equal(np.asarray(back.data), data)
