@@ -36,6 +36,10 @@ def _load(path):
             from mamri_tpu.perception.dicom import load_dicom_series
 
             return load_dicom_series(path)
+        if path.endswith(".dcm"):  # single file (multi-frame or one slice)
+            from mamri_tpu.perception.dicom import load_dicom
+
+            return load_dicom(path)
         return load_nifti(path)
     except (OSError, ValueError) as e:
         print(json.dumps({"success": False, "message": f"cannot load volume: {e}"}))

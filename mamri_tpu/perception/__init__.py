@@ -2,6 +2,7 @@ from mamri_tpu.perception.volume import Volume, synthetic_volume, lps_to_ras, ra
 from mamri_tpu.perception.segmentation import SegmentationParams, SegmentationResult, segment_volume
 from mamri_tpu.perception.io import load_nifti, save_nifti, resample_to_axis_aligned, volume_from_affine
 from mamri_tpu.perception.dicom import (
+    load_dicom,
     load_dicom_series,
     save_dicom_multiframe,
     save_dicom_series,
@@ -19,6 +20,7 @@ __all__ = [
     "save_nifti",
     "resample_to_axis_aligned",
     "volume_from_affine",
+    "load_dicom",
     "load_dicom_series",
     "save_dicom_multiframe",
     "save_dicom_series",

@@ -606,6 +606,21 @@ def load_dicom_series(directory: str, series_uid: Optional[str] = None) -> Volum
     if not infos:
         detail = f" ({errors[0]})" if errors else ""
         raise ValueError(f"{directory}: no readable DICOM slices{detail}")
+    return _assemble_series(infos, directory, series_uid)
+
+
+def load_dicom(path: str) -> Volume:
+    """Load a single DICOM file (multi-frame or one slice) as a `Volume`.
+
+    The single-file convenience over `load_dicom_series`: Enhanced MR /
+    classic multi-frame files carry a whole stack in one SOP instance, and
+    a lone classic slice loads as a one-slice volume."""
+    if not os.path.isfile(path):
+        raise ValueError(f"{path}: not a file")
+    return _assemble_series([_parse_file(path)], path, None)
+
+
+def _assemble_series(infos: List[Dict], directory: str, series_uid: Optional[str]) -> Volume:
     expanded: List[Dict] = []
     for i in infos:
         expanded.extend(_split_frames(i) if i.get("nframes", 1) > 1 else [i])

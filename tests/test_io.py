@@ -883,3 +883,31 @@ def test_jpegls_lse_preset_paths():
             np.testing.assert_array_equal(py, nat)
         else:
             assert py is None and nat is None
+
+
+def test_load_dicom_single_file():
+    """`load_dicom(path)`: an Enhanced multi-frame file is a full volume in
+    one SOP instance; a lone classic slice loads as a 1-slice volume."""
+    import tempfile
+
+    from mamri_tpu.perception.dicom import load_dicom, save_dicom_multiframe, save_dicom_series
+    from mamri_tpu.perception.volume import Volume
+
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 900, (12, 10, 4)).astype(np.float32)
+    vol = Volume(data=data, spacing=np.array([1.0, 1.5, 2.0], np.float32),
+                 origin=np.array([3.0, -2.0, 8.0], np.float32))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "mf.dcm")
+        save_dicom_multiframe(p, vol, transfer="rle")
+        back = load_dicom(p)
+        np.testing.assert_array_equal(np.asarray(back.data), data)
+        np.testing.assert_allclose(np.asarray(back.spacing), vol.spacing)
+        np.testing.assert_allclose(np.asarray(back.origin), vol.origin)
+        d2 = os.path.join(d, "series")
+        save_dicom_series(d2, vol)
+        one = load_dicom(os.path.join(d2, sorted(os.listdir(d2))[0]))
+        assert np.asarray(one.data).shape == (12, 10, 1)
+        np.testing.assert_array_equal(np.asarray(one.data)[:, :, 0], data[:, :, 0])
+        with pytest.raises(ValueError, match="not a file"):
+            load_dicom(d2)
