@@ -94,6 +94,7 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32,
         ctypes.c_int32,
         ctypes.c_int32,
+        ctypes.c_int32,
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64,
     ]
@@ -271,11 +272,12 @@ def jpegls_decode_native(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
     return out[:n].reshape(rows.value, cols.value), prec.value
 
 
-def jpegls_encode_native(img: np.ndarray, precision: int) -> Optional[bytes]:
-    """JPEG-LS lossless entropy coding of one (rows, cols) uint16 image via
-    the C++ codec -> raw scan bytes (no marker framing; perception.jpegls
-    wraps them). Bit-identical to the Python encoder. None if the native
-    library is unavailable, ValueError on bad samples."""
+def jpegls_encode_native(img: np.ndarray, precision: int, near: int = 0) -> Optional[bytes]:
+    """JPEG-LS entropy coding (lossless NEAR=0 or near-lossless NEAR>0) of
+    one (rows, cols) uint16 image via the C++ codec -> raw scan bytes (no
+    marker framing; perception.jpegls wraps them). Bit-identical to the
+    Python encoder. None if the native library is unavailable, ValueError
+    on bad samples."""
     lib = _load()
     if lib is None:
         return None
@@ -290,6 +292,7 @@ def jpegls_encode_native(img: np.ndarray, precision: int) -> Optional[bytes]:
         rows,
         cols,
         precision,
+        near,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         cap,
     )

@@ -378,9 +378,10 @@ int64_t mamri_jpegll_decode(const uint8_t* data, int64_t len, uint16_t* out,
 
 
 // ----------------------------------------------- JPEG-LS (T.87) decoder
-// Lossless (NEAR=0), single-component scans, default or LSE-preset coding
-// parameters — the native fast path under perception/jpegls.py, whose
-// pure-Python codec is the oracle (CharLS-faithful arithmetic in both).
+// Lossless (NEAR=0) and near-lossless (NEAR>0) single-component scans,
+// default or LSE-preset coding parameters — the native fast path under
+// perception/jpegls.py, whose pure-Python codec is the oracle
+// (CharLS-faithful arithmetic in both).
 // Returns sample count, or -1 malformed/unsupported, -2 cap too small,
 // -3 corrupt entropy stream.
 static const int JLS_J[32] = {0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 2,  2,  3,  3,  3,  3,
@@ -439,7 +440,7 @@ int64_t mamri_jpegls_decode(const uint8_t* data, int64_t len, uint16_t* out,
                             int32_t* prec_out) {
   if (len < 4 || data[0] != 0xFF || data[1] != 0xD8) return -1;
   int64_t pos = 2;
-  int rows = 0, cols = 0, prec = 0;
+  int rows = 0, cols = 0, prec = 0, near = 0;
   int maxval = -1, t1 = 0, t2 = 0, t3 = 0;
   bool have_frame = false, have_preset = false;
   int64_t scan_off = -1;
@@ -471,8 +472,8 @@ int64_t mamri_jpegls_decode(const uint8_t* data, int64_t len, uint16_t* out,
       if (blen < 2 || ((body[0] << 8) | body[1]) != 0) return -1;
     } else if (marker == 0xFFDA) {  // SOS
       if (blen < 6 || body[0] != 1 || !have_frame) return -1;
-      int near = body[3], ilv = body[4];
-      if (near != 0 || ilv != 0) return -1;
+      near = body[3];
+      if (body[4] != 0) return -1;  // ILV
       scan_off = pos;
       break;
     } else if (marker >= 0xFFC0 && marker < 0xFFD0) {
@@ -483,45 +484,47 @@ int64_t mamri_jpegls_decode(const uint8_t* data, int64_t len, uint16_t* out,
   if (static_cast<int64_t>(rows) * cols > cap) return -2;
 
   if (maxval <= 0) maxval = (1 << prec) - 1;
+  if (near < 0 || near > std::min(255, maxval / 2)) return -1;
+  const int qden = 2 * near + 1;
   {
-    // default thresholds (T.87 C.2.4.1.1.1, NEAR=0); an LSE preset value of
-    // 0 means "use the default" PER THRESHOLD (CharLS convention — matching
-    // the Python oracle's `pt1 or t1` substitution)
+    // default thresholds (T.87 C.2.4.1.1.1 incl. NEAR terms); an LSE preset
+    // value of 0 means "use the default" PER THRESHOLD (CharLS convention —
+    // matching the Python oracle's `pt1 or t1` substitution)
     int dt1, dt2, dt3;
     if (maxval >= 128) {
       int factor = (std::min(maxval, 4095) + 128) / 256;
-      dt1 = factor + 2;
-      dt2 = 4 * factor + 3;
-      dt3 = 17 * factor + 4;
+      dt1 = factor + 2 + 3 * near;
+      dt2 = 4 * factor + 3 + 5 * near;
+      dt3 = 17 * factor + 4 + 7 * near;
     } else {
       int factor = 256 / (maxval + 1);
-      dt1 = std::max(2, 3 / factor);
-      dt2 = std::max(3, 7 / factor);
-      dt3 = std::max(4, 21 / factor);
+      dt1 = std::max(2, 3 / factor + 3 * near);
+      dt2 = std::max(3, 7 / factor + 5 * near);
+      dt3 = std::max(4, 21 / factor + 7 * near);
     }
     auto clampv = [&](int v, int lo) { return std::min(std::max(v, lo), maxval); };
-    if (t1 == 0) t1 = clampv(dt1, 1);
+    if (t1 == 0) t1 = clampv(dt1, std::max(near + 1, 1));
     if (t2 == 0) t2 = clampv(dt2, t1);
     if (t3 == 0) t3 = clampv(dt3, t2);
     (void)have_preset;
   }
   if (t1 > maxval || t2 > maxval || t3 > maxval || t1 < 1 || t2 < t1 || t3 < t2)
     return -1;  // inconsistent LSE preset
-  const int rng = maxval + 1;
+  const int rng = (maxval + 2 * near) / qden + 1;
   int qbpp = 1;
   while ((1 << qbpp) < rng) ++qbpp;
-  const int bpp = std::max(2, qbpp);
+  const int bpp = std::max(2, (maxval > 0 ? 32 - __builtin_clz((unsigned)maxval) : 1));
   const int limit = 2 * (bpp + std::max(8, bpp));
 
-  // gradient quantizer LUT over [-maxval, maxval]
+  // gradient quantizer LUT over [-maxval, maxval] (A.3.3 with NEAR)
   std::vector<int8_t> qlut(2 * maxval + 1);
   for (int d = -maxval; d <= maxval; ++d) {
     int q;
     if (d <= -t3) q = -4;
     else if (d <= -t2) q = -3;
     else if (d <= -t1) q = -2;
-    else if (d < 0) q = -1;
-    else if (d == 0) q = 0;
+    else if (d < -near) q = -1;
+    else if (d <= near) q = 0;
     else if (d < t1) q = 1;
     else if (d < t2) q = 2;
     else if (d < t3) q = 3;
@@ -579,7 +582,7 @@ int64_t mamri_jpegls_decode(const uint8_t* data, int64_t len, uint16_t* out,
         }
         if (ended || err) break;
         rb = prevline[i];
-        int ritype = (ra == rb) ? 1 : 0;
+        int ritype = (std::abs(ra - rb) <= near) ? 1 : 0;
         int px = ritype ? ra : rb;
         int sign = (!ritype && rb < ra) ? -1 : 1;
         int q = 365 + ritype;
@@ -599,11 +602,11 @@ int64_t mamri_jpegls_decode(const uint8_t* data, int64_t len, uint16_t* out,
         int evabs = (t + m) / 2;
         bool negflag = ((k != 0 || 2 * Nn[ritype] >= N[q]) ? 1 : 0) == m;
         int errval = negflag ? -evabs : evabs;
-        int x = px + sign * errval;
-        if (x < 0) x += rng;
-        else if (x > maxval) x -= rng;
-        if (x < 0 || x > maxval) { err = true; break; }  // corrupt stream
-        cur32[i] = x;
+        int x = px + sign * errval * qden;
+        if (x < -near) x += rng * qden;
+        else if (x > maxval + near) x -= rng * qden;
+        if (x < -near || x > maxval + near) { err = true; break; }  // corrupt
+        cur32[i] = std::min(std::max(x, 0), maxval);
         if (errval < 0) ++Nn[ritype];
         A[q] += (emerr + 1 - ritype) >> 1;
         if (N[q] == 64) { A[q] >>= 1; N[q] >>= 1; Nn[ritype] >>= 1; }
@@ -637,12 +640,12 @@ int64_t mamri_jpegls_decode(const uint8_t* data, int64_t len, uint16_t* out,
       int errval;
       if (special) errval = (merr & 1) ? (merr - 1) / 2 : -(merr / 2) - 1;
       else errval = (merr & 1) ? -((merr + 1) / 2) : merr / 2;
-      int x = px + sign * errval;
-      if (x < 0) x += rng;
-      else if (x > maxval) x -= rng;
-      if (x < 0 || x > maxval) { err = true; break; }  // corrupt stream
-      cur32[i] = x;
-      B[q] += errval;
+      int x = px + sign * errval * qden;
+      if (x < -near) x += rng * qden;
+      else if (x > maxval + near) x -= rng * qden;
+      if (x < -near || x > maxval + near) { err = true; break; }  // corrupt
+      cur32[i] = std::min(std::max(x, 0), maxval);
+      B[q] += static_cast<int64_t>(errval) * qden;
       A[q] += errval < 0 ? -errval : errval;
       if (N[q] == 64) { A[q] >>= 1; B[q] >>= 1; N[q] >>= 1; }
       ++N[q];
@@ -673,10 +676,12 @@ int64_t mamri_jpegls_decode(const uint8_t* data, int64_t len, uint16_t* out,
 
 
 // ----------------------------------------------- JPEG-LS (T.87) encoder
-// Entropy-codes one lossless (NEAR=0) single-component scan with DEFAULT
-// coding parameters; the caller (perception/jpegls.py) wraps the marker
-// framing. Bit-identical to the Python encoder (same arithmetic, same
-// zero-padded flush). Returns scan byte count, or -1 bad args, -2 cap.
+// Entropy-codes one lossless (NEAR=0) or near-lossless (NEAR>0)
+// single-component scan with DEFAULT coding parameters; the caller
+// (perception/jpegls.py) wraps the marker framing. Bit-identical to the
+// Python encoder (same arithmetic, same zero-padded flush; near-lossless
+// predicts from the encoder-side reconstruction like the oracle does).
+// Returns scan byte count, or -1 bad args, -2 cap.
 struct JlsBitWriter {
   uint8_t* out;
   int64_t cap, n;
@@ -731,29 +736,31 @@ static inline void jls_golomb_encode(JlsBitWriter& w, int k, int val, int limit,
 }
 
 int64_t mamri_jpegls_encode(const uint16_t* img, int32_t rows, int32_t cols,
-                            int32_t prec, uint8_t* out, int64_t cap) {
+                            int32_t prec, int32_t near, uint8_t* out, int64_t cap) {
   if (rows <= 0 || cols <= 0 || prec < 2 || prec > 16) return -1;
   const int maxval = (1 << prec) - 1;
+  if (near < 0 || near > std::min(255, maxval / 2)) return -1;
+  const int qden = 2 * near + 1;
   int t1, t2, t3;
   if (maxval >= 128) {
     int factor = (std::min(maxval, 4095) + 128) / 256;
-    t1 = factor + 2;
-    t2 = 4 * factor + 3;
-    t3 = 17 * factor + 4;
+    t1 = factor + 2 + 3 * near;
+    t2 = 4 * factor + 3 + 5 * near;
+    t3 = 17 * factor + 4 + 7 * near;
   } else {
     int factor = 256 / (maxval + 1);
-    t1 = std::max(2, 3 / factor);
-    t2 = std::max(3, 7 / factor);
-    t3 = std::max(4, 21 / factor);
+    t1 = std::max(2, 3 / factor + 3 * near);
+    t2 = std::max(3, 7 / factor + 5 * near);
+    t3 = std::max(4, 21 / factor + 7 * near);
   }
   auto clampv = [&](int v, int lo) { return std::min(std::max(v, lo), maxval); };
-  t1 = clampv(t1, 1);
+  t1 = clampv(t1, std::max(near + 1, 1));
   t2 = clampv(t2, t1);
   t3 = clampv(t3, t2);
-  const int rng = maxval + 1;
+  const int rng = (maxval + 2 * near) / qden + 1;
   int qbpp = 1;
   while ((1 << qbpp) < rng) ++qbpp;
-  const int bpp = std::max(2, qbpp);
+  const int bpp = std::max(2, (maxval > 0 ? 32 - __builtin_clz((unsigned)maxval) : 1));
   const int limit = 2 * (bpp + std::max(8, bpp));
   const int half = (rng + 1) / 2;
 
@@ -763,8 +770,8 @@ int64_t mamri_jpegls_encode(const uint16_t* img, int32_t rows, int32_t cols,
     if (d <= -t3) q = -4;
     else if (d <= -t2) q = -3;
     else if (d <= -t1) q = -2;
-    else if (d < 0) q = -1;
-    else if (d == 0) q = 0;
+    else if (d < -near) q = -1;
+    else if (d <= near) q = 0;
     else if (d < t1) q = 1;
     else if (d < t2) q = 2;
     else if (d < t3) q = 3;
@@ -778,23 +785,27 @@ int64_t mamri_jpegls_encode(const uint16_t* img, int32_t rows, int32_t cols,
   int c_first = 0;
   JlsBitWriter w{out, cap, 0, 0, 0, 8, false};
 
+  // near-lossless prediction reads RECONSTRUCTED neighbors; for NEAR=0
+  // reconstruction == source, so one code path serves both
+  std::vector<int32_t> prevrec(cols, 0), currec(cols, 0);
+
   for (int y = 0; y < rows; ++y) {
     const uint16_t* cur = img + static_cast<int64_t>(y) * cols;
-    const uint16_t* prev = y > 0 ? img + static_cast<int64_t>(y - 1) * cols : nullptr;
     int i = 0;
     while (i < cols) {
-      int ra = i > 0 ? cur[i - 1] : (prev ? prev[0] : 0);
-      int rb = prev ? prev[i] : 0;
-      int rc = i > 0 ? (prev ? prev[i - 1] : 0) : c_first;
-      int rd = prev ? ((i + 1 < cols) ? prev[i + 1] : prev[cols - 1]) : 0;
+      int ra = i > 0 ? currec[i - 1] : (y > 0 ? prevrec[0] : 0);
+      int rb = y > 0 ? prevrec[i] : 0;
+      int rc = i > 0 ? (y > 0 ? prevrec[i - 1] : 0) : c_first;
+      int rd = y > 0 ? ((i + 1 < cols) ? prevrec[i + 1] : prevrec[cols - 1]) : 0;
       if (static_cast<unsigned>(cur[i]) > static_cast<unsigned>(maxval)) return -1;
       int q1 = qlut[rd - rb + maxval];
       int q2 = qlut[rb - rc + maxval];
       int q3 = qlut[rc - ra + maxval];
       if (q1 == 0 && q2 == 0 && q3 == 0) {
-        // run mode
+        // run mode: samples within NEAR of RA reconstruct as RA
         int start = i;
-        while (i < cols && cur[i] == ra) ++i;
+        while (i < cols && std::abs(static_cast<int>(cur[i]) - ra) <= near) ++i;
+        for (int k2 = start; k2 < i; ++k2) currec[k2] = ra;
         int cnt = i - start;
         while (cnt >= (1 << JLS_J[run_index])) {
           w.put(1, 1);
@@ -809,8 +820,8 @@ int64_t mamri_jpegls_encode(const uint16_t* img, int32_t rows, int32_t cols,
         if (JLS_J[run_index]) w.put(cnt, JLS_J[run_index]);
         int x = cur[i];
         if (x > maxval) return -1;  // the loop-top check covered run entry only
-        rb = prev ? prev[i] : 0;
-        int ritype = (ra == rb) ? 1 : 0;
+        rb = y > 0 ? prevrec[i] : 0;
+        int ritype = (std::abs(ra - rb) <= near) ? 1 : 0;
         int px = ritype ? ra : rb;
         int sign = (!ritype && rb < ra) ? -1 : 1;
         int q = 365 + ritype;
@@ -818,6 +829,14 @@ int64_t mamri_jpegls_encode(const uint16_t* img, int32_t rows, int32_t cols,
         int k = 0;
         while ((N[q] << k) < temp) ++k;
         int errval = (x - px) * sign;
+        if (near) {
+          if (errval > 0) errval = (errval + near) / qden;
+          else errval = -((near - errval) / qden);
+          int rx = px + sign * errval * qden;
+          currec[i] = std::min(std::max(rx, 0), maxval);
+        } else {
+          currec[i] = x;
+        }
         if (errval < 0) errval += rng;
         if (errval >= half) errval -= rng;
         bool m;
@@ -852,13 +871,21 @@ int64_t mamri_jpegls_encode(const uint16_t* img, int32_t rows, int32_t cols,
       while ((N[q] << k) < A[q]) ++k;
       bool special = (k == 0 && 2 * B[q] <= -N[q]);
       int errval = (cur[i] - px) * sign;
+      if (near) {
+        if (errval > 0) errval = (errval + near) / qden;
+        else errval = -((near - errval) / qden);
+        int rx = px + sign * errval * qden;
+        currec[i] = std::min(std::max(rx, 0), maxval);
+      } else {
+        currec[i] = cur[i];
+      }
       if (errval < 0) errval += rng;
       if (errval >= half) errval -= rng;
       int merr;
       if (special) merr = errval >= 0 ? 2 * errval + 1 : -2 * (errval + 1);
       else merr = errval >= 0 ? 2 * errval : -2 * errval - 1;
       jls_golomb_encode(w, k, merr, limit, qbpp);
-      B[q] += errval;
+      B[q] += static_cast<int64_t>(errval) * qden;
       A[q] += errval < 0 ? -errval : errval;
       if (N[q] == 64) { A[q] >>= 1; B[q] >>= 1; N[q] >>= 1; }
       ++N[q];
@@ -873,7 +900,8 @@ int64_t mamri_jpegls_encode(const uint16_t* img, int32_t rows, int32_t cols,
       }
       ++i;
     }
-    c_first = prev ? prev[0] : 0;
+    c_first = y > 0 ? prevrec[0] : 0;
+    prevrec.swap(currec);
     if (w.overflow) return -2;
   }
   w.flush();

@@ -7,9 +7,9 @@ stack does the series assembly; standalone mamri_tpu does its own:
   * `load_dicom_series(dir)` — MR series in implicit/explicit VR little
     endian, deflated explicit VR LE, explicit VR big endian, RLE Lossless
     (encapsulated PackBits), JPEG Lossless (.57/.70), JPEG-LS lossless
-    (.80), or JPEG 2000 (.90 lossless and .91 incl. irreversible 9/7);
-    other lossy syntaxes (incl. JPEG-LS near-lossless .81) are rejected
-    loudly. Both
+    (.80), JPEG-LS near-lossless (.81), or JPEG 2000 (.90 lossless and
+    .91 incl. irreversible 9/7); baseline lossy JPEG is rejected loudly,
+    as is near-lossless content mislabeled under a lossless UID. Both
     one-file-per-slice series and multi-frame files assemble: classic
     multi-frame (NumberOfFrames + SpacingBetweenSlices along the IOP
     normal) and Enhanced MR (per-frame PlanePosition + shared
@@ -52,7 +52,7 @@ _RLE_LOSSLESS = "1.2.840.10008.1.2.5"
 _JPEG_LL = "1.2.840.10008.1.2.4.57"  # lossless non-hierarchical, any predictor
 _JPEG_LL_SV1 = "1.2.840.10008.1.2.4.70"  # lossless first-order prediction
 _JPEG_LS = "1.2.840.10008.1.2.4.80"  # JPEG-LS lossless (NEAR=0)
-_JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"  # JPEG-LS near-lossless: NOT lossless
+_JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"  # JPEG-LS near-lossless (NEAR>0)
 _J2K_LL = "1.2.840.10008.1.2.4.90"  # JPEG 2000 lossless-only (reversible 5/3)
 _J2K = "1.2.840.10008.1.2.4.91"  # JPEG 2000 (decodable when reversible)
 _MR_STORAGE = "1.2.840.10008.5.1.4.1.1.4"
@@ -291,13 +291,13 @@ def _parse_file(path: str) -> Dict:
         body_off = 0
     if transfer not in (
         _IMPLICIT_LE, _EXPLICIT_LE, _DEFLATED_LE, _EXPLICIT_BE, _RLE_LOSSLESS,
-        _JPEG_LL, _JPEG_LL_SV1, _JPEG_LS, _J2K_LL, _J2K,
+        _JPEG_LL, _JPEG_LL_SV1, _JPEG_LS, _JPEG_LS_NEAR, _J2K_LL, _J2K,
     ):
         raise ValueError(
-            f"{path}: unsupported transfer syntax {transfer} (lossy/"
-            "near-lossless compression is not implemented; implicit/explicit "
-            "VR LE, deflated explicit VR LE, explicit VR BE, RLE Lossless, "
-            "JPEG Lossless, JPEG-LS lossless and JPEG 2000 lossless are)"
+            f"{path}: unsupported transfer syntax {transfer} (baseline-JPEG "
+            "lossy compression is not implemented; implicit/explicit VR LE, "
+            "deflated explicit VR LE, explicit VR BE, RLE Lossless, JPEG "
+            "Lossless, JPEG-LS lossless + near-lossless and JPEG 2000 are)"
         )
 
     body = raw[body_off:]
@@ -509,13 +509,20 @@ def _slice_array(info: Dict) -> np.ndarray:
     npix = info["rows"] * info["cols"]
     if bits not in (8, 16):
         raise ValueError(f"{info['path']}: unsupported BitsAllocated {bits}")
-    if info.get("transfer") == _JPEG_LS:
-        from mamri_tpu.perception.jpegls import decode_jpeg_ls
+    if info.get("transfer") in (_JPEG_LS, _JPEG_LS_NEAR):
+        from mamri_tpu.perception.jpegls import _parse_markers, decode_jpeg_ls
 
         frags = info["pixels"]
         if not isinstance(frags, list):
             raise ValueError(f"{info['path']}: JPEG-LS pixel data must be encapsulated")
-        arr, _prec = decode_jpeg_ls(b"".join(frags))
+        blob = b"".join(frags)
+        if info["transfer"] == _JPEG_LS and _parse_markers(blob)["near"] != 0:
+            raise ValueError(
+                f"{info['path']}: transfer syntax claims JPEG-LS LOSSLESS (.80) "
+                "but the scan is near-lossless (NEAR>0) — refusing mislabeled "
+                "lossy data"
+            )
+        arr, _prec = decode_jpeg_ls(blob)
         if arr.shape != (info["rows"], info["cols"]):
             raise ValueError(
                 f"{info['path']}: JPEG-LS frame {arr.shape} != ({info['rows']}, {info['cols']})"
@@ -721,7 +728,7 @@ def _rescale_int16(data: np.ndarray) -> Tuple[np.ndarray, float, float]:
     return stored, slope, inter
 
 
-def _compress_frame(a: np.ndarray, transfer: str) -> bytes:
+def _compress_frame(a: np.ndarray, transfer: str, near: int = 0) -> bytes:
     """One (rows, cols) int16 frame -> an even-length compressed fragment."""
     if transfer == "rle":
         u = a.view(np.uint16)
@@ -731,8 +738,12 @@ def _compress_frame(a: np.ndarray, transfer: str) -> bytes:
     elif transfer == "jpegls":
         from mamri_tpu.perception.jpegls import encode_jpeg_ls
 
-        # signed samples ride as their 16-bit two's-complement patterns
-        frame = encode_jpeg_ls(a.view(np.uint16), precision=16)
+        # signed samples ride as their 16-bit two's-complement patterns.
+        # near>0 quantizes in that view, and T.87's per-sample guarantee
+        # (|recon - x| <= NEAR, clamped inside [0, 65535]) transfers to the
+        # stored int16 domain step-for-step, so the data-unit error is
+        # <= near * RescaleSlope
+        frame = encode_jpeg_ls(a.view(np.uint16), precision=16, near=near)
     elif transfer == "j2k":
         from mamri_tpu.perception.jpeg2000 import encode_jpeg2000
 
@@ -760,7 +771,8 @@ def _encapsulate(frags: List[bytes]) -> bytes:
 
 
 def save_dicom_series(
-    directory: str, volume: Volume, series_number: int = 1, transfer: str = "explicit_le"
+    directory: str, volume: Volume, series_number: int = 1,
+    transfer: str = "explicit_le", near: int = 0,
 ) -> List[str]:
     """Write the volume as an MR series (one file per z slice): explicit VR
     LE, deflated explicit VR LE (`transfer="deflated"`), RLE Lossless
@@ -777,6 +789,8 @@ def save_dicom_series(
             f"transfer must be 'explicit_le', 'deflated', 'rle', 'jpegll', "
             f"'jpegls' or 'j2k', got {transfer!r}"
         )
+    if near and transfer != "jpegls":
+        raise ValueError("near-lossless (near>0) requires transfer='jpegls'")
     os.makedirs(directory, exist_ok=True)
     data = np.asarray(volume.data, dtype=np.float32)
     nx, ny, nz = data.shape
@@ -793,7 +807,7 @@ def save_dicom_series(
         rows, cols = ny, nx
         a = np.ascontiguousarray(sl.T)  # (rows, cols) C-order int16
         if transfer in ("rle", "jpegll", "jpegls", "j2k"):
-            pixel_el = _encapsulate([_compress_frame(a, transfer)])
+            pixel_el = _encapsulate([_compress_frame(a, transfer, near)])
         else:
             pixel_el = _el(0x7FE0, 0x0010, b"OW", a.tobytes())
         body = b"".join(
@@ -832,7 +846,7 @@ def save_dicom_series(
                     {
                         "rle": _RLE_LOSSLESS,
                         "jpegll": _JPEG_LL_SV1,
-                        "jpegls": _JPEG_LS,
+                        "jpegls": _JPEG_LS_NEAR if near else _JPEG_LS,
                         "j2k": _J2K_LL,
                         "explicit_le": _EXPLICIT_LE,
                         "deflated": _DEFLATED_LE,
@@ -849,7 +863,8 @@ def save_dicom_series(
 
 
 def save_dicom_multiframe(
-    path: str, volume: Volume, series_number: int = 1, transfer: str = "explicit_le"
+    path: str, volume: Volume, series_number: int = 1,
+    transfer: str = "explicit_le", near: int = 0,
 ) -> str:
     """Write the volume as ONE Enhanced MR multi-frame file (the modern
     single-file export modern scanners produce): all geometry and rescale
@@ -865,6 +880,8 @@ def save_dicom_multiframe(
             f"transfer must be 'explicit_le', 'deflated', 'rle', 'jpegll', "
             f"'jpegls' or 'j2k', got {transfer!r}"
         )
+    if near and transfer != "jpegls":
+        raise ValueError("near-lossless (near>0) requires transfer='jpegls'")
     data = np.asarray(volume.data, dtype=np.float32)
     nx, ny, nz = data.shape
     rows, cols = ny, nx
@@ -873,7 +890,7 @@ def save_dicom_multiframe(
     if transfer in ("explicit_le", "deflated"):  # native pixels (deflate wraps the dataset)
         pixel_el = _el(0x7FE0, 0x0010, b"OW", b"".join(a.tobytes() for a in frames))
     else:
-        pixel_el = _encapsulate([_compress_frame(a, transfer) for a in frames])
+        pixel_el = _encapsulate([_compress_frame(a, transfer, near) for a in frames])
 
     sx, sy, sz = [float(s) for s in volume.spacing]
     ox, oy, oz = [float(o) for o in volume.origin]
@@ -939,7 +956,7 @@ def save_dicom_multiframe(
                 {
                     "rle": _RLE_LOSSLESS,
                     "jpegll": _JPEG_LL_SV1,
-                    "jpegls": _JPEG_LS,
+                    "jpegls": _JPEG_LS_NEAR if near else _JPEG_LS,
                     "j2k": _J2K_LL,
                     "explicit_le": _EXPLICIT_LE,
                     "deflated": _DEFLATED_LE,

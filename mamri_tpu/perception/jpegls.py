@@ -3,8 +3,9 @@
 The third common lossless transfer syntax real scanners export besides RLE
 and JPEG Lossless process 14 (the reference ingests all of them through
 Slicer's DICOM stack, Mamri/Mamri.py:1306). Scope: single-component
-(grayscale) scans, NEAR=0 (the DICOM "JPEG-LS Lossless" 1.2.840.10008.1.2.4.80
-constraint), 2-16 bit precision, default or LSE-preset coding parameters,
+(grayscale) scans, lossless NEAR=0 (DICOM 1.2.840.10008.1.2.4.80) and
+near-lossless NEAR>0 (.81 — every decoded sample within NEAR of the
+original), 2-16 bit precision, default or LSE-preset coding parameters,
 restart-marker-free scans (DICOM encoders do not emit DRI/RSTn in practice).
 
 Algorithm (LOCO-I): causal neighborhood {a, b, c, d}, gradient quantization
@@ -44,41 +45,44 @@ _RESET = 64
 _MIN_C, _MAX_C = -128, 127
 
 
-def _default_thresholds(maxval: int) -> Tuple[int, int, int]:
-    """Default T1/T2/T3 for NEAR=0 (T.87 C.2.4.1.1.1)."""
+def _default_thresholds(maxval: int, near: int = 0) -> Tuple[int, int, int]:
+    """Default T1/T2/T3 (T.87 C.2.4.1.1.1, incl. the NEAR terms)."""
     def clamp(v, lo):
         return min(max(v, lo), maxval)
 
+    lo1 = max(near + 1, 1)
     if maxval >= 128:
         factor = (min(maxval, 4095) + 128) // 256
-        t1 = clamp(factor * (3 - 2) + 2, 1)
-        t2 = clamp(factor * (7 - 3) + 3, t1)
-        t3 = clamp(factor * (21 - 4) + 4, t2)
+        t1 = clamp(factor * (3 - 2) + 2 + 3 * near, lo1)
+        t2 = clamp(factor * (7 - 3) + 3 + 5 * near, t1)
+        t3 = clamp(factor * (21 - 4) + 4 + 7 * near, t2)
     else:
         factor = 256 // (maxval + 1)
-        t1 = clamp(max(2, 3 // factor), 1)
-        t2 = clamp(max(3, 7 // factor), t1)
-        t3 = clamp(max(4, 21 // factor), t2)
+        t1 = clamp(max(2, 3 // factor + 3 * near), lo1)
+        t2 = clamp(max(3, 7 // factor + 5 * near), t1)
+        t3 = clamp(max(4, 21 // factor + 7 * near), t2)
     return t1, t2, t3
 
 
 class _Params:
-    def __init__(self, precision: int, maxval: int, t1: int, t2: int, t3: int):
+    def __init__(self, precision: int, maxval: int, t1: int, t2: int, t3: int,
+                 near: int = 0):
         self.maxval = maxval
-        self.range = maxval + 1
+        self.near = near
+        self.range = (maxval + 2 * near) // (2 * near + 1) + 1
         self.qbpp = max(1, (self.range - 1).bit_length())
         bpp = max(2, (maxval + 1 - 1).bit_length())
         self.bpp = bpp
         self.limit = 2 * (bpp + max(8, bpp))
         self.t1, self.t2, self.t3 = t1, t2, t3
-        # gradient quantizer LUT over [-maxval, maxval]
+        # gradient quantizer LUT over [-maxval, maxval] (A.3.3 with NEAR)
         d = np.arange(-maxval, maxval + 1, dtype=np.int64)
         q = np.zeros_like(d)
-        q[d >= 1] = 1
+        q[d > near] = 1
         q[d >= t1] = 2
         q[d >= t2] = 3
         q[d >= t3] = 4
-        q[d <= -1] = -1
+        q[d < -near] = -1
         q[d <= -t1] = -2
         q[d <= -t2] = -3
         q[d <= -t3] = -4
@@ -229,15 +233,21 @@ def _codec(img, shape, p: _Params, writer=None, reader=None):
     st = _State(p)
     A, B, C, N, Nn = st.A, st.B, st.C, st.N, st.Nn
     maxval, rng, qbpp, limit = p.maxval, p.range, p.qbpp, p.limit
+    near = p.near
+    qden = 2 * near + 1
     half = (rng + 1) // 2
     qlut, qoff = p.qlut, p.qoff
     encode = writer is not None
-    out = img if encode else np.zeros((H, W), dtype=np.int64)
+    # near-lossless coding predicts from RECONSTRUCTED samples, so the
+    # encoder maintains its own reconstruction buffer; lossless encode
+    # writes through (reconstruction == source)
+    out = img if (encode and near == 0) else np.zeros((H, W), dtype=np.int64)
     prev = np.zeros(W, dtype=np.int64)
     c_first = 0
 
     for y in range(H):
         cur = out[y]
+        cur_src = img[y] if encode else None
         i = 0
         while i < W:
             ra = cur[i - 1] if i > 0 else prev[0]
@@ -252,8 +262,13 @@ def _codec(img, shape, p: _Params, writer=None, reader=None):
                 ri = st.run_index
                 if encode:
                     start = i
-                    while i < W and cur[i] == ra:
-                        i += 1
+                    if near:
+                        while i < W and abs(int(cur_src[i]) - ra) <= near:
+                            i += 1
+                        cur[start:i] = ra  # run samples reconstruct as RA
+                    else:
+                        while i < W and cur[i] == ra:
+                            i += 1
                     cnt = i - start
                     while cnt >= (1 << _J[ri]):
                         writer.put(1, 1)
@@ -268,7 +283,7 @@ def _codec(img, shape, p: _Params, writer=None, reader=None):
                     writer.put(0, 1)
                     if _J[ri]:
                         writer.put(cnt, _J[ri])
-                    x = int(cur[i])
+                    x = int(cur_src[i])
                     rb = prev[i]  # neighbors move to the interruption sample
                 else:
                     ended = False
@@ -299,7 +314,7 @@ def _codec(img, shape, p: _Params, writer=None, reader=None):
                     rb = prev[i]
                 # ---- run-interruption sample (context 365/366); the Golomb
                 # limit uses J[run_index] BEFORE the decrement (CharLS order)
-                ritype = 1 if ra == rb else 0
+                ritype = 1 if abs(int(ra) - int(rb)) <= near else 0
                 if ritype:
                     px, sign = int(ra), 1
                 else:
@@ -312,6 +327,13 @@ def _codec(img, shape, p: _Params, writer=None, reader=None):
                 rlimit = limit - _J[ri] - 1
                 if encode:
                     errval = (x - px) * sign
+                    if near:
+                        if errval > 0:
+                            errval = (errval + near) // qden
+                        else:
+                            errval = -((near - errval) // qden)
+                        rx = px + sign * errval * qden
+                        cur[i] = min(max(rx, 0), maxval)
                     if errval < 0:
                         errval += rng
                     if errval >= half:
@@ -335,14 +357,14 @@ def _codec(img, shape, p: _Params, writer=None, reader=None):
                     evabs = (t + m) // 2
                     neg = (1 if (k != 0 or 2 * Nn[ritype] >= N[q]) else 0) == m
                     errval = -evabs if neg else evabs
-                    x = px + sign * errval
-                    if x < 0:
-                        x += rng
-                    elif x > maxval:
-                        x -= rng
-                    if not 0 <= x <= maxval:
+                    x = px + sign * errval * qden
+                    if x < -near:
+                        x += rng * qden
+                    elif x > maxval + near:
+                        x -= rng * qden
+                    if not -near <= x <= maxval + near:
                         raise JpegLsError("corrupt stream: sample out of range")
-                    cur[i] = x
+                    cur[i] = min(max(x, 0), maxval)
                 if errval < 0:
                     Nn[ritype] += 1
                 A[q] += (emerr + 1 - ritype) >> 1
@@ -372,7 +394,14 @@ def _codec(img, shape, p: _Params, writer=None, reader=None):
                 k += 1
             special = k == 0 and 2 * B[q] <= -N[q]
             if encode:
-                errval = (int(cur[i]) - px) * sign
+                errval = (int(cur_src[i]) - px) * sign
+                if near:
+                    if errval > 0:
+                        errval = (errval + near) // qden
+                    else:
+                        errval = -((near - errval) // qden)
+                    rx = px + sign * errval * qden
+                    cur[i] = min(max(rx, 0), maxval)
                 if errval < 0:
                     errval += rng
                 if errval >= half:
@@ -388,15 +417,15 @@ def _codec(img, shape, p: _Params, writer=None, reader=None):
                     errval = (merr - 1) // 2 if merr & 1 else -(merr // 2) - 1
                 else:
                     errval = -(merr + 1) // 2 if merr & 1 else merr // 2
-                x = px + sign * errval
-                if x < 0:
-                    x += rng
-                elif x > maxval:
-                    x -= rng
-                if not 0 <= x <= maxval:
+                x = px + sign * errval * qden
+                if x < -near:
+                    x += rng * qden
+                elif x > maxval + near:
+                    x -= rng * qden
+                if not -near <= x <= maxval + near:
                     raise JpegLsError("corrupt stream: sample out of range")
-                cur[i] = x
-            B[q] += errval
+                cur[i] = min(max(x, 0), maxval)
+            B[q] += errval * qden
             A[q] += abs(errval)
             if N[q] == _RESET:
                 A[q] >>= 1
@@ -421,31 +450,37 @@ def _codec(img, shape, p: _Params, writer=None, reader=None):
     return out
 
 
-def encode_jpeg_ls(img: np.ndarray, precision: int, use_native: bool = True) -> bytes:
-    """Encode a 2-D unsigned image (values < 2**precision) as a lossless
-    (NEAR=0) single-component JPEG-LS codestream. Dispatches the entropy
-    coding to the native C++ codec when built (bit-identical output); the
-    Python scan loop below is the oracle."""
+def encode_jpeg_ls(
+    img: np.ndarray, precision: int, use_native: bool = True, near: int = 0
+) -> bytes:
+    """Encode a 2-D unsigned image (values < 2**precision) as a
+    single-component JPEG-LS codestream: lossless (NEAR=0, DICOM .80) or
+    near-lossless (NEAR>0, DICOM .81 — every reconstructed sample within
+    NEAR of the source). Dispatches the entropy coding to the native C++
+    codec when built (bit-identical output); the Python scan loop below is
+    the oracle."""
     if img.ndim != 2:
         raise JpegLsError("only 2-D grayscale images")
     if not 2 <= precision <= 16:
         raise JpegLsError(f"precision {precision} out of range [2, 16]")
     a = np.ascontiguousarray(img, dtype=np.int64)
     maxval = (1 << precision) - 1
+    if not 0 <= near <= min(255, maxval // 2):
+        raise JpegLsError(f"NEAR={near} out of range [0, min(255, maxval/2)]")
     if a.min() < 0 or a.max() > maxval:
         raise JpegLsError("sample values exceed the stated precision")
     H, W = a.shape
     head = struct.pack(">H", _SOI)
     head += struct.pack(">HHBHHB", _SOF55, 11, precision, H, W, 1)
     head += bytes([1, 0x11, 0])  # component 1, no subsampling, Tq=0
-    head += struct.pack(">HH", _SOS, 8) + bytes([1, 1, 0, 0, 0, 0])  # NEAR=0, ILV=0
+    head += struct.pack(">HH", _SOS, 8) + bytes([1, 1, 0, near, 0, 0])  # ILV=0
     scan = None
     if use_native:
         from mamri_tpu.native import jpegls_encode_native
 
-        scan = jpegls_encode_native(a.astype(np.uint16), precision)
+        scan = jpegls_encode_native(a.astype(np.uint16), precision, near)
     if scan is None:
-        p = _Params(precision, maxval, *_default_thresholds(maxval))
+        p = _Params(precision, maxval, *_default_thresholds(maxval, near), near)
         w = _BitWriter()
         _codec(a, (H, W), p, writer=w)
         scan = w.flush()
@@ -489,14 +524,9 @@ def _parse_markers(data: bytes) -> Dict:
             near, ilv = body[1 + 2], body[1 + 2 + 1]
             if frame is None:
                 raise JpegLsError("SOS before SOF55")
-            if near != 0:
-                raise JpegLsError(
-                    f"NEAR={near} is near-lossless (DICOM 1.2.840.10008.1.2.4.81); "
-                    "only lossless (NEAR=0) is supported"
-                )
             if ilv != 0:
                 raise JpegLsError("interleave modes unsupported for 1 component")
-            return {**frame, "preset": preset, "scan_offset": pos}
+            return {**frame, "preset": preset, "near": near, "scan_offset": pos}
     raise JpegLsError("no SOS marker found")
 
 
@@ -513,18 +543,21 @@ def decode_jpeg_ls(data: bytes, use_native: bool = True) -> Tuple[np.ndarray, in
             return native
     scan = _parse_markers(data)
     prec = scan["precision"]
+    near = scan["near"]
     maxval = (1 << prec) - 1
-    t1, t2, t3 = _default_thresholds(maxval)
+    if near > min(255, maxval // 2):
+        raise JpegLsError(f"NEAR={near} out of range for {prec}-bit samples")
+    t1, t2, t3 = _default_thresholds(maxval, near)
     if scan["preset"] is not None:
         mv, pt1, pt2, pt3, reset = scan["preset"]
         if mv:
             maxval = mv
-            t1, t2, t3 = _default_thresholds(maxval)
+            t1, t2, t3 = _default_thresholds(maxval, near)
         if pt1 or pt2 or pt3:
             t1, t2, t3 = pt1 or t1, pt2 or t2, pt3 or t3
         if reset and reset != _RESET:
             raise JpegLsError(f"non-default RESET={reset} unsupported")
-    p = _Params(prec, maxval, t1, t2, t3)
+    p = _Params(prec, maxval, t1, t2, t3, near)
     r = _BitReader(data[scan["scan_offset"] :])
     out = _codec(None, (scan["rows"], scan["cols"]), p, reader=r)
     return out.astype(np.uint16), prec

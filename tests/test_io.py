@@ -684,14 +684,12 @@ def test_jpegls_codec_property():
     # run mode must actually compress the run-heavy phantom
     runs = (np.repeat(rng.integers(0, 3, (40, 8)), 16, axis=1) * 7).astype(np.uint16)
     assert len(jpegls.encode_jpeg_ls(runs, 16)) < runs.nbytes // 4
-    # NEAR>0 (DICOM .81 near-lossless) is rejected loudly by both decoders
-    enc = bytearray(jpegls.encode_jpeg_ls(images[0], 16))
-    sos = enc.find(b"\xff\xda")
-    enc[sos + 7] = 2  # NEAR byte
-    with pytest.raises(ValueError, match="near-lossless"):
-        jpegls.decode_jpeg_ls(bytes(enc), use_native=False)
-    with pytest.raises(ValueError):
-        jpegls.decode_jpeg_ls(bytes(enc))
+    # a genuine NEAR=2 stream decodes within tolerance through both paths
+    enc2 = jpegls.encode_jpeg_ls(images[0], 16, near=2)
+    d2, _ = jpegls.decode_jpeg_ls(enc2, use_native=False)
+    assert np.abs(d2.astype(np.int64) - images[0].astype(np.int64)).max() <= 2
+    if native.available():
+        np.testing.assert_array_equal(jpegls.decode_jpeg_ls(enc2)[0], d2)
     # truncated stream fails loudly
     with pytest.raises(ValueError):
         jpegls.decode_jpeg_ls(jpegls.encode_jpeg_ls(images[1], 16)[:30], use_native=False)
@@ -723,16 +721,16 @@ def test_dicom_jpegls_roundtrip(tmp_path):
     mf = tmp_path / "mf"
     save_dicom_multiframe(str(mf / "vol.dcm"), v, transfer="jpegls")
     np.testing.assert_array_equal(load_dicom_series(str(mf)).data, data)
-    # rewrite one file's transfer UID to .81 (near-lossless): the loud-reject
-    # reason must surface when a directory has no loadable slices
+    # a NEAR=0 scan relabeled as .81 is legal (near-lossless with NEAR=0)
+    # and still round-trips exactly
     d81 = tmp_path / "near"
     d81.mkdir()
     raw = bytearray((tmp_path / "ls" / "slice_0000.dcm").read_bytes())
     i = raw.find(b"1.2.840.10008.1.2.4.80")
     raw[i : i + 22] = b"1.2.840.10008.1.2.4.81"
     (d81 / "f.dcm").write_bytes(bytes(raw))
-    with pytest.raises(ValueError, match="unsupported transfer syntax"):
-        load_dicom_series(str(d81))
+    one = load_dicom_series(str(d81))
+    np.testing.assert_array_equal(np.asarray(one.data)[:, :, 0], data[:, :, 0])
 
 
 def test_jpegls_corrupt_streams_fail_loudly():
@@ -911,3 +909,77 @@ def test_load_dicom_single_file():
         np.testing.assert_array_equal(np.asarray(one.data)[:, :, 0], data[:, :, 0])
         with pytest.raises(ValueError, match="not a file"):
             load_dicom(d2)
+
+
+def test_jpegls_near_lossless_codec_property():
+    """NEAR>0 (T.87 near-lossless): every reconstructed sample within NEAR
+    of the source, sizes shrink with NEAR, native C++ bit-identical."""
+    from mamri_tpu import native
+    from mamri_tpu.perception import jpegls
+
+    rng = np.random.default_rng(19)
+    yy, xx = np.mgrid[:40, :36]
+    smooth = np.clip(600 + 350 * np.sin(yy / 7.0) + rng.normal(0, 6, (40, 36)), 0, 4095)
+    cases = [
+        (smooth.astype(np.uint16), 12),
+        (rng.integers(0, 4096, (23, 31)).astype(np.uint16), 12),
+        (rng.integers(0, 256, (17, 19)).astype(np.uint16), 8),
+        (np.full((12, 30), 77, np.uint16), 8),
+        (rng.integers(0, 1 << 16, (21, 14)).astype(np.uint16), 16),
+    ]
+    for img, prec in cases:
+        sizes = []
+        for near in (0, 1, 2, 5):
+            if near > min(255, ((1 << prec) - 1) // 2):
+                continue
+            enc = jpegls.encode_jpeg_ls(img, prec, use_native=False, near=near)
+            dec, p = jpegls.decode_jpeg_ls(enc, use_native=False)
+            assert p == prec
+            err = np.abs(dec.astype(np.int64) - img.astype(np.int64)).max()
+            assert err <= near, (prec, near, err)
+            sizes.append(len(enc))
+            if native.available():
+                assert jpegls.encode_jpeg_ls(img, prec, use_native=True, near=near) == enc
+                np.testing.assert_array_equal(jpegls.decode_jpeg_ls(enc, use_native=True)[0], dec)
+        assert sizes == sorted(sizes, reverse=True) or len(set(sizes)) == 1
+    with pytest.raises(ValueError, match="NEAR"):
+        jpegls.encode_jpeg_ls(cases[0][0], 12, near=3000)
+
+
+def test_dicom_jpegls_near_lossless_transfer():
+    """transfer='jpegls', near=k writes .81 with a per-sample data-unit
+    error bound of k*RescaleSlope; mislabeling near-lossless content as the
+    lossless .80 UID is refused."""
+    import tempfile
+
+    from mamri_tpu.perception.dicom import (
+        load_dicom,
+        load_dicom_series,
+        save_dicom_multiframe,
+        save_dicom_series,
+    )
+    from mamri_tpu.perception.volume import Volume
+
+    rng = np.random.default_rng(6)
+    data = rng.integers(0, 1400, (24, 20, 3)).astype(np.float32)
+    vol = Volume(data=data, spacing=np.ones(3, np.float32), origin=np.zeros(3, np.float32))
+    with tempfile.TemporaryDirectory() as d:
+        dd = os.path.join(d, "n2")
+        save_dicom_series(dd, vol, transfer="jpegls", near=2)
+        raw = open(os.path.join(dd, sorted(os.listdir(dd))[0]), "rb").read()
+        assert b"1.2.840.10008.1.2.4.81" in raw
+        assert np.abs(np.asarray(load_dicom_series(dd).data) - data).max() <= 2
+        p = os.path.join(d, "mf.dcm")
+        save_dicom_multiframe(p, vol, transfer="jpegls", near=3)
+        assert np.abs(np.asarray(load_dicom(p).data) - data).max() <= 3
+        with pytest.raises(ValueError, match="near"):
+            save_dicom_series(os.path.join(d, "x"), vol, transfer="rle", near=2)
+        # mislabeled: rewrite the .81 UID as .80 (same length) -> refused
+        for f in os.listdir(dd):
+            q = os.path.join(dd, f)
+            b = open(q, "rb").read()
+            open(q, "wb").write(
+                b.replace(b"1.2.840.10008.1.2.4.81", b"1.2.840.10008.1.2.4.80")
+            )
+        with pytest.raises(ValueError, match="mislabeled|LOSSLESS"):
+            load_dicom_series(dd)
