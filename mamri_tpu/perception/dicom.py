@@ -647,7 +647,15 @@ def _assemble_series(infos: List[Dict], directory: str, series_uid: Optional[str
     normal = np.cross(row_dir, col_dir)
     slices.sort(key=lambda s: float(np.dot(np.asarray(s["ipp"]), normal)))
 
-    arrs = [_slice_array(s) for s in slices]
+    if len(slices) > 1:
+        # the compressed codecs run in native C with the GIL released, so
+        # slice decode parallelizes across a small thread pool
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+            arrs = list(ex.map(_slice_array, slices))
+    else:
+        arrs = [_slice_array(s) for s in slices]
     shp = {a.shape for a in arrs}
     if len(shp) != 1:
         raise ValueError(f"{directory}: inconsistent slice shapes {shp}")
@@ -802,12 +810,19 @@ def save_dicom_series(
     paths = []
     sx, sy, sz = [float(s) for s in volume.spacing]
     ox, oy, oz = [float(o) for o in volume.origin]
+    frames = [np.ascontiguousarray(stored[:, :, k].T) for k in range(nz)]
+    fragments = None
+    if transfer in ("rle", "jpegll", "jpegls", "j2k"):
+        # native codecs release the GIL: compress slices in parallel
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+            fragments = list(ex.map(lambda a: _compress_frame(a, transfer, near), frames))
     for k in range(nz):
-        sl = stored[:, :, k]  # (nx, ny) = (cols-axis, rows-axis)
         rows, cols = ny, nx
-        a = np.ascontiguousarray(sl.T)  # (rows, cols) C-order int16
-        if transfer in ("rle", "jpegll", "jpegls", "j2k"):
-            pixel_el = _encapsulate([_compress_frame(a, transfer, near)])
+        a = frames[k]  # (rows, cols) C-order int16
+        if fragments is not None:
+            pixel_el = _encapsulate([fragments[k]])
         else:
             pixel_el = _el(0x7FE0, 0x0010, b"OW", a.tobytes())
         body = b"".join(
@@ -890,7 +905,12 @@ def save_dicom_multiframe(
     if transfer in ("explicit_le", "deflated"):  # native pixels (deflate wraps the dataset)
         pixel_el = _el(0x7FE0, 0x0010, b"OW", b"".join(a.tobytes() for a in frames))
     else:
-        pixel_el = _encapsulate([_compress_frame(a, transfer, near) for a in frames])
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(8, os.cpu_count() or 1)) as ex:
+            pixel_el = _encapsulate(
+                list(ex.map(lambda a: _compress_frame(a, transfer, near), frames))
+            )
 
     sx, sy, sz = [float(s) for s in volume.spacing]
     ox, oy, oz = [float(o) for o in volume.origin]
