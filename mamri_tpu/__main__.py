@@ -36,7 +36,7 @@ def _load(path):
             from mamri_tpu.perception.dicom import load_dicom_series
 
             return load_dicom_series(path)
-        if path.endswith(".dcm"):  # single file (multi-frame or one slice)
+        if path.lower().endswith(".dcm"):  # single file (multi-frame or one slice)
             from mamri_tpu.perception.dicom import load_dicom
 
             return load_dicom(path)

@@ -548,13 +548,20 @@ def _slice_array(info: Dict) -> np.ndarray:
         elif bits == 8:
             arr = arr.astype(np.int8 if signed else np.uint8)
     elif info.get("transfer") in (_J2K_LL, _J2K):
-        from mamri_tpu.perception.jpeg2000 import decode_jpeg2000
+        from mamri_tpu.perception.jpeg2000 import codestream_is_reversible, decode_jpeg2000
 
         frags = info["pixels"]
         if not isinstance(frags, list):
             raise ValueError(f"{info['path']}: JPEG 2000 pixel data must be encapsulated")
+        blob = b"".join(frags)
+        if info["transfer"] == _J2K_LL and not codestream_is_reversible(blob):
+            raise ValueError(
+                f"{info['path']}: transfer syntax claims JPEG 2000 LOSSLESS (.90) "
+                "but the codestream uses the irreversible 9/7 transform — "
+                "refusing mislabeled lossy data"
+            )
         # sample values (incl. signedness) come from the codestream's SIZ
-        arr, _prec = decode_jpeg2000(b"".join(frags))
+        arr, _prec = decode_jpeg2000(blob)
         if arr.shape != (info["rows"], info["cols"]):
             raise ValueError(
                 f"{info['path']}: JPEG 2000 frame {arr.shape} != ({info['rows']}, {info['cols']})"
@@ -736,8 +743,25 @@ def _rescale_int16(data: np.ndarray) -> Tuple[np.ndarray, float, float]:
     return stored, slope, inter
 
 
+def _rescale_uint16(data: np.ndarray) -> Tuple[np.ndarray, float, float]:
+    """Unsigned stored values for near-lossless exports: NEAR quantization
+    acts on the uint16 scan samples, so the stored representation must be
+    MONOTONE in data units — the int16 two's-complement view is not (its
+    32767/32768 pattern boundary sits mid-range, and a NEAR-sized nudge
+    across it would flip the sign for a ~65k-step error)."""
+    lo, hi = float(data.min()), float(data.max())
+    integral = hi - lo <= 64767.0 and bool(np.all(data == np.round(data)))
+    if hi <= lo or integral:
+        scale = 1.0
+    else:
+        scale = max((hi - lo) / 64767.0, 1e-6)
+    stored = np.clip(np.round((data - lo) / scale), 0, 65535).astype(np.uint16)
+    return stored, scale, lo
+
+
 def _compress_frame(a: np.ndarray, transfer: str, near: int = 0) -> bytes:
-    """One (rows, cols) int16 frame -> an even-length compressed fragment."""
+    """One (rows, cols) int16 (or uint16, near-lossless) frame -> an
+    even-length compressed fragment."""
     if transfer == "rle":
         u = a.view(np.uint16)
         frame = _rle_encode_frame(
@@ -746,11 +770,10 @@ def _compress_frame(a: np.ndarray, transfer: str, near: int = 0) -> bytes:
     elif transfer == "jpegls":
         from mamri_tpu.perception.jpegls import encode_jpeg_ls
 
-        # signed samples ride as their 16-bit two's-complement patterns.
-        # near>0 quantizes in that view, and T.87's per-sample guarantee
-        # (|recon - x| <= NEAR, clamped inside [0, 65535]) transfers to the
-        # stored int16 domain step-for-step, so the data-unit error is
-        # <= near * RescaleSlope
+        # lossless: signed samples ride as their 16-bit two's-complement
+        # patterns (bit-exact either way). near>0: the writer stores
+        # UNSIGNED samples (see _rescale_uint16) so T.87's per-sample
+        # |recon - x| <= NEAR bound is <= near * RescaleSlope in data units
         frame = encode_jpeg_ls(a.view(np.uint16), precision=16, near=near)
     elif transfer == "j2k":
         from mamri_tpu.perception.jpeg2000 import encode_jpeg2000
@@ -802,7 +825,7 @@ def save_dicom_series(
     os.makedirs(directory, exist_ok=True)
     data = np.asarray(volume.data, dtype=np.float32)
     nx, ny, nz = data.shape
-    stored, slope, inter = _rescale_int16(data)
+    stored, slope, inter = _rescale_uint16(data) if near else _rescale_int16(data)
 
     uid_base = "1.2.826.0.1.3680043.9.7431"  # arbitrary org root for synthetic data
     series_uid = f"{uid_base}.{series_number}.1"
@@ -845,7 +868,7 @@ def save_dicom_series(
                 _el(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
                 _el(0x0028, 0x0101, b"US", struct.pack("<H", 16)),
                 _el(0x0028, 0x0102, b"US", struct.pack("<H", 15)),
-                _el(0x0028, 0x0103, b"US", struct.pack("<H", 1)),
+                _el(0x0028, 0x0103, b"US", struct.pack("<H", 0 if near else 1)),
                 _el(0x0028, 0x1052, b"DS", _ds([inter])),
                 _el(0x0028, 0x1053, b"DS", _ds([slope])),
                 pixel_el,
@@ -900,7 +923,7 @@ def save_dicom_multiframe(
     data = np.asarray(volume.data, dtype=np.float32)
     nx, ny, nz = data.shape
     rows, cols = ny, nx
-    stored, slope, inter = _rescale_int16(data)
+    stored, slope, inter = _rescale_uint16(data) if near else _rescale_int16(data)
     frames = [np.ascontiguousarray(stored[:, :, k].T) for k in range(nz)]
     if transfer in ("explicit_le", "deflated"):  # native pixels (deflate wraps the dataset)
         pixel_el = _el(0x7FE0, 0x0010, b"OW", b"".join(a.tobytes() for a in frames))
@@ -960,7 +983,7 @@ def save_dicom_multiframe(
             _el(0x0028, 0x0100, b"US", struct.pack("<H", 16)),
             _el(0x0028, 0x0101, b"US", struct.pack("<H", 16)),
             _el(0x0028, 0x0102, b"US", struct.pack("<H", 15)),
-            _el(0x0028, 0x0103, b"US", struct.pack("<H", 1)),
+            _el(0x0028, 0x0103, b"US", struct.pack("<H", 0 if near else 1)),
             _sq(0x5200, 0x9229, [shared_item]),
             _sq(0x5200, 0x9230, perframe_items),
             pixel_el,

@@ -1156,9 +1156,11 @@ _POC = 0xFF5F
 _SOT = 0xFF90
 _SOD = 0xFF93
 _EOC = 0xFFD9
-# informational segments we skip
-_SKIPPABLE = {0xFF55, 0xFF57, 0xFF58, 0xFF60, 0xFF61, 0xFF63, 0xFF64, 0xFF74,
-              0xFF75, 0xFF77, 0xFF78, 0xFF50}  # TLM PLM PLT PPM PPT COM CRG ... CAP
+_PPM, _PPT = 0xFF60, 0xFF61  # packed packet headers: relocate the headers
+# informational segments we skip (lengths/comments only — PPM/PPT are NOT
+# skippable, they move the packet headers out of the tile body)
+_SKIPPABLE = {0xFF55, 0xFF57, 0xFF58, 0xFF63, 0xFF64, 0xFF74,
+              0xFF75, 0xFF77, 0xFF78, 0xFF50}  # TLM PLM PLT COM CRG PLT... CAP
 
 
 def _u16(d: bytes, p: int) -> int:
@@ -1339,6 +1341,8 @@ def decode_jpeg2000(data: bytes, use_native: bool = True) -> Tuple[np.ndarray, i
         raise Jpeg2000Error(f"precision {prec} > 16 bits not supported")
     if not (0 < xsiz - xos <= 1 << 20 and 0 < ysiz - yos <= 1 << 20):
         raise Jpeg2000Error("invalid image extent")
+    if (xsiz - xos) * (ysiz - yos) > 1 << 26:
+        raise Jpeg2000Error("image larger than the 64-Mpixel decode cap")
     if xt == 0 or yt == 0 or xto > xos or yto > yos or xto + xt <= xos or yto + yt <= yos:
         raise Jpeg2000Error("invalid tile grid")
     p += 2 + lsiz
@@ -1366,8 +1370,8 @@ def decode_jpeg2000(data: bytes, use_native: bool = True) -> Tuple[np.ndarray, i
             cp.parse_spcod(data, body + 2, bool(data[body + 1] & 1), ln - 4)
         elif m == _QCC:
             cp.parse_qcd(data, body + 1, ln - 3)
-        elif m in (_RGN, _POC):
-            raise Jpeg2000Error(f"unsupported marker 0x{m:04x} (RGN/POC)")
+        elif m in (_RGN, _POC, _PPM, _PPT):
+            raise Jpeg2000Error(f"unsupported marker 0x{m:04x} (RGN/POC/PPM/PPT)")
         elif m in _SKIPPABLE:
             pass
         else:
@@ -1402,8 +1406,9 @@ def decode_jpeg2000(data: bytes, use_native: bool = True) -> Tuple[np.ndarray, i
         while _u16(data, q) != _SOD:
             mm = _u16(data, q)
             lln = _u16(data, q + 2)
-            if mm in (_COD, _COC, _QCD, _QCC, _POC):
-                raise Jpeg2000Error("per-tile coding overrides not supported")
+            if mm in (_COD, _COC, _QCD, _QCC, _POC, _PPT):
+                raise Jpeg2000Error("per-tile coding overrides / packed packet "
+                                    "headers not supported")
             if mm not in _SKIPPABLE or lln < 2 or q + 2 + lln > len(data):
                 raise Jpeg2000Error(f"unexpected marker 0x{mm:04x} in tile header")
             q += 2 + lln
@@ -1526,6 +1531,33 @@ def _gather_band(quad, band, cb, r, nl, tx0, ty0, tx1, ty1) -> np.ndarray:
     return quad[y : y + (cb.y1 - cb.y0), x : x + (cb.x1 - cb.x0)]
 
 
+def codestream_is_reversible(data: bytes) -> bool:
+    """True iff the main-header COD declares the reversible 5/3 transform.
+
+    Used by the DICOM layer to refuse lossy codestreams mislabeled under
+    the lossless-only .90 transfer syntax (walks markers only; any
+    malformation is deferred to the full decoder)."""
+    if len(data) >= 12 and data[4:8] == b"jP  ":
+        data = _extract_jp2_codestream(data)
+    if len(data) < 4 or _u16(data, 0) != _SOC:
+        raise Jpeg2000Error("not a JPEG 2000 codestream (missing SOC)")
+    p = 2 + 2 + _u16(data, 4)  # skip SIZ
+    while p + 4 <= len(data):
+        m = _u16(data, p)
+        if m in (_SOT, _EOC):
+            break
+        ln = _u16(data, p + 2)
+        if ln < 2 or p + 2 + ln > len(data):
+            raise Jpeg2000Error("truncated marker segment")
+        if m == _COD:
+            spcod_transform = p + 4 + 5 + 4
+            if spcod_transform >= p + 2 + ln:
+                raise Jpeg2000Error("truncated COD segment")
+            return data[spcod_transform] == 1
+        p += 2 + ln
+    raise Jpeg2000Error("main header missing COD")
+
+
 def _extract_jp2_codestream(data: bytes) -> bytes:
     """Pull the contiguous codestream box out of a JP2 container."""
     p = 0
@@ -1644,6 +1676,8 @@ def encode_jpeg2000(
     qcd = bytes([guard << 5]) + bytes(e << 3 for e in cp.exponents)
     out += _QCD.to_bytes(2, "big") + (len(qcd) + 2).to_bytes(2, "big") + qcd
     ntx, nty = _ceil_div(w, xt), _ceil_div(h, yt)
+    if ntx * nty > 4096:
+        raise Jpeg2000Error(f"{ntx * nty} tiles exceed the 4096-tile limit")
     for tj in range(nty):
         for ti in range(ntx):
             tx0, ty0 = ti * xt, tj * yt

@@ -545,8 +545,6 @@ def decode_jpeg_ls(data: bytes, use_native: bool = True) -> Tuple[np.ndarray, in
     prec = scan["precision"]
     near = scan["near"]
     maxval = (1 << prec) - 1
-    if near > min(255, maxval // 2):
-        raise JpegLsError(f"NEAR={near} out of range for {prec}-bit samples")
     t1, t2, t3 = _default_thresholds(maxval, near)
     if scan["preset"] is not None:
         mv, pt1, pt2, pt3, reset = scan["preset"]
@@ -557,6 +555,8 @@ def decode_jpeg_ls(data: bytes, use_native: bool = True) -> Tuple[np.ndarray, in
             t1, t2, t3 = pt1 or t1, pt2 or t2, pt3 or t3
         if reset and reset != _RESET:
             raise JpegLsError(f"non-default RESET={reset} unsupported")
+    if near > min(255, maxval // 2):  # against the (possibly LSE-preset) MAXVAL
+        raise JpegLsError(f"NEAR={near} out of range for MAXVAL={maxval}")
     p = _Params(prec, maxval, t1, t2, t3, near)
     r = _BitReader(data[scan["scan_offset"] :])
     out = _codec(None, (scan["rows"], scan["cols"]), p, reader=r)

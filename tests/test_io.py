@@ -983,3 +983,24 @@ def test_dicom_jpegls_near_lossless_transfer():
             )
         with pytest.raises(ValueError, match="mislabeled|LOSSLESS"):
             load_dicom_series(dd)
+
+
+def test_jpegls_near_unsigned_storage_protects_sign_boundary():
+    """Near-lossless exports store UNSIGNED samples: with the old signed
+    representation, a NEAR-sized nudge across the int16 32767/32768
+    pattern boundary flipped the sign for a ~65k-step error. Non-integral
+    data maps its max voxel to the top stored step — the boundary case."""
+    import tempfile
+
+    from mamri_tpu.perception.dicom import load_dicom_series, save_dicom_series
+    from mamri_tpu.perception.volume import Volume
+
+    rng = np.random.default_rng(44)
+    data = (rng.random((30, 26, 2), dtype=np.float64) * 70000.0).astype(np.float32)
+    vol = Volume(data=data, spacing=np.ones(3, np.float32), origin=np.zeros(3, np.float32))
+    with tempfile.TemporaryDirectory() as d:
+        save_dicom_series(d, vol, transfer="jpegls", near=3)
+        back = np.asarray(load_dicom_series(d).data)
+        slope = 70000.0 / 64767.0
+        # quantization-grid error (slope/2) + NEAR bound (3*slope)
+        assert np.abs(back - data).max() <= (3 + 0.5) * slope * 1.01

@@ -404,3 +404,32 @@ def test_dicom_j2k_91_transfer_syntax_loads():
             )
         back = load_dicom_series(d)
         np.testing.assert_array_equal(np.asarray(back.data), data)
+
+
+def test_review_fixes_guards():
+    """Round-3 review regressions: PPM/PPT refusal, the 64-Mpixel decode
+    cap, the encoder tile-count guard, and the .90 reversibility probe."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 4096, (24, 32)).astype(np.int32)
+    good = j2k.encode_jpeg2000(img, 12)
+    # PPM relocates packet headers: skipping it would mis-parse bodies
+    sot = good.find(b"\xff\x90")
+    ppm = b"\xff\x60" + (5).to_bytes(2, "big") + b"\x00\x00\x00"
+    with pytest.raises(ValueError, match="PPM|PPT|unsupported"):
+        j2k.decode_jpeg2000(good[:sot] + ppm + good[sot:])
+    # forged SIZ asking for a multi-terabyte image must fail loudly
+    big = bytearray(good)
+    for off, v in ((6, 1 << 20), (10, 1 << 20), (22, 1 << 18), (26, 1 << 18)):
+        big[2 + 4 + off - 4 : 2 + 4 + off] = v.to_bytes(4, "big")
+    with pytest.raises(ValueError, match="64-Mpixel|extent|tile"):
+        j2k.decode_jpeg2000(bytes(big))
+    # encoder guards its own tile-count limit
+    with pytest.raises(ValueError, match="tile"):
+        j2k.encode_jpeg2000(np.zeros((600, 600), np.int32), 8, tile_size=(8, 8))
+    # reversibility probe distinguishes 5/3 from 9/7 main headers
+    assert j2k.codestream_is_reversible(good)
+    assert not j2k.codestream_is_reversible(
+        _pil_encode(img.astype(np.uint16), irreversible=True, quality_layers=[10])
+    )
+    with pytest.raises(ValueError):
+        j2k.codestream_is_reversible(b"\x00\x00")
