@@ -1055,40 +1055,83 @@ static inline int j2k_zc_hh(int h, int v, int d) {
   return hv >= 2 ? 2 : hv;
 }
 
+// Per-coefficient flag word: neighbor significance/sign is PUSHED into a
+// cell's word when the neighbor becomes significant, so every coding
+// decision reads one word + a LUT instead of eight neighbor loads.
+enum : uint32_t {
+  J2K_F_SIG_W = 1u << 0, J2K_F_SIG_E = 1u << 1,
+  J2K_F_SIG_N = 1u << 2, J2K_F_SIG_S = 1u << 3,
+  J2K_F_SIG_NW = 1u << 4, J2K_F_SIG_NE = 1u << 5,
+  J2K_F_SIG_SW = 1u << 6, J2K_F_SIG_SE = 1u << 7,
+  J2K_F_NB = 0xFFu,
+  J2K_F_SGN_W = 1u << 8, J2K_F_SGN_E = 1u << 9,
+  J2K_F_SGN_N = 1u << 10, J2K_F_SGN_S = 1u << 11,
+  J2K_F_SIG = 1u << 12, J2K_F_PI = 1u << 13,
+  J2K_F_REF = 1u << 14, J2K_F_NEG = 1u << 15,
+};
+
 struct J2kBlock {
   int w, h, st, orient;
-  std::vector<uint8_t> sigma, sgn, pi, refined;
+  std::vector<uint32_t> flags;
   std::vector<uint32_t> mag;
+  uint8_t zclut[256];
+  uint8_t scctx[256], scxor[256];
   void begin(int w_, int h_, int orient_) {
     w = w_; h = h_; st = w + 2; orient = orient_;
     const size_t nn = (size_t)st * (h + 2);
-    sigma.assign(nn, 0); sgn.assign(nn, 0); pi.assign(nn, 0);
-    refined.assign(nn, 0); mag.assign(nn, 0);
+    flags.assign(nn, 0);
+    mag.assign(nn, 0);
+    for (int p = 0; p < 256; ++p) {
+      const int hh = !!(p & J2K_F_SIG_W) + !!(p & J2K_F_SIG_E);
+      const int vv = !!(p & J2K_F_SIG_N) + !!(p & J2K_F_SIG_S);
+      const int dd = !!(p & J2K_F_SIG_NW) + !!(p & J2K_F_SIG_NE) +
+                     !!(p & J2K_F_SIG_SW) + !!(p & J2K_F_SIG_SE);
+      int zc;
+      if (orient == 1) zc = j2k_zc_ll(vv, hh, dd);
+      else if (orient == 3) zc = j2k_zc_hh(hh, vv, dd);
+      else zc = j2k_zc_ll(hh, vv, dd);
+      zclut[p] = static_cast<uint8_t>(zc);
+    }
+    // SC LUT over [sig W,E,N,S | sgn W,E,N,S] (sgn bits shifted down by 4)
+    static const uint8_t sc_ctx_tab[9] = {13, 12, 11, 10, 9, 10, 11, 12, 13};
+    static const uint8_t sc_xor_tab[9] = {1, 1, 1, 1, 0, 0, 0, 0, 0};
+    for (int p = 0; p < 256; ++p) {
+      int hc = 0, vc = 0;
+      if (p & 0x01) hc += (p & 0x10) ? -1 : 1;  // W
+      if (p & 0x02) hc += (p & 0x20) ? -1 : 1;  // E
+      if (p & 0x04) vc += (p & 0x40) ? -1 : 1;  // N
+      if (p & 0x08) vc += (p & 0x80) ? -1 : 1;  // S
+      hc = hc < -1 ? -1 : (hc > 1 ? 1 : hc);
+      vc = vc < -1 ? -1 : (vc > 1 ? 1 : vc);
+      const int k = (hc + 1) * 3 + (vc + 1);
+      scctx[p] = sc_ctx_tab[k];
+      scxor[p] = sc_xor_tab[k];
+    }
   }
   inline int at(int x, int y) const { return (y + 1) * st + (x + 1); }
-  inline int hasnb(int i) const {
-    return sigma[i - 1] | sigma[i + 1] | sigma[i - st] | sigma[i + st] |
-           sigma[i - st - 1] | sigma[i - st + 1] | sigma[i + st - 1] | sigma[i + st + 1];
+  inline int sc(uint32_t f, int* xr) const {
+    const int idx = (f & 0x0F) | ((f >> 4) & 0xF0);
+    *xr = scxor[idx];
+    return scctx[idx];
   }
-  inline int zc(int i) const {
-    const int hh = sigma[i - 1] + sigma[i + 1];
-    const int vv = sigma[i - st] + sigma[i + st];
-    const int dd = sigma[i - st - 1] + sigma[i - st + 1] + sigma[i + st - 1] + sigma[i + st + 1];
-    if (orient == 1) return j2k_zc_ll(vv, hh, dd);
-    if (orient == 3) return j2k_zc_hh(hh, vv, dd);
-    return j2k_zc_ll(hh, vv, dd);
-  }
-  inline int sc(int i, int* xr) const {
-    int hc = 0, vc = 0;
-    if (sigma[i - 1]) hc += sgn[i - 1] ? -1 : 1;
-    if (sigma[i + 1]) hc += sgn[i + 1] ? -1 : 1;
-    if (sigma[i - st]) vc += sgn[i - st] ? -1 : 1;
-    if (sigma[i + st]) vc += sgn[i + st] ? -1 : 1;
-    hc = hc < -1 ? -1 : (hc > 1 ? 1 : hc);
-    vc = vc < -1 ? -1 : (vc > 1 ? 1 : vc);
-    const int k = (hc + 1) * 3 + (vc + 1);
-    *xr = J2K_SC_XOR[k];
-    return J2K_SC_CTX[k];
+  inline void set_significant(int i, int neg) {
+    uint32_t* f = flags.data();
+    f[i] |= J2K_F_SIG | (neg ? J2K_F_NEG : 0u);
+    if (neg) {
+      f[i - 1] |= J2K_F_SIG_E | J2K_F_SGN_E;
+      f[i + 1] |= J2K_F_SIG_W | J2K_F_SGN_W;
+      f[i - st] |= J2K_F_SIG_S | J2K_F_SGN_S;
+      f[i + st] |= J2K_F_SIG_N | J2K_F_SGN_N;
+    } else {
+      f[i - 1] |= J2K_F_SIG_E;
+      f[i + 1] |= J2K_F_SIG_W;
+      f[i - st] |= J2K_F_SIG_S;
+      f[i + st] |= J2K_F_SIG_N;
+    }
+    f[i - st - 1] |= J2K_F_SIG_SE;
+    f[i - st + 1] |= J2K_F_SIG_SW;
+    f[i + st - 1] |= J2K_F_SIG_NE;
+    f[i + st + 1] |= J2K_F_SIG_NW;
   }
 };
 
@@ -1101,6 +1144,9 @@ int64_t mamri_j2k_t1_decode(const uint8_t* data, int64_t len, int32_t w, int32_t
   if (npasses > 3 * bitplanes - 2 || bitplanes > 31) return -1;
   J2kBlock b; b.begin(w, h, orient);
   J2kMqDec mq; mq.begin(data, len);
+  uint32_t* F = b.flags.data();
+  uint32_t* M = b.mag.data();
+  const int st = b.st;
   int plane = bitplanes - 1, kind = 2, passno = 0;
   while (passno < npasses) {
     const uint32_t bit = 1u << plane;
@@ -1108,28 +1154,33 @@ int64_t mamri_j2k_t1_decode(const uint8_t* data, int64_t len, int32_t w, int32_t
       for (int y0 = 0; y0 < h; y0 += 4)
         for (int x = 0; x < w; ++x) {
           const int ylim = y0 + 4 < h ? y0 + 4 : h;
-          for (int y = y0; y < ylim; ++y) {
-            const int i = b.at(x, y);
-            if (b.sigma[i]) { b.pi[i] = 0; continue; }
-            if (b.hasnb(i)) {
-              b.pi[i] = 1;
-              if (mq.decode(b.zc(i))) {
-                int xr; const int ctx = b.sc(i, &xr);
-                b.sgn[i] = mq.decode(ctx) ^ xr; b.sigma[i] = 1; b.mag[i] = bit;
+          int i = b.at(x, y0);
+          for (int y = y0; y < ylim; ++y, i += st) {
+            const uint32_t fi = F[i];
+            if (fi & J2K_F_SIG) { F[i] = fi & ~J2K_F_PI; continue; }
+            if (fi & J2K_F_NB) {
+              F[i] = fi | J2K_F_PI;
+              if (mq.decode(b.zclut[fi & J2K_F_NB])) {
+                int xr; const int ctx = b.sc(fi, &xr);
+                const int neg = mq.decode(ctx) ^ xr;
+                b.set_significant(i, neg);
+                F[i] |= J2K_F_PI;  // set_significant rewrote the word
+                M[i] = bit;
               }
-            } else b.pi[i] = 0;
+            } else F[i] = fi & ~J2K_F_PI;
           }
         }
     } else if (kind == 1) {  // magnitude refinement
       for (int y0 = 0; y0 < h; y0 += 4)
         for (int x = 0; x < w; ++x) {
           const int ylim = y0 + 4 < h ? y0 + 4 : h;
-          for (int y = y0; y < ylim; ++y) {
-            const int i = b.at(x, y);
-            if (b.sigma[i] && !b.pi[i] && b.mag[i] != bit) {
-              const int ctx = b.refined[i] ? 16 : (b.hasnb(i) ? 15 : 14);
-              if (mq.decode(ctx)) b.mag[i] |= bit;
-              b.refined[i] = 1;
+          int i = b.at(x, y0);
+          for (int y = y0; y < ylim; ++y, i += st) {
+            const uint32_t fi = F[i];
+            if ((fi & (J2K_F_SIG | J2K_F_PI)) == J2K_F_SIG && M[i] != bit) {
+              const int ctx = (fi & J2K_F_REF) ? 16 : ((fi & J2K_F_NB) ? 15 : 14);
+              if (mq.decode(ctx)) M[i] |= bit;
+              F[i] = fi | J2K_F_REF;
             }
           }
         }
@@ -1138,30 +1189,33 @@ int64_t mamri_j2k_t1_decode(const uint8_t* data, int64_t len, int32_t w, int32_t
         const bool full = y0 + 4 <= h;
         for (int x = 0; x < w; ++x) {
           int y = y0;
+          const int base = b.at(x, y0);
           if (full) {
-            const int col[4] = {b.at(x, y0), b.at(x, y0 + 1), b.at(x, y0 + 2), b.at(x, y0 + 3)};
-            bool any = false;
-            for (int k = 0; k < 4; ++k)
-              if (b.sigma[col[k]] || b.pi[col[k]] || b.hasnb(col[k])) { any = true; break; }
-            if (!any) {
+            if (!((F[base] | F[base + st] | F[base + 2 * st] | F[base + 3 * st])
+                  & (J2K_F_SIG | J2K_F_PI | J2K_F_NB))) {
               if (!mq.decode(17)) continue;
               const int r = (mq.decode(18) << 1) | mq.decode(18);
-              const int i = col[r];
-              int xr; const int ctx = b.sc(i, &xr);
-              b.sgn[i] = mq.decode(ctx) ^ xr; b.sigma[i] = 1; b.mag[i] = bit;
+              const int i = base + r * st;
+              int xr; const int ctx = b.sc(F[i], &xr);
+              const int neg = mq.decode(ctx) ^ xr;
+              b.set_significant(i, neg);
+              M[i] = bit;
               y = y0 + r + 1;
             }
           }
           const int ylim = y0 + 4 < h ? y0 + 4 : h;
-          for (; y < ylim; ++y) {
-            const int i = b.at(x, y);
-            if (!b.sigma[i] && !b.pi[i]) {
-              if (mq.decode(b.zc(i))) {
-                int xr; const int ctx = b.sc(i, &xr);
-                b.sgn[i] = mq.decode(ctx) ^ xr; b.sigma[i] = 1; b.mag[i] = bit;
+          int i = base + (y - y0) * st;
+          for (; y < ylim; ++y, i += st) {
+            const uint32_t fi = F[i];
+            if (!(fi & (J2K_F_SIG | J2K_F_PI))) {
+              if (mq.decode(b.zclut[fi & J2K_F_NB])) {
+                int xr; const int ctx = b.sc(fi, &xr);
+                const int neg = mq.decode(ctx) ^ xr;
+                b.set_significant(i, neg);
+                M[i] = bit;
               }
             }
-            b.pi[i] = 0;
+            F[i] &= ~J2K_F_PI;
           }
         }
       }
@@ -1172,11 +1226,13 @@ int64_t mamri_j2k_t1_decode(const uint8_t* data, int64_t len, int32_t w, int32_t
       kind = 0;
     } else ++kind;
   }
-  for (int y = 0; y < h; ++y)
-    for (int x = 0; x < w; ++x) {
-      const int i = b.at(x, y);
-      if (b.sigma[i]) out[(int64_t)y * w + x] = b.sgn[i] ? -(int32_t)b.mag[i] : (int32_t)b.mag[i];
-    }
+  for (int y = 0; y < h; ++y) {
+    int i = b.at(0, y);
+    for (int x = 0; x < w; ++x, ++i)
+      if (F[i] & J2K_F_SIG)
+        out[(int64_t)y * w + x] =
+            (F[i] & J2K_F_NEG) ? -(int32_t)M[i] : (int32_t)M[i];
+  }
   return 0;
 }
 
@@ -1194,6 +1250,9 @@ int64_t mamri_j2k_t1_encode(const int32_t* coeffs, int32_t w, int32_t h,
   if (nb > max_bitplanes) return -2;
   if (nb == 0) { *zbp_out = max_bitplanes; *npasses_out = 0; return 0; }
   J2kBlock b; b.begin(w, h, orient);
+  uint32_t* F = b.flags.data();
+  uint32_t* M = b.mag.data();
+  const int st = b.st;
   const size_t nn = b.mag.size();
   std::vector<uint32_t> tmag(nn, 0);
   std::vector<uint8_t> tneg(nn, 0);
@@ -1213,32 +1272,36 @@ int64_t mamri_j2k_t1_encode(const int32_t* coeffs, int32_t w, int32_t h,
       for (int y0 = 0; y0 < h; y0 += 4)
         for (int x = 0; x < w; ++x) {
           const int ylim = y0 + 4 < h ? y0 + 4 : h;
-          for (int y = y0; y < ylim; ++y) {
-            const int i = b.at(x, y);
-            if (b.sigma[i]) { b.pi[i] = 0; continue; }
-            if (b.hasnb(i)) {
-              b.pi[i] = 1;
+          int i = b.at(x, y0);
+          for (int y = y0; y < ylim; ++y, i += st) {
+            const uint32_t fi = F[i];
+            if (fi & J2K_F_SIG) { F[i] = fi & ~J2K_F_PI; continue; }
+            if (fi & J2K_F_NB) {
+              F[i] = fi | J2K_F_PI;
               const int sb = (tmag[i] & bit) ? 1 : 0;
-              mq.encode(b.zc(i), sb);
+              mq.encode(b.zclut[fi & J2K_F_NB], sb);
               if (sb) {
-                int xr; const int ctx = b.sc(i, &xr);
+                int xr; const int ctx = b.sc(fi, &xr);
                 mq.encode(ctx, tneg[i] ^ xr);
-                b.sgn[i] = tneg[i]; b.sigma[i] = 1; b.mag[i] = bit;
+                b.set_significant(i, tneg[i]);
+                F[i] |= J2K_F_PI;
+                M[i] = bit;
               }
-            } else b.pi[i] = 0;
+            } else F[i] = fi & ~J2K_F_PI;
           }
         }
     } else if (kind == 1) {
       for (int y0 = 0; y0 < h; y0 += 4)
         for (int x = 0; x < w; ++x) {
           const int ylim = y0 + 4 < h ? y0 + 4 : h;
-          for (int y = y0; y < ylim; ++y) {
-            const int i = b.at(x, y);
-            if (b.sigma[i] && !b.pi[i] && b.mag[i] != bit) {
-              const int ctx = b.refined[i] ? 16 : (b.hasnb(i) ? 15 : 14);
+          int i = b.at(x, y0);
+          for (int y = y0; y < ylim; ++y, i += st) {
+            const uint32_t fi = F[i];
+            if ((fi & (J2K_F_SIG | J2K_F_PI)) == J2K_F_SIG && M[i] != bit) {
+              const int ctx = (fi & J2K_F_REF) ? 16 : ((fi & J2K_F_NB) ? 15 : 14);
               mq.encode(ctx, (tmag[i] & bit) ? 1 : 0);
-              if (tmag[i] & bit) b.mag[i] |= bit;
-              b.refined[i] = 1;
+              if (tmag[i] & bit) M[i] |= bit;
+              F[i] = fi | J2K_F_REF;
             }
           }
         }
@@ -1247,39 +1310,40 @@ int64_t mamri_j2k_t1_encode(const int32_t* coeffs, int32_t w, int32_t h,
         const bool full = y0 + 4 <= h;
         for (int x = 0; x < w; ++x) {
           int y = y0;
+          const int base = b.at(x, y0);
           if (full) {
-            const int col[4] = {b.at(x, y0), b.at(x, y0 + 1), b.at(x, y0 + 2), b.at(x, y0 + 3)};
-            bool any = false;
-            for (int k = 0; k < 4; ++k)
-              if (b.sigma[col[k]] || b.pi[col[k]] || b.hasnb(col[k])) { any = true; break; }
-            if (!any) {
+            if (!((F[base] | F[base + st] | F[base + 2 * st] | F[base + 3 * st])
+                  & (J2K_F_SIG | J2K_F_PI | J2K_F_NB))) {
               int r = -1;
               for (int k = 0; k < 4; ++k)
-                if (tmag[col[k]] & bit) { r = k; break; }
+                if (tmag[base + k * st] & bit) { r = k; break; }
               if (r < 0) { mq.encode(17, 0); continue; }
               mq.encode(17, 1);
               mq.encode(18, (r >> 1) & 1);
               mq.encode(18, r & 1);
-              const int i = col[r];
-              int xr; const int ctx = b.sc(i, &xr);
+              const int i = base + r * st;
+              int xr; const int ctx = b.sc(F[i], &xr);
               mq.encode(ctx, tneg[i] ^ xr);
-              b.sgn[i] = tneg[i]; b.sigma[i] = 1; b.mag[i] = bit;
+              b.set_significant(i, tneg[i]);
+              M[i] = bit;
               y = y0 + r + 1;
             }
           }
           const int ylim = y0 + 4 < h ? y0 + 4 : h;
-          for (; y < ylim; ++y) {
-            const int i = b.at(x, y);
-            if (!b.sigma[i] && !b.pi[i]) {
+          int i = base + (y - y0) * st;
+          for (; y < ylim; ++y, i += st) {
+            const uint32_t fi = F[i];
+            if (!(fi & (J2K_F_SIG | J2K_F_PI))) {
               const int sb = (tmag[i] & bit) ? 1 : 0;
-              mq.encode(b.zc(i), sb);
+              mq.encode(b.zclut[fi & J2K_F_NB], sb);
               if (sb) {
-                int xr; const int ctx = b.sc(i, &xr);
+                int xr; const int ctx = b.sc(fi, &xr);
                 mq.encode(ctx, tneg[i] ^ xr);
-                b.sgn[i] = tneg[i]; b.sigma[i] = 1; b.mag[i] = bit;
+                b.set_significant(i, tneg[i]);
+                M[i] = bit;
               }
             }
-            b.pi[i] = 0;
+            F[i] &= ~J2K_F_PI;
           }
         }
       }
