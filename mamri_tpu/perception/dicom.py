@@ -49,6 +49,8 @@ _EXPLICIT_LE = "1.2.840.10008.1.2.1"
 _DEFLATED_LE = "1.2.840.10008.1.2.1.99"  # raw-deflate over the dataset
 _EXPLICIT_BE = "1.2.840.10008.1.2.2"
 _RLE_LOSSLESS = "1.2.840.10008.1.2.5"
+_JPEG_BASE = "1.2.840.10008.1.2.4.50"  # baseline lossy DCT (8-bit)
+_JPEG_EXT = "1.2.840.10008.1.2.4.51"  # extended sequential lossy DCT (12-bit)
 _JPEG_LL = "1.2.840.10008.1.2.4.57"  # lossless non-hierarchical, any predictor
 _JPEG_LL_SV1 = "1.2.840.10008.1.2.4.70"  # lossless first-order prediction
 _JPEG_LS = "1.2.840.10008.1.2.4.80"  # JPEG-LS lossless (NEAR=0)
@@ -291,13 +293,14 @@ def _parse_file(path: str) -> Dict:
         body_off = 0
     if transfer not in (
         _IMPLICIT_LE, _EXPLICIT_LE, _DEFLATED_LE, _EXPLICIT_BE, _RLE_LOSSLESS,
-        _JPEG_LL, _JPEG_LL_SV1, _JPEG_LS, _JPEG_LS_NEAR, _J2K_LL, _J2K,
+        _JPEG_BASE, _JPEG_EXT, _JPEG_LL, _JPEG_LL_SV1, _JPEG_LS, _JPEG_LS_NEAR,
+        _J2K_LL, _J2K,
     ):
         raise ValueError(
-            f"{path}: unsupported transfer syntax {transfer} (baseline-JPEG "
-            "lossy compression is not implemented; implicit/explicit VR LE, "
-            "deflated explicit VR LE, explicit VR BE, RLE Lossless, JPEG "
-            "Lossless, JPEG-LS lossless + near-lossless and JPEG 2000 are)"
+            f"{path}: unsupported transfer syntax {transfer}; implicit/"
+            "explicit VR LE, deflated explicit VR LE, explicit VR BE, RLE "
+            "Lossless, lossy JPEG .50/.51, JPEG Lossless, JPEG-LS lossless + "
+            "near-lossless and JPEG 2000 are supported"
         )
 
     body = raw[body_off:]
@@ -531,6 +534,21 @@ def _slice_array(info: Dict) -> np.ndarray:
             arr = arr.view(np.int16)
         elif bits == 8:
             arr = arr.astype(np.int8 if signed else np.uint8)
+    elif info.get("transfer") in (_JPEG_BASE, _JPEG_EXT):
+        from mamri_tpu.perception.jpegdct import decode_jpeg_dct
+
+        frags = info["pixels"]
+        if not isinstance(frags, list):
+            raise ValueError(f"{info['path']}: JPEG pixel data must be encapsulated")
+        arr, prec = decode_jpeg_dct(b"".join(frags))
+        if info["transfer"] == _JPEG_BASE and prec != 8:
+            raise ValueError(f"{info['path']}: baseline .50 must be 8-bit, got {prec}")
+        if arr.shape != (info["rows"], info["cols"]):
+            raise ValueError(
+                f"{info['path']}: JPEG frame {arr.shape} != ({info['rows']}, {info['cols']})"
+            )
+        if bits == 8:
+            arr = arr.astype(np.uint8)  # lossy DCT output is unsigned
     elif info.get("transfer") in (_JPEG_LL, _JPEG_LL_SV1):
         from mamri_tpu.perception.jpegll import decode_jpeg_lossless
 
