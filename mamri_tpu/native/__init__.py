@@ -98,6 +98,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64,
     ]
+    lib.mamri_jpegdct_scan.restype = ctypes.c_int64
+    lib.mamri_jpegdct_scan.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.mamri_j2k_t1_decode.restype = ctypes.c_int64
     lib.mamri_j2k_t1_decode.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
@@ -346,3 +353,25 @@ def j2k_t1_encode_native(
     if n < 0:
         raise ValueError(f"JPEG 2000 code-block encode failed (native error {n})")
     return out[:n].tobytes(), zbp.value, np_.value
+
+
+def jpegdct_scan_native(data: bytes, max_blocks: int) -> Optional[Tuple[np.ndarray, int, int, int]]:
+    """Sequential-DCT JPEG Huffman scan via the C++ codec -> (zigzag
+    coefficients (nblocks, 64) int32, rows, cols, precision); None if the
+    native library is unavailable, ValueError on malformed streams
+    (perception.jpegdct's Python scan loop is the fallback and oracle)."""
+    lib = _load()
+    if lib is None:
+        return None
+    out = np.zeros(max_blocks * 64, dtype=np.int32)
+    rows = ctypes.c_int32(0)
+    cols = ctypes.c_int32(0)
+    prec = ctypes.c_int32(0)
+    n = lib.mamri_jpegdct_scan(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_blocks,
+        ctypes.byref(rows), ctypes.byref(cols), ctypes.byref(prec),
+    )
+    if n < 0:
+        raise ValueError(f"JPEG scan decode failed (native error {n})")
+    return out[: n * 64].reshape(n, 64).astype(np.int64), rows.value, cols.value, prec.value

@@ -1359,4 +1359,187 @@ int64_t mamri_j2k_t1_encode(const int32_t* coeffs, int32_t w, int32_t h,
   return nbytes;
 }
 
+// -------------------------------- sequential-DCT JPEG Huffman scan (T.81)
+// Entropy-decodes one single-component SOF0/SOF1 scan into zigzag-order
+// quantized coefficients (nblocks x 64 int32); perception/jpegdct.py does
+// the (vectorized numpy) dequant + IDCT, so parity with the Python scan
+// loop is exact integers. Returns nblocks, or -1 malformed/unsupported,
+// -2 cap too small, -3 corrupt entropy data.
+
+struct JdctHuff {
+  int32_t mincode[17];
+  int32_t maxcode[17];
+  int32_t valptr[17];
+  uint8_t vals[256];
+  int nvals = 0;
+  bool ok = false;
+  bool build(const uint8_t* bits, const uint8_t* v, int nv) {
+    if (nv > 256) return false;
+    nvals = nv;
+    memcpy(vals, v, nv);
+    int code = 0, k = 0;
+    for (int ln = 1; ln <= 16; ++ln) {
+      valptr[ln] = k;
+      mincode[ln] = code;
+      code += bits[ln - 1];
+      k += bits[ln - 1];
+      maxcode[ln] = bits[ln - 1] ? code - 1 : -1;
+      if (code > (1 << ln)) return false;
+      code <<= 1;
+    }
+    ok = (k == nv);
+    return ok;
+  }
+};
+
+struct JdctReader {
+  const uint8_t* d;
+  int64_t len, pos;
+  uint64_t acc = 0;
+  int nbits = 0;
+  int marker = 0;  // pending 0xFFxx marker (0 = none)
+  void fill() {
+    if (marker || pos >= len) { acc <<= 8; nbits += 8; return; }
+    uint8_t b = d[pos];
+    if (b == 0xFF) {
+      uint8_t nxt = pos + 1 < len ? d[pos + 1] : 0xD9;
+      if (nxt == 0x00) { pos += 2; acc = (acc << 8) | 0xFF; nbits += 8; return; }
+      marker = 0xFF00 | nxt;
+      acc <<= 8; nbits += 8;
+      return;
+    }
+    ++pos;
+    acc = (acc << 8) | b;
+    nbits += 8;
+  }
+  int bits(int n) {
+    while (nbits < n) fill();
+    nbits -= n;
+    int v = (int)((acc >> nbits) & ((1ull << n) - 1));
+    acc &= (nbits >= 64) ? ~0ull : ((1ull << nbits) - 1);
+    return v;
+  }
+  int huff(const JdctHuff& t, bool* err) {
+    int code = bits(1);
+    for (int ln = 1; ln <= 16; ++ln) {
+      if (t.maxcode[ln] >= 0 && code <= t.maxcode[ln])
+        return t.vals[t.valptr[ln] + code - t.mincode[ln]];
+      code = (code << 1) | bits(1);
+    }
+    *err = true;
+    return 0;
+  }
+};
+
+static inline int jdct_extend(int v, int t) {
+  if (t == 0) return 0;
+  return v >= (1 << (t - 1)) ? v : v - (1 << t) + 1;
+}
+
+int64_t mamri_jpegdct_scan(const uint8_t* data, int64_t len, int32_t* out,
+                           int64_t max_blocks, int32_t* rows_out,
+                           int32_t* cols_out, int32_t* prec_out) {
+  if (len < 4 || data[0] != 0xFF || data[1] != 0xD8) return -1;
+  int64_t pos = 2;
+  int rows = 0, cols = 0, prec = 0, ri = 0, td = -1, ta = -1;
+  bool have_frame = false;
+  JdctHuff dc_tabs[4], ac_tabs[4];
+  int64_t scan_off = -1;
+  while (pos + 4 <= len) {
+    if (data[pos] != 0xFF) return -1;
+    int marker = 0xFF00 | data[pos + 1];
+    int seglen = (data[pos + 2] << 8) | data[pos + 3];
+    const uint8_t* body = data + pos + 4;
+    int64_t blen = seglen - 2;
+    if (seglen < 2 || pos + 2 + seglen > len) return -1;
+    pos += 2 + seglen;
+    if (marker == 0xFFC0 || marker == 0xFFC1) {
+      if (blen < 9) return -1;
+      prec = body[0];
+      rows = (body[1] << 8) | body[2];
+      cols = (body[3] << 8) | body[4];
+      if (body[5] != 1 || rows == 0 || cols == 0) return -1;
+      if ((marker == 0xFFC0 && prec != 8) || (prec != 8 && prec != 12)) return -1;
+      if ((body[7] & 0x0F) != 1 || (body[7] >> 4) != 1) return -1;
+      have_frame = true;
+    } else if ((marker >= 0xFFC2 && marker <= 0xFFCF && marker != 0xFFC4 &&
+                marker != 0xFFC8 && marker != 0xFFCC) || marker == 0xFFF7) {
+      return -1;  // progressive / arithmetic / lossless / JPEG-LS
+    } else if (marker == 0xFFC4) {
+      int64_t p2 = 0;
+      while (p2 + 17 <= blen) {
+        int tc = body[p2] >> 4, th = body[p2] & 0x0F;
+        if (th > 3) return -1;
+        const uint8_t* bits = body + p2 + 1;
+        int nv = 0;
+        for (int i = 0; i < 16; ++i) nv += bits[i];
+        if (p2 + 17 + nv > blen) return -1;
+        JdctHuff& t = tc == 0 ? dc_tabs[th] : ac_tabs[th];
+        if (!t.build(bits, body + p2 + 17, nv)) return -1;
+        p2 += 17 + nv;
+      }
+    } else if (marker == 0xFFDD) {
+      if (blen < 2) return -1;
+      ri = (body[0] << 8) | body[1];
+    } else if (marker == 0xFFDA) {
+      if (blen < 6 || body[0] != 1 || !have_frame) return -1;
+      td = body[2] >> 4;
+      ta = body[2] & 0x0F;
+      if (td > 3 || ta > 3 || !dc_tabs[td].ok || !ac_tabs[ta].ok) return -1;
+      scan_off = pos;
+      break;
+    }
+  }
+  if (scan_off < 0) return -1;
+  const int64_t bw = (cols + 7) / 8, bh = (rows + 7) / 8;
+  const int64_t nblocks = bw * bh;
+  if (nblocks > max_blocks || nblocks > (1 << 22)) return -2;
+  memset(out, 0, (size_t)nblocks * 64 * sizeof(int32_t));
+  JdctReader r{data, len, scan_off};
+  const JdctHuff& dct_dc = dc_tabs[td];
+  const JdctHuff& dct_ac = ac_tabs[ta];
+  bool err = false;
+  int pred = 0;
+  for (int64_t bi = 0; bi < nblocks; ++bi) {
+    if (ri && bi && bi % ri == 0) {
+      // drop pad bits, then consume the RSTn marker
+      while (r.marker == 0 && r.pos < len) {
+        if (r.nbits) r.bits(r.nbits < 8 ? r.nbits : 8);
+        else r.fill();
+      }
+      while (r.nbits >= 8) { r.nbits -= 8; }
+      r.acc &= (r.nbits >= 64) ? ~0ull : ((1ull << r.nbits) - 1);
+      if (r.marker != (0xFFD0 | (int)(((bi / ri) - 1) & 7))) return -3;
+      r.marker = 0;
+      r.pos += 2;
+      r.acc = 0;
+      r.nbits = 0;
+      pred = 0;
+    }
+    int t = r.huff(dct_dc, &err);
+    if (err || t > 15 || (prec == 8 && t > 11)) return -3;
+    pred += jdct_extend(r.bits(t), t);
+    int32_t* blk = out + bi * 64;
+    blk[0] = pred;
+    int k = 1;
+    while (k < 64) {
+      int rs = r.huff(dct_ac, &err);
+      if (err) return -3;
+      int rr = rs >> 4, ss = rs & 0x0F;
+      if (ss == 0) {
+        if (rr == 15) { k += 16; continue; }
+        break;
+      }
+      k += rr;
+      if (k > 63) return -3;
+      blk[k] = jdct_extend(r.bits(ss), ss);
+      ++k;
+    }
+  }
+  *rows_out = rows;
+  *cols_out = cols;
+  *prec_out = prec;
+  return nblocks;
+}
+
 }  // extern "C"

@@ -185,8 +185,12 @@ def _extend(v: int, t: int) -> int:
     return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
-def decode_jpeg_dct(data: bytes) -> Tuple[np.ndarray, int]:
-    """Decode a sequential-DCT JPEG -> ((rows, cols) uint16, precision)."""
+def decode_jpeg_dct(data: bytes, use_native: bool = True) -> Tuple[np.ndarray, int]:
+    """Decode a sequential-DCT JPEG -> ((rows, cols) uint16, precision).
+
+    The Huffman scan dispatches to the native C++ codec when built (exact
+    integer parity with the Python loop); dequant + IDCT are vectorized
+    numpy either way."""
     if len(data) < 4 or struct.unpack_from(">H", data, 0)[0] != _SOI:
         raise JpegDctError("not a JPEG stream (missing SOI)")
     pos = 2
@@ -263,18 +267,37 @@ def decode_jpeg_dct(data: bytes) -> Tuple[np.ndarray, int]:
             if frame["tq"] not in qtabs:
                 raise JpegDctError("frame references an undefined DQT")
             return _decode_scan(
-                data, pos, frame, qtabs[frame["tq"]], dc_tabs[td], ac_tabs[ta], ri
+                data, pos, frame, qtabs[frame["tq"]], dc_tabs[td], ac_tabs[ta],
+                ri, use_native,
             )
         # APPn / COM / others: skipped structurally
     raise JpegDctError("no SOS marker found")
 
 
-def _decode_scan(data, pos, frame, qtab, dct_dc, dct_ac, ri):
+def _decode_scan(data, pos, frame, qtab, dct_dc, dct_ac, ri, use_native=True):
     rows, cols, prec = frame["rows"], frame["cols"], frame["prec"]
     bw, bh = (cols + 7) // 8, (rows + 7) // 8
     nblocks = bw * bh
     if nblocks > 1 << 22:
         raise JpegDctError("implausible block count")
+    coeffs = None
+    if use_native:
+        from mamri_tpu.native import jpegdct_scan_native
+
+        try:
+            native = jpegdct_scan_native(data, nblocks)
+        except ValueError as e:
+            raise JpegDctError(str(e))
+        if native is not None:
+            coeffs, nrows, ncols, nprec = native
+            if (nrows, ncols, nprec) != (rows, cols, prec) or len(coeffs) != nblocks:
+                raise JpegDctError("native scan disagrees with the parsed frame")
+    if coeffs is None:
+        coeffs = _py_scan(data, pos, nblocks, prec, dct_dc, dct_ac, ri)
+    return _reconstruct(coeffs, qtab, rows, cols, prec)
+
+
+def _py_scan(data, pos, nblocks, prec, dct_dc, dct_ac, ri):
     coeffs = np.zeros((nblocks, 64), dtype=np.int64)
     r = _ScanReader(data, pos)
     pred = 0
@@ -307,6 +330,12 @@ def _decode_scan(data, pos, frame, qtab, dct_dc, dct_ac, ri):
                 raise JpegDctError("AC run overflows the block")
             coeffs[bi, k] = _extend(r.bits(ss), ss)
             k += 1
+    return coeffs
+
+
+def _reconstruct(coeffs, qtab, rows, cols, prec):
+    bw, bh = (cols + 7) // 8, (rows + 7) // 8
+    nblocks = bw * bh
     # dequantize + inverse zigzag + IDCT, vectorized over all blocks
     # (the quant table is raster-order; coeffs are zigzag-order)
     blocks = np.zeros((nblocks, 64), dtype=np.float64)

@@ -158,3 +158,32 @@ def test_dicom_51_extended_jpeg_loads():
             f.write(b"\x00" * 128 + b"DICM" + bad_meta + body)
         with pytest.raises(ValueError, match="8-bit|no readable"):
             load_dicom_series(d)
+
+
+def test_native_scan_parity_and_fuzz():
+    from mamri_tpu import native
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+    rng = np.random.default_rng(31)
+    img = _img8(rng, (48, 56))
+    good = J.encode_jpeg_dct(img.astype(np.int32), 8, quality=80)
+    a, _ = J.decode_jpeg_dct(good, use_native=False)
+    b, _ = J.decode_jpeg_dct(good, use_native=True)
+    np.testing.assert_array_equal(a, b)
+    for _ in range(60):
+        data = bytearray(good)
+        data[int(rng.integers(0, len(data)))] = int(rng.integers(0, 256))
+        try:
+            x = J.decode_jpeg_dct(bytes(data), use_native=True)[0]
+        except ValueError:
+            x = None
+        try:
+            y = J.decode_jpeg_dct(bytes(data), use_native=False)[0]
+        except ValueError:
+            y = None
+        # both paths must agree whenever both decode (accept/reject may
+        # differ on corrupt streams: the native scan validates stripes the
+        # Python loop tolerates and vice versa — samples must never diverge)
+        if x is not None and y is not None:
+            np.testing.assert_array_equal(x, y)
