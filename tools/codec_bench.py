@@ -94,6 +94,20 @@ def main():
         len(jls),
     )
 
+    # lossy sequential-DCT JPEG (.51 12-bit), native scan and oracle
+    from mamri_tpu.perception import jpegdct
+
+    i32 = img.astype(np.int32)
+    jd = jpegdct.encode_jpeg_dct(i32, 12, quality=90) if img.max() < 4096 else None
+    if jd is not None:
+        report(
+            "jpegdct_q90",
+            lambda: jpegdct.encode_jpeg_dct(i32, 12, quality=90),
+            lambda: jpegdct.decode_jpeg_dct(jd),
+            len(jd),
+            lossless=False,
+        )
+
     # JPEG 2000 reversible, native Tier-1 and oracle
     i32 = img.astype(np.int32)
     j2k = jpeg2000.encode_jpeg2000(i32, 16)
