@@ -218,6 +218,8 @@ def jpegll_decode_native(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
         pos += 2 + int.from_bytes(data[pos + 2 : pos + 4], "big")
     if r is None:
         raise ValueError("not a JPEG Lossless stream (no SOF3 marker)")
+    if r * c > 1 << 26:
+        raise ValueError("image larger than the 64-Mpixel decode cap")
     cap = max(r * c, 1)
     out = np.empty(cap, dtype=np.uint16)
     n = lib.mamri_jpegll_decode(
@@ -260,6 +262,8 @@ def jpegls_decode_native(data: bytes) -> Optional[Tuple[np.ndarray, int]]:
         pos += 2 + int.from_bytes(data[pos + 2 : pos + 4], "big")
     if r is None:
         raise ValueError("not a JPEG-LS stream (no SOF55 marker)")
+    if r * c > 1 << 26:
+        raise ValueError("image larger than the 64-Mpixel decode cap")
     cap = max(r * c, 1)
     out = np.empty(cap, dtype=np.uint16)
     rows = ctypes.c_int32(0)

@@ -197,18 +197,14 @@ def _ccl_sweeps_sharded(
         bwd = _global_x_scan(lab, reset, axis_name, reverse=True)
         return jnp.minimum(jnp.minimum(fwd, bwd), lab)
 
+    def sweep(lab, _):
+        lab = x_half(yz_half(lab))
+        return lab, None
+
     passes = params.passes
     if passes is None:
-        def sweep(lab, _):
-            lab = x_half(yz_half(lab))
-            return lab, None
-
         lab, _ = lax.scan(sweep, lab0, None, length=params.max_sweeps)
     else:
-        def sweep(lab, _):
-            lab = x_half(yz_half(lab))
-            return lab, None
-
         lab, _ = lax.scan(sweep, lab0, None, length=passes // 2)
         if passes % 2:
             lab = yz_half(lab)

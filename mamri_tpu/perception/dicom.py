@@ -481,6 +481,8 @@ def _rle_decode_frame(frame: bytes, npix: int, nseg_expected: int) -> List[bytes
     """One RLE frame -> its decoded byte segments (PS3.5 annex G: a 64-byte
     header of segment count + 15 offsets, then PackBits segments; 16-bit
     data is decomposed big-endian — MSB segment first)."""
+    if len(frame) < 64:
+        raise ValueError(f"RLE frame header truncated ({len(frame)} < 64 bytes)")
     hdr = struct.unpack_from("<16I", frame, 0)
     nseg = hdr[0]
     if nseg != nseg_expected:
@@ -506,6 +508,15 @@ def _rle_encode_frame(segments: List[bytes]) -> bytes:
     return struct.pack("<16I", len(enc), *offsets) + b"".join(enc)
 
 
+def _sign_extend(arr: np.ndarray, prec: int) -> np.ndarray:
+    """Two's-complement sign extension from a `prec`-bit stored pattern.
+
+    Signed DICOM samples are BitsStored-wide two's complement; a 12-bit -1
+    decodes as the pattern 0x0FFF and must become -1, not +4095."""
+    a = arr.astype(np.int32)
+    return np.where(a >= (1 << (prec - 1)), a - (1 << prec), a)
+
+
 def _slice_array(info: Dict) -> np.ndarray:
     bits = info.get("bits_allocated", 16)
     signed = info.get("pixel_representation", 0) == 1
@@ -525,15 +536,15 @@ def _slice_array(info: Dict) -> np.ndarray:
                 "but the scan is near-lossless (NEAR>0) — refusing mislabeled "
                 "lossy data"
             )
-        arr, _prec = decode_jpeg_ls(blob)
+        arr, prec = decode_jpeg_ls(blob)
         if arr.shape != (info["rows"], info["cols"]):
             raise ValueError(
                 f"{info['path']}: JPEG-LS frame {arr.shape} != ({info['rows']}, {info['cols']})"
             )
-        if bits == 16 and signed:
-            arr = arr.view(np.int16)
+        if signed:
+            arr = _sign_extend(arr, prec)
         elif bits == 8:
-            arr = arr.astype(np.int8 if signed else np.uint8)
+            arr = arr.astype(np.uint8)
     elif info.get("transfer") in (_JPEG_BASE, _JPEG_EXT):
         from mamri_tpu.perception.jpegdct import decode_jpeg_dct
 
@@ -556,15 +567,15 @@ def _slice_array(info: Dict) -> np.ndarray:
         if not isinstance(frags, list):
             raise ValueError(f"{info['path']}: JPEG pixel data must be encapsulated")
         # a single-frame codestream may span several fragments
-        arr, _prec = decode_jpeg_lossless(b"".join(frags))
+        arr, prec = decode_jpeg_lossless(b"".join(frags))
         if arr.shape != (info["rows"], info["cols"]):
             raise ValueError(
                 f"{info['path']}: JPEG frame {arr.shape} != ({info['rows']}, {info['cols']})"
             )
-        if bits == 16 and signed:
-            arr = arr.view(np.int16)
+        if signed:
+            arr = _sign_extend(arr, prec)
         elif bits == 8:
-            arr = arr.astype(np.int8 if signed else np.uint8)
+            arr = arr.astype(np.uint8)
     elif info.get("transfer") in (_J2K_LL, _J2K):
         from mamri_tpu.perception.jpeg2000 import codestream_is_reversible, decode_jpeg2000
 

@@ -44,6 +44,8 @@ class _Tables:
     """One Huffman table: flat 16-bit-peek lookup (value -> symbol, length)."""
 
     def __init__(self, counts, symbols):
+        if len(counts) != 16 or sum(counts) != len(symbols):
+            raise JpegLosslessError("malformed Huffman table")
         self.peek_sym = np.zeros(1 << 16, dtype=np.uint8)
         self.peek_len = np.zeros(1 << 16, dtype=np.uint8)
         code = 0
@@ -54,6 +56,8 @@ class _Tables:
                 k += 1
                 lo = code << (16 - ln)
                 hi = lo + (1 << (16 - ln))
+                if hi > (1 << 16):
+                    raise JpegLosslessError("Huffman counts overflow the code space")
                 self.peek_sym[lo:hi] = sym
                 self.peek_len[lo:hi] = ln
                 code += 1
@@ -74,9 +78,15 @@ def _parse_markers(data: bytes) -> Dict:
         if marker >> 8 != 0xFF:
             raise JpegLosslessError(f"bad marker 0x{marker:04x} at {pos}")
         body = data[pos + 4 : pos + 2 + seglen]
+        if seglen < 2 or len(body) != seglen - 2:
+            raise JpegLosslessError("truncated marker segment")
         pos += 2 + seglen
         if marker == _SOF3:
+            if len(body) < 9:
+                raise JpegLosslessError("truncated SOF3 segment")
             prec, lines, cols, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if lines * cols > 1 << 26:
+                raise JpegLosslessError("image larger than the 64-Mpixel decode cap")
             if ncomp != 1:
                 raise JpegLosslessError(
                     f"{ncomp}-component lossless scans unsupported (grayscale only)"
@@ -94,15 +104,23 @@ def _parse_markers(data: bytes) -> Dict:
         elif marker == _DHT:
             off = 0
             while off < len(body):
+                if off + 17 > len(body):
+                    raise JpegLosslessError("truncated DHT segment")
                 tc_th = body[off]
                 counts = list(body[off + 1 : off + 17])
                 nsym = sum(counts)
+                if off + 17 + nsym > len(body):
+                    raise JpegLosslessError("DHT symbol list overruns the segment")
                 symbols = list(body[off + 17 : off + 17 + nsym])
                 tables[tc_th & 0x0F] = _Tables(counts, symbols)
                 off += 17 + nsym
         elif marker == _DRI:
+            if len(body) < 2:
+                raise JpegLosslessError("truncated DRI segment")
             restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == _SOS:
+            if len(body) < 6:
+                raise JpegLosslessError("truncated SOS segment")
             ns = body[0]
             if ns != 1:
                 raise JpegLosslessError("interleaved multi-component scan unsupported")

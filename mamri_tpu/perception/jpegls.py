@@ -498,9 +498,15 @@ def _parse_markers(data: bytes) -> Dict:
         if marker >> 8 != 0xFF:
             raise JpegLsError(f"bad marker 0x{marker:04x} at {pos}")
         body = data[pos + 4 : pos + 2 + seglen]
+        if seglen < 2 or len(body) != seglen - 2:
+            raise JpegLsError("truncated marker segment")
         pos += 2 + seglen
         if marker == _SOF55:
+            if len(body) < 9:
+                raise JpegLsError("truncated SOF55 segment")
             prec, lines, cols, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if lines * cols > 1 << 26:
+                raise JpegLsError("image larger than the 64-Mpixel decode cap")
             if ncomp != 1:
                 raise JpegLsError("multi-component JPEG-LS scans unsupported")
             if lines == 0 or cols == 0:
@@ -511,14 +517,18 @@ def _parse_markers(data: bytes) -> Dict:
         elif marker in _SOF_OTHER or marker == 0xFFC4:
             raise JpegLsError(f"marker 0x{marker:04x} is not JPEG-LS (SOF55)")
         elif marker == _LSE:
+            if len(body) < 11:
+                raise JpegLsError("truncated LSE segment")
             if body[0] != 1:
                 raise JpegLsError(f"LSE preset type {body[0]} unsupported")
             mv, t1, t2, t3, reset = struct.unpack_from(">5H", body, 1)
             preset = (mv, t1, t2, t3, reset)
         elif marker == _DRI:
-            if struct.unpack_from(">H", body, 0)[0] != 0:
+            if len(body) < 2 or struct.unpack_from(">H", body, 0)[0] != 0:
                 raise JpegLsError("JPEG-LS restart intervals unsupported")
         elif marker == _SOS:
+            if len(body) < 6:
+                raise JpegLsError("truncated SOS segment")
             if body[0] != 1:
                 raise JpegLsError("interleaved multi-component scan unsupported")
             near, ilv = body[1 + 2], body[1 + 2 + 1]
@@ -552,9 +562,18 @@ def decode_jpeg_ls(data: bytes, use_native: bool = True) -> Tuple[np.ndarray, in
             maxval = mv
             t1, t2, t3 = _default_thresholds(maxval, near)
         if pt1 or pt2 or pt3:
-            t1, t2, t3 = pt1 or t1, pt2 or t2, pt3 or t3
+            # a preset value of 0 means "default" PER THRESHOLD; each
+            # defaulted value is re-clamped against the EFFECTIVE previous
+            # threshold so partial presets stay a consistent T1<=T2<=T3
+            # chain (matches the native decoder's clampv(dt, t_prev))
+            d1, d2, d3 = t1, t2, t3
+            t1 = pt1 or min(max(d1, max(near + 1, 1)), maxval)
+            t2 = pt2 or min(max(d2, t1), maxval)
+            t3 = pt3 or min(max(d3, t2), maxval)
         if reset and reset != _RESET:
             raise JpegLsError(f"non-default RESET={reset} unsupported")
+        if not (1 <= t1 <= t2 <= t3 <= maxval):
+            raise JpegLsError(f"inconsistent LSE thresholds ({t1}, {t2}, {t3})")
     if near > min(255, maxval // 2):  # against the (possibly LSE-preset) MAXVAL
         raise JpegLsError(f"NEAR={near} out of range for MAXVAL={maxval}")
     p = _Params(prec, maxval, t1, t2, t3, near)

@@ -1004,3 +1004,95 @@ def test_jpegls_near_unsigned_storage_protects_sign_boundary():
         slope = 70000.0 / 64767.0
         # quantization-grid error (slope/2) + NEAR bound (3*slope)
         assert np.abs(back - data).max() <= (3 + 0.5) * slope * 1.01
+
+
+def test_signed_sub16_jpeg_sign_extension(tmp_path):
+    """Third-party 12-bit SIGNED JPEG-LS/JPEG-LL series: the decoded
+    BitsStored-wide two's-complement patterns must sign-extend (0x0FFF at
+    precision 12 is -1, not +4095). Crafted by re-wrapping a 12-bit scan
+    under PixelRepresentation=1."""
+    import struct as st
+
+    import mamri_tpu.perception.dicom as D
+    from mamri_tpu.perception.dicom import load_dicom_series
+    from mamri_tpu.perception.jpegll import encode_jpeg_lossless
+    from mamri_tpu.perception.jpegls import encode_jpeg_ls
+
+    rng = np.random.default_rng(3)
+    signed_vals = rng.integers(-2048, 2048, (12, 10)).astype(np.int32)
+    patterns = (signed_vals & 0xFFF).astype(np.uint16)  # 12-bit two's complement
+    for name, frame in (
+        ("ls", encode_jpeg_ls(patterns, 12)),
+        ("ll", encode_jpeg_lossless(patterns, 12)),
+    ):
+        if len(frame) % 2:
+            frame += b"\x00"
+        body = b"".join([
+            D._el(0x0008, 0x0016, b"UI", D._MR_STORAGE.encode()),
+            D._el(0x0008, 0x0018, b"UI", b"1.2.3.4"),
+            D._el(0x0020, 0x000E, b"UI", b"1.2.3"),
+            D._el(0x0020, 0x0032, b"DS", D._ds([0, 0, 0])),
+            D._el(0x0020, 0x0037, b"DS", D._ds([1, 0, 0, 0, 1, 0])),
+            D._el(0x0028, 0x0002, b"US", st.pack("<H", 1)),
+            D._el(0x0028, 0x0010, b"US", st.pack("<H", 12)),
+            D._el(0x0028, 0x0011, b"US", st.pack("<H", 10)),
+            D._el(0x0028, 0x0030, b"DS", D._ds([1.0, 1.0])),
+            D._el(0x0028, 0x0100, b"US", st.pack("<H", 16)),
+            D._el(0x0028, 0x0101, b"US", st.pack("<H", 12)),
+            D._el(0x0028, 0x0102, b"US", st.pack("<H", 11)),
+            D._el(0x0028, 0x0103, b"US", st.pack("<H", 1)),  # SIGNED
+            D._encapsulate([frame]),
+        ])
+        uid = {"ls": b"1.2.840.10008.1.2.4.80", "ll": b"1.2.840.10008.1.2.4.70"}[name]
+        meta_body = b"".join([
+            D._el(0x0002, 0x0001, b"OB", b"\x00\x01"),
+            D._el(0x0002, 0x0002, b"UI", D._MR_STORAGE.encode()),
+            D._el(0x0002, 0x0003, b"UI", b"1.2.3.4"),
+            D._el(0x0002, 0x0010, b"UI", uid),
+        ])
+        meta = D._el(0x0002, 0x0000, b"UL", st.pack("<I", len(meta_body))) + meta_body
+        d = tmp_path / name
+        d.mkdir()
+        (d / "f.dcm").write_bytes(b"\x00" * 128 + b"DICM" + meta + body)
+        got = np.asarray(load_dicom_series(str(d)).data)[:, :, 0].T
+        np.testing.assert_array_equal(got, signed_vals.astype(np.float32))
+
+
+def test_jpegls_lse_partial_preset_matches_native_and_validates():
+    """A partial LSE preset (T1 set, T2/T3 defaulted) must decode to the
+    same pixels through the Python and native paths; inconsistent presets
+    are rejected rather than silently mis-quantized."""
+    import struct as st
+
+    from mamri_tpu import native
+    from mamri_tpu.perception import jpegls
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 1 << 16, (20, 24)).astype(np.uint16)
+    base = jpegls.encode_jpeg_ls(img, 16)
+
+    def with_lse(mv, t1, t2, t3):
+        sof_end = base.find(b"\xff\xda")
+        lse = st.pack(">HHB5H", 0xFFF8, 13, 1, mv, t1, t2, t3, 64)
+        return base[:sof_end] + lse + base[sof_end:]
+
+    # T1 pushed ABOVE the default T2: the defaulted T2/T3 must re-clamp
+    data = with_lse(0, 100, 0, 0)
+    try:
+        py = jpegls.decode_jpeg_ls(data, use_native=False)[0]
+        py_err = None
+    except ValueError as e:
+        py, py_err = None, e
+    if native.available():
+        try:
+            nat = jpegls.decode_jpeg_ls(data, use_native=True)[0]
+            nat_err = None
+        except ValueError as e:
+            nat, nat_err = None, e
+        assert (py is None) == (nat is None), (py_err, nat_err)
+        if py is not None:
+            np.testing.assert_array_equal(py, nat)
+    # explicitly inconsistent presets (T2 < T1) are refused
+    bad = with_lse(0, 300, 200, 0)
+    with pytest.raises(ValueError):
+        jpegls.decode_jpeg_ls(bad, use_native=False)
