@@ -86,6 +86,11 @@ def _closed_mask_sharded(data, thr_lo, thr_hi, radius: int, axis_name: str):
     if radius <= 0:
         return mask
     h = 2 * radius
+    if mask.shape[0] < h:
+        raise ValueError(
+            f"shard width {mask.shape[0]} is thinner than the closing halo "
+            f"{h}: use fewer sp shards or a smaller closing radius"
+        )
     # send my trailing h planes right / leading h planes left; global edges
     # get zeros (= background), identical to constant-False padding
     n_sp = lax.axis_size(axis_name)
@@ -129,14 +134,12 @@ def _prefix_combine(f_all, v_all, reverse: bool):
     is associative — the textbook Blelloch decomposition lifted to the mesh.
     """
     n_sp = f_all.shape[0]
-    runf = jnp.zeros_like(f_all[0])
     runv = jnp.full_like(v_all[0], _BIG)
     pref_v = [None] * n_sp
     order = range(n_sp) if not reverse else range(n_sp - 1, -1, -1)
     for t in order:
         pref_v[t] = runv
         runv = jnp.where(f_all[t], v_all[t], jnp.minimum(runv, v_all[t]))
-        runf = jnp.logical_or(runf, f_all[t])
     return jnp.stack(pref_v)
 
 
@@ -217,19 +220,10 @@ def _consistency_sharded_jnp(lab, reset, axis_name: str):
     """GLOBAL () bool fixed-point certificate for the fallback path: local
     within-run adjacent equality on all three axes (axis-0 pairs within the
     shard) + the ppermute'd shard-boundary pairs, psum'd."""
+    from mamri_tpu.perception.segmentation import _labels_consistent_jnp
+
     fg = jnp.logical_not(reset)
-    bad = jnp.zeros((), jnp.int32)
-    for axis in range(3):
-        pair = jnp.logical_and(
-            jnp.take(fg, jnp.arange(1, fg.shape[axis]), axis=axis),
-            jnp.take(fg, jnp.arange(0, fg.shape[axis] - 1), axis=axis),
-        )
-        diff = jnp.take(lab, jnp.arange(1, lab.shape[axis]), axis=axis) != jnp.take(
-            lab, jnp.arange(0, lab.shape[axis] - 1), axis=axis
-        )
-        bad = jnp.maximum(
-            bad, jnp.any(jnp.logical_and(pair, diff)).astype(jnp.int32)
-        )
+    bad = jnp.logical_not(_labels_consistent_jnp(lab, reset)).astype(jnp.int32)
     bad = jnp.maximum(bad, _boundary_bad(lab, fg, axis_name))
     return lax.psum(bad, axis_name) == 0
 
@@ -284,17 +278,20 @@ def _segment_volume_sharded_fast(
     x_off = me * nxl
 
     # --- fused threshold + closing + global-label init, with raw-data halo
-    h = 2 * params.closing_radius
+    h = 2 * params.closing_radius  # > 0: this path is gated on radius == 2
+    if nxl < h:
+        raise ValueError(
+            f"shard width {nxl} is thinner than the closing halo {h}: halo "
+            "exchange would hand a shard its neighbor's planes — use fewer "
+            "sp shards or a smaller closing radius"
+        )
     fwd, bwd = _ring_perms(n_sp)
-    bg = jnp.float32(params.intensity_low - 1.0)
-    if h > 0:
-        left = lax.ppermute(data[-h:], axis_name, perm=fwd)
-        right = lax.ppermute(data[:h], axis_name, perm=bwd)
-        left = jnp.where(me == 0, bg, left)  # global edges: background fill
-        right = jnp.where(me == n_sp - 1, bg, right)
-        ext = jnp.concatenate([left, data, right], axis=0)
-    else:
-        ext = data
+    bg = jnp.float32(-jnp.inf)  # strictly out of band for any finite threshold
+    left = lax.ppermute(data[-h:], axis_name, perm=fwd)
+    right = lax.ppermute(data[:h], axis_name, perm=bwd)
+    left = jnp.where(me == 0, bg, left)  # global edges: background fill
+    right = jnp.where(me == n_sp - 1, bg, right)
+    ext = jnp.concatenate([left, data, right], axis=0)
     mask_ext, lab_ext = fused_threshold_close_init(
         ext, params.intensity_low, params.intensity_high,
         interpret=interpret, label_dims=(nx, ny),
@@ -434,6 +431,9 @@ def segment_volume_sharded(
     associative-scan fallback. Both honor `params.passes` and certify via
     the local-consistency check, so results are bit-identical.
     """
+    from mamri_tpu.perception.segmentation import _validate_thresholds
+
+    _validate_thresholds(params)
     data = jnp.asarray(data)
     spacing = jnp.asarray(spacing, dtype=jnp.float32)
     origin = jnp.asarray(origin, dtype=jnp.float32)

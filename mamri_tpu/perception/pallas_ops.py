@@ -233,7 +233,10 @@ def fused_threshold_close_init(
     p = jnp.pad(
         data,
         ((slab, slab + pad_x), (4, 4 + pad_y), (4, 4 + pad_z)),
-        constant_values=jnp.float32(thr_lo - 1.0),  # background: below threshold
+        # background fill must be STRICTLY out of band: thr_lo - 1.0 is a
+        # f32 no-op once |thr_lo| >= 2^24, so use -inf (thresholds are
+        # validated finite at the params boundary)
+        constant_values=jnp.float32(-jnp.inf),
     )
     nxp, nyp, nzp = p.shape
     grid = (nxp // slab - 2,)

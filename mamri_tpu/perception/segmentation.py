@@ -43,7 +43,9 @@ def _use_pallas() -> bool:
 
 
 class SegmentationParams(NamedTuple):
-    intensity_low: float = 65.0
+    intensity_low: float = 65.0  # must be finite: the kernels' out-of-band
+    # padding fill is -inf, and +-inf thresholds make "below threshold"
+    # unrepresentable (validated in segment_volume/_sharded)
     intensity_high: float = 65535.0
     min_volume_mm3: float = 50.0
     max_volume_mm3: float = 1500.0
@@ -80,7 +82,10 @@ class SegmentationResult(NamedTuple):
     body_mask: jnp.ndarray  # (nx, ny, nz) bool
     body_volume_mm3: jnp.ndarray  # () f32
     body_found: jnp.ndarray  # () bool
-    num_components: jnp.ndarray  # () int32 — EXACT total component count
+    num_components: jnp.ndarray  # () int32 — total component count; EXACT
+    # when roots_complete is True (on the kernel fast path it is the sum of
+    # per-block root-table counts, so roots beyond a line's run_k budget are
+    # uncounted until escalation restores completeness)
     labels: jnp.ndarray  # (nx, ny, nz) int32 min-linear-index labels (_BIG = background)
     ccl_converged: jnp.ndarray  # () bool — last sweep changed nothing => labels
     # are the exact CCL fixed point (certificate; escalate max_sweeps if False)
@@ -379,7 +384,12 @@ def _component_stats(
     `complete` is True iff every component was considered (num_components <=
     max_roots and no candidate was lost to the blocked top_k); callers
     escalate (exhaustive=True and/or larger max_roots) when False.
-    """
+    
+
+    NOTE: this jnp path flattens to (z,y,x)-raster via a full-volume
+    transpose; component_stats_matmul_xyz exists to skip it, but wiring
+    it into the escalated rerun is an unmeasured perf change on the TPU
+    path (relay outage) — candidate for the next measured round."""
     if use_pallas is None:
         use_pallas = _use_pallas()
     shape = labels.shape
@@ -483,6 +493,16 @@ def _component_stats_fast(
     return labels, roots, root_valid, counts, sums_ijk, num_components, complete
 
 
+def _validate_thresholds(params: SegmentationParams):
+    import math
+
+    if not (math.isfinite(params.intensity_low) and math.isfinite(params.intensity_high)):
+        raise ValueError(
+            "intensity thresholds must be finite (the kernels pad volume "
+            "borders with -inf as the out-of-band fill)"
+        )
+
+
 def segment_volume(data, spacing, origin, params: SegmentationParams = SegmentationParams()):
     """Full fiducial + body segmentation of one volume. jit/vmap-compatible.
 
@@ -491,6 +511,7 @@ def segment_volume(data, spacing, origin, params: SegmentationParams = Segmentat
       spacing, origin: (3,) LPS geometry.
     Returns a SegmentationResult with static shapes.
     """
+    _validate_thresholds(params)
     data = jnp.asarray(data)
     spacing = jnp.asarray(spacing, dtype=jnp.float32)
     origin = jnp.asarray(origin, dtype=jnp.float32)

@@ -225,3 +225,28 @@ def test_blob_band_certificate():
     # ball(2) closing can add a voxel or two to a 3^3 cube; all stay in-band
     assert vols.shape == (40,)
     assert np.all((vols >= 27 * 1.5**3) & (vols <= 30 * 1.5**3)), vols
+
+
+def test_huge_threshold_padding_stays_background():
+    """Border padding must be STRICTLY out of band: `thr_lo - 1.0` is a f32
+    no-op for |thr_lo| >= 2^24, which classified every pad voxel as
+    foreground (review finding, reproduced before the -inf fill fix)."""
+    import numpy as np
+
+    from mamri_tpu.perception.segmentation import SegmentationParams, segment_volume
+
+    data = np.zeros((16, 16, 16), np.float32)
+    params = SegmentationParams(
+        intensity_low=2.0e7, intensity_high=3.0e7, use_pallas=True
+    )
+    res = segment_volume(data, np.ones(3, np.float32), np.zeros(3, np.float32), params)
+    assert int(np.asarray(res.num_components)) == 0
+    assert not bool(np.asarray(res.body_mask).any())
+    # non-finite thresholds are rejected at the boundary, not mis-padded
+    import pytest
+
+    with pytest.raises(ValueError, match="finite"):
+        segment_volume(
+            data, np.ones(3, np.float32), np.zeros(3, np.float32),
+            SegmentationParams(intensity_low=float("-inf")),
+        )

@@ -246,3 +246,19 @@ def test_sharded_fast_pipeline_other_shard_counts(scene_vol, n_shards):
     ref = segment_volume(scene_vol.data, scene_vol.spacing, scene_vol.origin, params)
     got = _run_sharded(scene_vol, params, n_shards=n_shards, interpret=True)
     _assert_parity(got, ref)
+
+
+def test_thin_shards_rejected_loudly(scene_vol):
+    """A shard thinner than the closing halo would receive its neighbor's
+    planes from the halo slice; both sharded paths must refuse instead."""
+    from mamri_tpu.perception.volume import Volume
+
+    vol = scene_vol
+    thin = Volume(
+        data=np.asarray(vol.data)[:16],  # 2-wide shards on 8 devices
+        spacing=vol.spacing,
+        origin=vol.origin,
+    )
+    for use_pallas in (False, True):
+        with pytest.raises(ValueError, match="thinner|halo"):
+            _run_sharded(thin, SegmentationParams(use_pallas=use_pallas), interpret=True)
