@@ -98,6 +98,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
         ctypes.c_int64,
     ]
+    lib.mamri_jpegll_emit.restype = ctypes.c_int64
+    lib.mamri_jpegll_emit.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+    ]
     lib.mamri_jpegdct_scan.restype = ctypes.c_int64
     lib.mamri_jpegdct_scan.argtypes = [
         ctypes.c_char_p, ctypes.c_int64,
@@ -379,3 +385,30 @@ def jpegdct_scan_native(data: bytes, max_blocks: int) -> Optional[Tuple[np.ndarr
     if n < 0:
         raise ValueError(f"JPEG scan decode failed (native error {n})")
     return out[: n * 64].reshape(n, 64).astype(np.int64), rows.value, cols.value, prec.value
+
+
+def jpegll_emit_native(
+    diffs: np.ndarray, cats: np.ndarray, codes: np.ndarray, lens: np.ndarray
+) -> Optional[bytes]:
+    """Huffman bit-emit of one JPEG-Lossless band via the C++ codec —
+    byte-identical to perception.jpegll's Python emit loop. None if the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    d = np.ascontiguousarray(diffs, dtype=np.int32)
+    c = np.ascontiguousarray(cats, dtype=np.uint8)
+    cap = d.size * 6 + 16  # <= 16+16 bits/sample plus stuffing
+    out = np.empty(cap, dtype=np.uint8)
+    n = lib.mamri_jpegll_emit(
+        d.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        d.size,
+        np.ascontiguousarray(codes, dtype=np.uint32).ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        np.ascontiguousarray(lens, dtype=np.uint8).ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+    )
+    if n < 0:
+        raise ValueError(f"JPEG Lossless emit failed (native error {n})")
+    return out[:n].tobytes()

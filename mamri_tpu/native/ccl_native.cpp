@@ -1542,4 +1542,44 @@ int64_t mamri_jpegdct_scan(const uint8_t* data, int64_t len, int32_t* out,
   return nblocks;
 }
 
+// ----------------------------- JPEG Lossless (SOF3) scan bit-emitter
+// The encoder's only hot loop: Huffman-code the per-pixel (category, diff)
+// stream with FF00 stuffing and 1-bit final padding, byte-identical to
+// perception/jpegll.py's emit_band. codes/lens are indexed by category
+// symbol 0..16. Returns byte count, or -1 bad args, -2 cap too small.
+int64_t mamri_jpegll_emit(const int32_t* diffs, const uint8_t* cats, int64_t n,
+                          const uint32_t* codes, const uint8_t* lens,
+                          uint8_t* out, int64_t cap) {
+  uint64_t acc = 0;
+  int nacc = 0;
+  int64_t m = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    const int s = cats[i];
+    if (s > 16 || lens[s] == 0) return -1;
+    acc = (acc << lens[s]) | codes[s];
+    nacc += lens[s];
+    if (s > 0 && s < 16) {
+      int32_t v = diffs[i];
+      if (v < 0) v += (1 << s) - 1;
+      acc = (acc << s) | (uint32_t)v;
+      nacc += s;
+    }
+    while (nacc >= 8) {
+      const uint8_t byte = (uint8_t)((acc >> (nacc - 8)) & 0xFF);
+      nacc -= 8;
+      if (m + 2 > cap) return -2;
+      out[m++] = byte;
+      if (byte == 0xFF) out[m++] = 0x00;
+    }
+    acc &= (1ull << nacc) - 1;
+  }
+  if (nacc) {
+    const uint8_t byte = (uint8_t)(((acc << (8 - nacc)) | ((1u << (8 - nacc)) - 1)) & 0xFF);
+    if (m + 2 > cap) return -2;
+    out[m++] = byte;
+    if (byte == 0xFF) out[m++] = 0x00;
+  }
+  return m;
+}
+
 }  // extern "C"

@@ -438,6 +438,16 @@ def encode_jpeg_lossless(
         code <<= 1
 
     def emit_band(flat_d, flat_c):
+        from mamri_tpu.native import jpegll_emit_native
+
+        code_arr = np.zeros(17, dtype=np.uint32)
+        len_arr = np.zeros(17, dtype=np.uint8)
+        for sym, (c_, l_) in codes.items():
+            code_arr[sym] = c_
+            len_arr[sym] = l_
+        native = jpegll_emit_native(flat_d, flat_c, code_arr, len_arr)
+        if native is not None:
+            return bytearray(native)
         acc = 0
         nacc = 0
         body = bytearray()
