@@ -17,6 +17,7 @@ import json
 import logging
 import math
 import os
+from collections import OrderedDict
 from functools import partial
 from typing import Dict, Optional, Sequence, Tuple
 
@@ -49,6 +50,36 @@ MARKER_LINKS = ("Baseplate", "Joint2", "Joint4", "Joint6")
 DEFAULT_SAFETY_DISTANCE_MM = 5.0
 
 
+class _LRUCache:
+    """Bounded insertion-ordered cache for compiled executables. A long-lived
+    engine ingesting heterogeneous scan shapes would otherwise accumulate one
+    XLA executable per (shape, params, ...) key forever; shapes in practice
+    number a handful, so a small bound evicts only truly stale programs."""
+
+    def __init__(self, maxsize: int):
+        self.maxsize = max(1, int(maxsize))
+        self._d: "OrderedDict" = OrderedDict()
+
+    def __contains__(self, key) -> bool:
+        return key in self._d
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+    def __getitem__(self, key):
+        self._d.move_to_end(key)
+        return self._d[key]
+
+    def __setitem__(self, key, value) -> None:
+        self._d[key] = value
+        self._d.move_to_end(key)
+        while len(self._d) > self.maxsize:
+            self._d.popitem(last=False)
+
+    def clear(self) -> None:
+        self._d.clear()
+
+
 class MamriEngine:
     def __init__(
         self,
@@ -59,6 +90,7 @@ class MamriEngine:
         ik_iters: int = 24,
         ik_restarts: int = 2,
         match_mode: str = "best",
+        jit_cache_size: int = 32,
     ):
         if match_mode not in ("best", "strict", "global"):
             raise ValueError(
@@ -101,8 +133,8 @@ class MamriEngine:
         self.last_estimated_steps: Optional[np.ndarray] = None
         self.hardware = None  # HardwareStack, attached on demand
 
-        self._pipeline_cache: Dict[Tuple, callable] = {}
-        self._batch_cache: Dict[Tuple, callable] = {}
+        self._pipeline_cache = _LRUCache(jit_cache_size)
+        self._batch_cache = _LRUCache(max(4, jit_cache_size // 2))
 
     # ------------------------------------------------------------------ compute core
     def pipeline_fn(self, seg_params: Optional[SegmentationParams] = None, seg_fn=None):
@@ -192,6 +224,13 @@ class MamriEngine:
             }
 
         return pipeline
+
+    def clear_caches(self) -> None:
+        """Drop all cached compiled executables (pipeline, batch, planning).
+        Subsequent calls re-jit; XLA's on-disk compilation cache makes that
+        cheap for previously seen shapes."""
+        self._pipeline_cache.clear()
+        self._batch_cache.clear()
 
     def _get_pipeline(self, shape, seg_params: Optional[SegmentationParams] = None):
         params = seg_params if seg_params is not None else self.seg_params

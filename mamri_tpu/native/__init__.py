@@ -398,7 +398,9 @@ def jpegll_emit_native(
         return None
     d = np.ascontiguousarray(diffs, dtype=np.int32)
     c = np.ascontiguousarray(cats, dtype=np.uint8)
-    cap = d.size * 6 + 16  # <= 16+16 bits/sample plus stuffing
+    # Worst case: 16-bit code + 16-bit magnitude = 4 bytes/sample, and FF00
+    # stuffing can double that on adversarial all-FF streams -> 8 bytes/sample.
+    cap = d.size * 8 + 16
     out = np.empty(cap, dtype=np.uint8)
     n = lib.mamri_jpegll_emit(
         d.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
@@ -409,6 +411,8 @@ def jpegll_emit_native(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         cap,
     )
+    if n == -2:
+        return None  # output cap exceeded: fall back to the capless Python emitter
     if n < 0:
         raise ValueError(f"JPEG Lossless emit failed (native error {n})")
     return out[:n].tobytes()

@@ -103,6 +103,8 @@ class _HuffTable:
             self.mincode[ln] = code
             code += bits[ln - 1]
             k += bits[ln - 1]
+            if code > (1 << ln):
+                raise JpegDctError("Huffman code counts overflow the code space")
             self.maxcode[ln] = code - 1 if bits[ln - 1] else -1
             code <<= 1
         # encoder side: symbol -> (code, length)

@@ -1024,6 +1024,31 @@ def component_stats_matmul_xyz(
     )(roots.reshape(r, 1), lab2d)
 
 
+def component_stats_matmul_xyz_reference(flat_labels, roots, nx: int, ny: int, nz: int):
+    """jnp fallback for `component_stats_matmul_xyz`: labels flattened in
+    original (x, y, z) C-order, label values still (z, y, x)-raster indices.
+    Chunked to bound memory."""
+    n = flat_labels.shape[0]
+    chunk = 1 << 15
+    nchunks = -(-n // chunk)
+    flat_padded = jnp.pad(flat_labels, (0, nchunks * chunk - n), constant_values=_BIG)
+
+    def body(acc, c):
+        start = c * chunk
+        lab_c = lax.dynamic_slice(flat_padded, (start,), (chunk,))
+        pos = start + jnp.arange(chunk, dtype=jnp.int32)
+        gi = (pos // (ny * nz)).astype(jnp.float32)
+        rem = pos % (ny * nz)
+        gj = (rem // nz).astype(jnp.float32)
+        gk = (rem % nz).astype(jnp.float32)
+        feats = jnp.stack([jnp.ones(chunk, jnp.float32), gi, gj, gk], axis=-1)
+        eq = (lab_c[:, None] == roots[None, :]).astype(jnp.float32)
+        return acc + jnp.einsum("cr,cf->rf", eq, feats, precision=lax.Precision.HIGHEST), None
+
+    stats, _ = lax.scan(body, jnp.zeros((roots.shape[0], 4), jnp.float32), jnp.arange(nchunks))
+    return stats
+
+
 def component_stats_matmul_reference(flat_labels, roots, nx: int, ny: int):
     """jnp fallback with the same contract (chunked to bound memory)."""
     n = flat_labels.shape[0]

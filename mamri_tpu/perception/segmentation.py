@@ -384,28 +384,33 @@ def _component_stats(
     `complete` is True iff every component was considered (num_components <=
     max_roots and no candidate was lost to the blocked top_k); callers
     escalate (exhaustive=True and/or larger max_roots) when False.
-    
 
-    NOTE: this jnp path flattens to (z,y,x)-raster via a full-volume
-    transpose; component_stats_matmul_xyz exists to skip it, but wiring
-    it into the escalated rerun is an unmeasured perf change on the TPU
-    path (relay outage) — candidate for the next measured round."""
+    Works directly on the volume's native (x, y, z) C-order — the raster
+    linear index each label encodes is recomputed arithmetically per voxel,
+    so no full-volume transpose pass is needed (2x HBM volume traffic
+    saved; the stats matmul uses the xyz-decoding kernel)."""
     if use_pallas is None:
         use_pallas = _use_pallas()
     shape = labels.shape
     nx, ny, nz = shape
     n = nx * ny * nz
-    # flatten in the same (z, y, x)-raster order the labels encode
-    flat = jnp.transpose(labels, (2, 1, 0)).reshape(n)
-    lin = jnp.arange(n, dtype=jnp.int32)
+    flat = labels.reshape(n)  # free: native C-order, no data movement
+    # (z, y, x)-raster linear index of each flat position: flat position
+    # f = k + nz*(j + ny*i)  ->  raster index = i + nx*(j + ny*k)
+    f = jnp.arange(n, dtype=jnp.int32)
+    gi = f // (ny * nz)
+    rem = f - gi * (ny * nz)
+    gj = rem // nz
+    gk = rem - gj * nz
+    lin = gi + nx * (gj + ny * gk)
     is_root = jnp.logical_and(flat == lin, flat != _BIG)
     num_components = jnp.sum(is_root, dtype=jnp.int32)
     complete = num_components <= max_roots
 
     # smallest root indices first. A flat top_k over the whole volume costs
     # ~42 ms at 256^3 (the exact `exhaustive` escalation path); two-level
-    # (per-block then global) is 2.5x cheaper and exact as long as no raster
-    # block holds more than `per_block` roots — which is verified.
+    # (per-block then global) is 2.5x cheaper and exact as long as no block
+    # holds more than `per_block` roots — which is verified.
     root_keys = jnp.where(is_root, -lin, -_BIG)
     if n >= (1 << 20) and not exhaustive:
         nblocks = 2048
@@ -430,16 +435,16 @@ def _component_stats(
     # volume size (a full (n, R) f32 would be ~34 GB at 256^3): on TPU it
     # lives only in VMEM (Pallas MXU kernel); the jnp fallback streams chunks.
     from mamri_tpu.perception.pallas_ops import (
-        component_stats_matmul,
-        component_stats_matmul_reference,
+        component_stats_matmul_xyz,
+        component_stats_matmul_xyz_reference,
     )
 
     if use_pallas:
-        stats = component_stats_matmul(
-            flat, roots, nx, ny, interpret=jax.default_backend() == "cpu"
+        stats = component_stats_matmul_xyz(
+            flat, roots, nx, ny, nz, interpret=jax.default_backend() == "cpu"
         )
     else:
-        stats = component_stats_matmul_reference(flat, roots, nx, ny)
+        stats = component_stats_matmul_xyz_reference(flat, roots, nx, ny, nz)
     counts = stats[:, 0]
     sums_ijk = stats[:, 1:4]
     return roots, root_valid, counts, sums_ijk, num_components, complete

@@ -187,3 +187,34 @@ def test_native_scan_parity_and_fuzz():
         # Python loop tolerates and vice versa — samples must never diverge)
         if x is not None and y is not None:
             np.testing.assert_array_equal(x, y)
+
+
+def test_hufftable_rejects_code_space_overflow():
+    """A DHT whose counts overflow the canonical code space must be rejected
+    by the Python table builder, mirroring the native JdctHuff.build check
+    (ADVICE r3: native/oracle divergence on corrupt input)."""
+    bits = [3] + [0] * 15  # three codes of length 1 in a 2-code space
+    with pytest.raises(J.JpegDctError):
+        J._HuffTable(bits, [0, 1, 2])
+    # a maximal-but-valid table still builds
+    J._HuffTable([2] + [0] * 15, [0, 1])
+
+
+def test_jpegll_native_emit_cap_falls_back():
+    """Native emit returns None (Python fallback) instead of raising when the
+    output cap is exceeded (ADVICE r3). Exercised by calling the wrapper with
+    a deliberately adversarial all-max stream."""
+    from mamri_tpu.native import jpegll_emit_native
+
+    n = 64
+    diffs = np.full(n, 65535, dtype=np.int32)
+    cats = np.full(n, 16, dtype=np.uint8)
+    codes = np.zeros(17, dtype=np.uint32)
+    lens = np.zeros(17, dtype=np.uint8)
+    # give category 16 a 16-bit all-ones code: every emitted byte is FF ->
+    # maximal stuffing; the 8 B/sample cap must still hold (no None, no raise)
+    codes[16] = 0xFFFE
+    lens[16] = 16
+    out = jpegll_emit_native(diffs, cats, codes, lens)
+    if out is not None:  # native lib present
+        assert len(out) <= n * 8 + 16
