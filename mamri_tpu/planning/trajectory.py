@@ -68,6 +68,45 @@ def needle_target_frame(target_ras, entry_ras, safety_distance_mm):
     return m
 
 
+def analytic_trajectory_seeds(model: RobotModel, target_tf, base_tf, n_roll: int = 4):
+    """(8*n_roll, J) closed-form joint-angle candidates reaching the needle
+    goal frame.
+
+    The trajectory objective constrains only the needle tip position and
+    direction (5 DOF; `trajectory_pose_residual`): the roll about the needle
+    axis is free. The Needle link is a pure translation child of Joint6, so
+    the needle direction is Joint6's -x axis; for each of `n_roll` sampled
+    rolls this builds the implied Joint6 world frame and takes all eight
+    closed-form IK branches (ik/analytic.py) — 8*n_roll seeds whose LM polish
+    is a short descent, not a search (vs the reference's 2-guess scipy-TRF
+    budget, Mamri/Mamri.py:928-931)."""
+    from mamri_tpu.ik.analytic import analytic_ik_seeds
+
+    target_tf = jnp.asarray(target_tf)
+    dtype = target_tf.dtype
+    needle_off = model.fixed_offsets[model.link_index("Needle")][:3, 3]
+    x6 = -target_tf[:3, 0]  # needle direction = -x of the Joint6/Needle frame
+    tip = target_tf[:3, 3]
+    up = jnp.asarray([0.0, 0.0, 1.0], dtype=dtype)
+    alt = jnp.asarray([0.0, 1.0, 0.0], dtype=dtype)
+    up = jnp.where(jnp.abs(jnp.dot(x6, up)) > 0.99, alt, up)
+    y0 = jnp.cross(up, x6)
+    y0 = y0 / jnp.maximum(jnp.linalg.norm(y0), 1e-9)
+    z0 = jnp.cross(x6, y0)
+    rolls = (2.0 * jnp.pi / n_roll) * jnp.arange(n_roll, dtype=dtype)
+
+    def seeds_for_roll(roll):
+        c, s = jnp.cos(roll), jnp.sin(roll)
+        y6 = c * y0 + s * z0
+        z6 = -s * y0 + c * z0
+        r = jnp.stack([x6, y6, z6], axis=1)
+        frame = jnp.eye(4, dtype=dtype)
+        frame = frame.at[:3, :3].set(r).at[:3, 3].set(tip - r @ needle_off)
+        return analytic_ik_seeds(model, frame, base_tf)
+
+    return jax.vmap(seeds_for_roll)(rolls).reshape(-1, model.num_joints)
+
+
 def solve_trajectory_ik(
     model: RobotModel,
     geometry: ArmGeometry,
@@ -77,13 +116,30 @@ def solve_trajectory_ik(
     base_tf,
     world: Optional[CollisionWorld],
     current_angles=None,
-    num_iters: int = 100,
-    num_random_restarts: int = 6,
+    num_iters: Optional[int] = None,
+    num_random_restarts: Optional[int] = None,
     restart_seed: int = 0,
     success_threshold_mm: float = SUCCESS_POSITION_ERROR_MM,
+    analytic_seeds: Optional[bool] = None,
+    seed_top_k: int = 4,
 ) -> TrajectoryIKResult:
+    """`analytic_seeds=None` auto-enables closed-form seeding on the MAMRI
+    chain geometry: 32 analytic branch candidates are scored by residual cost
+    and the best `seed_top_k` join {current, zeros} for a short LM polish
+    (num_iters 32, no random restarts) — less than a quarter of the
+    unseeded path's LM work (8 guesses x 100 iters) at equal-or-better
+    success. `analytic_seeds=False` restores the unseeded
+    {current, zeros, 6 random} x 100-iter search."""
+    from mamri_tpu.ik.analytic import chain_is_analytic
+
     nj = model.num_joints
     dtype = model.limits_rad.dtype
+    if analytic_seeds is None:
+        analytic_seeds = chain_is_analytic(model)
+    if num_iters is None:
+        num_iters = 32 if analytic_seeds else 100
+    if num_random_restarts is None:
+        num_random_restarts = 0 if analytic_seeds else 6
     if current_angles is None:
         current_angles = jnp.zeros(nj, dtype=dtype)
     target_tf = needle_target_frame(target_ras, entry_ras, safety_distance_mm)
@@ -97,13 +153,19 @@ def solve_trajectory_ik(
 
     lower = model.limits_rad[:, 0]
     upper = model.limits_rad[:, 1]
-    guesses = [jnp.asarray(current_angles, dtype=dtype), jnp.zeros(nj, dtype=dtype)]
+    guesses = [jnp.stack([jnp.asarray(current_angles, dtype=dtype), jnp.zeros(nj, dtype=dtype)])]
+    if analytic_seeds:
+        cand = analytic_trajectory_seeds(model, target_tf, base_tf)
+        cand = jnp.clip(cand, lower[None, :], upper[None, :])
+        costs = jax.vmap(lambda x: jnp.sum(residual(x) ** 2))(cand)
+        _, top = jax.lax.top_k(-costs, min(seed_top_k, cand.shape[0]))
+        guesses.append(cand[top])
     if num_random_restarts > 0:
         key = jax.random.PRNGKey(restart_seed)
-        rand = jax.random.uniform(key, (num_random_restarts, nj), minval=lower * 0.8, maxval=upper * 0.8)
-        guesses = jnp.concatenate([jnp.stack(guesses), rand])
-    else:
-        guesses = jnp.stack(guesses)
+        guesses.append(
+            jax.random.uniform(key, (num_random_restarts, nj), minval=lower * 0.8, maxval=upper * 0.8)
+        )
+    guesses = jnp.concatenate(guesses)
 
     results = jax.vmap(lambda g: least_squares_lm(residual, g, lower, upper, num_iters=num_iters))(guesses)
 

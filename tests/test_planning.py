@@ -146,3 +146,46 @@ def test_trajectory_ik_avoids_body(model, geometry):
     entry = jnp.array([0.0, 55.0, 250.0])  # on the body surface
     res = solve_trajectory_ik(model, geometry, target, entry, 5.0, jnp.eye(4), world)
     assert not bool(res.collides)
+
+
+def test_trajectory_ik_analytic_seeds_sweep(model, geometry):
+    """VERDICT r3 #3: the analytic-seeded default (top-4 of 32 closed-form
+    branch seeds + {current, zeros}, 32 LM iters — under a quarter of the
+    unseeded 8x100 LM work) must match or beat the unseeded path's success
+    across a sweep of reachable needle poses."""
+    rng = np.random.default_rng(7)
+    lims = np.asarray(model.limits_rad)
+    n_ok = 0
+    for _ in range(10):
+        a = rng.uniform(lims[:, 0] * 0.6, lims[:, 1] * 0.6).astype(np.float32)
+        needle = fk_all_links(model, jnp.asarray(a), jnp.eye(4))[model.link_index("Needle")]
+        tip = np.asarray(needle[:3, 3])
+        d = -np.asarray(needle[:3, 0])
+        entry = tip + 5.0 * d
+        target = entry + 40.0 * d
+        res = solve_trajectory_ik(
+            model, geometry, jnp.asarray(target), jnp.asarray(entry), 5.0, jnp.eye(4), None
+        )
+        if bool(res.success) and float(res.position_error_mm) < 1.0:
+            n_ok += 1
+    assert n_ok == 10, f"analytic-seeded trajectory IK solved only {n_ok}/10 poses"
+
+
+def test_analytic_trajectory_seeds_contains_near_exact(model):
+    """At least one of the 32 closed-form candidates lands (near-)exactly on
+    a frame generated by FK — the polish step starts inside the basin."""
+    from mamri_tpu.planning.trajectory import analytic_trajectory_seeds
+
+    true_angles = jnp.array([0.4, -0.5, 0.7, 0.3, -0.6, 0.2])
+    needle = fk_all_links(model, true_angles, jnp.eye(4))[model.link_index("Needle")]
+    tip = np.asarray(needle[:3, 3])
+    d = -np.asarray(needle[:3, 0])
+    entry = tip + 5.0 * d
+    target = entry + 40.0 * d
+    tf = needle_target_frame(jnp.asarray(target), jnp.asarray(entry), 5.0)
+    seeds = analytic_trajectory_seeds(model, tf, jnp.eye(4))
+    assert seeds.shape == (32, 6)
+    from mamri_tpu.ik.residuals import trajectory_pose_residual
+
+    errs = jax.vmap(lambda s: jnp.linalg.norm(trajectory_pose_residual(model, s, jnp.eye(4), tf)[:3]))(seeds)
+    assert float(jnp.min(errs)) < 1.0, float(jnp.min(errs))
