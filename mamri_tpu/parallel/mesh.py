@@ -86,6 +86,7 @@ def sharded_batched_pipeline(
     dp_axis: str = "dp",
     sp_axis: Optional[str] = None,
     seg_params=None,
+    microbatch: Optional[int] = None,
 ):
     """jit the engine's fused batched pipeline with mesh shardings.
 
@@ -95,6 +96,12 @@ def sharded_batched_pipeline(
     is on). `seg_params` overrides the engine's segmentation settings (the
     escalation driver `run_sharded_batched` re-builds with stronger params).
 
+    `microbatch` bounds the per-device segmentation workspace exactly like
+    `estimate_pose_batch`'s: the program runs the GLOBAL batch in
+    `microbatch`-sized chunks via `lax.map` (each chunk still sharded over
+    dp, i.e. microbatch/dp volumes resident per device at a time). Must be a
+    multiple of the dp extent and divide the batch size.
+
     dp-only: plain jit + NamedSharding (XLA partitions the batch axis).
     dp x sp: manual SPMD via shard_map — the segmentation stage runs
     `segment_volume_sharded` (parallel/shard_seg.py): the full single-chip
@@ -103,6 +110,9 @@ def sharded_batched_pipeline(
     cross-shard x half-sweeps, and psum'd run-stats/certificates.
     """
     nj = engine.model.num_joints
+    dp = mesh.shape[dp_axis]
+    if microbatch is not None and microbatch % dp:
+        raise ValueError(f"microbatch {microbatch} must be a multiple of the dp extent {dp}")
 
     if sp_axis is None:
         pipeline = engine.pipeline_fn(seg_params)
@@ -121,7 +131,25 @@ def sharded_batched_pipeline(
             out.pop("body_mask")
             return out
 
-        batched = jax.vmap(one, in_axes=(0, None, None, None))
+        vone = jax.vmap(one, in_axes=(0, None, None, None))
+        if microbatch is None:
+            batched = vone
+        else:
+            def batched(data, spacing, origin, apply_correction):
+                b = data.shape[0]
+                if b % microbatch:
+                    raise ValueError(f"microbatch {microbatch} must divide batch {b}")
+                chunks = data.reshape((b // microbatch, microbatch) + data.shape[1:])
+                # pin the volume axis (not the chunk axis) to dp so lax.map
+                # serializes chunks and each chunk spreads across devices
+                chunks = jax.lax.with_sharding_constraint(
+                    chunks, NamedSharding(mesh, P(None, dp_axis))
+                )
+                out = jax.lax.map(
+                    lambda d: vone(d, spacing, origin, apply_correction), chunks
+                )
+                return jax.tree.map(lambda x: x.reshape((b,) + x.shape[2:]), out)
+
         data_sh = batch_sharding(mesh, dp_axis)
         repl = NamedSharding(mesh, P())
         out_sh = NamedSharding(mesh, P(dp_axis))
@@ -137,6 +165,7 @@ def sharded_batched_pipeline(
         return segment_volume_sharded(data, spacing, origin, params, axis_name=sp_axis)
 
     pipeline = engine.pipeline_fn(seg_params, seg_fn=seg_fn)
+    mb_local = None if microbatch is None else microbatch // dp
 
     def local_fn(data, spacing, origin, apply_correction):
         # data: (B/dp, nx/sp, ny, nz) local block; collectives ride sp only
@@ -154,7 +183,16 @@ def sharded_batched_pipeline(
             out.pop("body_mask")  # stays device-side; per-volume results only
             return out
 
-        return jax.vmap(one)(data)
+        lb = data.shape[0]
+        if mb_local is None or mb_local >= lb:
+            return jax.vmap(one)(data)
+        if lb % mb_local:
+            raise ValueError(
+                f"microbatch {microbatch} must divide the local batch {lb} (x dp {dp})"
+            )
+        chunks = data.reshape((lb // mb_local, mb_local) + data.shape[1:])
+        out = jax.lax.map(lambda d: jax.vmap(one)(d), chunks)
+        return jax.tree.map(lambda x: x.reshape((lb,) + x.shape[2:]), out)
 
     shmapped = jax.shard_map(
         local_fn,
@@ -175,39 +213,90 @@ def run_sharded_batched(
     apply_correction: bool = False,
     dp_axis: str = "dp",
     sp_axis: Optional[str] = None,
+    microbatch: Optional[int] = None,
     _fn_cache: Optional[dict] = None,
 ):
     """Execute the mesh-sharded batched pipeline WITH the engine's
     certificate->escalate->rerun loop (the same semantics `estimate_pose`
     has single-chip): an uncertified segmentation (ccl_converged /
-    roots_complete / blobs_complete) re-runs the batch at escalated settings
-    until every volume certifies or the budgets cap out.
+    roots_complete / blobs_complete) re-runs at escalated settings until
+    every volume certifies or the budgets cap out.
+
+    Escalation is PER VOLUME, like `estimate_pose_batch`: only the failing
+    volumes re-run, compacted into a sub-batch padded to dp x power-of-two
+    (bounded compile-shape set, dp-divisible), and the results scatter back —
+    volumes certified on the first pass keep their first-pass results, and
+    one noisy scan in a 64-volume mesh batch costs escalated work for itself
+    only. `microbatch` chunks the first pass (see `sharded_batched_pipeline`);
+    escalation sub-batches are small and never chunked.
 
     Returns (outputs dict of host arrays, final SegmentationParams,
     certified: bool). Compiled programs are cached per params in `_fn_cache`
     (pass a dict to keep it across calls).
     """
+    import logging
+
+    logger = logging.getLogger(__name__)
     cache = _fn_cache if _fn_cache is not None else {}
     params = engine.seg_params
-    while True:
-        key = (params, dp_axis, sp_axis)
+    dp = mesh.shape[dp_axis]
+    data_np = np.asarray(data_batch)
+
+    def get_fn(p, mb):
+        key = (p, dp_axis, sp_axis, mb)
         if key not in cache:
             cache[key] = sharded_batched_pipeline(
-                engine, mesh, dp_axis=dp_axis, sp_axis=sp_axis, seg_params=params
+                engine, mesh, dp_axis=dp_axis, sp_axis=sp_axis, seg_params=p,
+                microbatch=mb,
             )
-        out = cache[key](
-            jnp.asarray(data_batch),
+        return cache[key]
+
+    out = get_fn(params, microbatch)(
+        jnp.asarray(data_np),
+        jnp.asarray(spacing),
+        jnp.asarray(origin),
+        jnp.asarray(apply_correction),
+    )
+    # np.array (copy): device_get views are read-only and the escalation
+    # loop scatters sub-batch results back in place
+    out = {k: np.array(v) for k, v in jax.device_get(out).items()}
+    certified = out["seg_converged"] & out["roots_complete"] & out["blobs_complete"]
+    while not certified.all():
+        fail = np.nonzero(~certified)[0]
+        stronger = engine._escalate_seg_params(
+            params,
+            bool(out["seg_converged"][fail].all()),
+            bool(out["roots_complete"][fail].all()),
+            bool(out["blobs_complete"][fail].all()),
+        )
+        if stronger is None:
+            logger.warning(
+                "mesh-batched segmentation uncertified at strongest settings "
+                "for volumes %s", fail.tolist(),
+            )
+            return out, params, False
+        # compact the failures; pad to dp x next power of two with repeats of
+        # the first failure (dp-divisible, bounded compile-shape set)
+        groups = -(-len(fail) // dp)
+        n_pad = dp * (1 if groups <= 1 else 1 << (groups - 1).bit_length())
+        sel = np.concatenate([fail, np.full(n_pad - len(fail), fail[0], fail.dtype)])
+        logger.warning(
+            "mesh-batched segmentation escalation for %d/%d volumes -> "
+            "passes=%s max_sweeps=%d max_roots=%d max_blobs=%d exhaustive=%s",
+            len(fail), data_np.shape[0], stronger.passes, stronger.max_sweeps,
+            stronger.max_roots, stronger.max_blobs, stronger.exhaustive_roots,
+        )
+        sub = get_fn(stronger, None)(
+            jnp.asarray(data_np[sel]),
             jnp.asarray(spacing),
             jnp.asarray(origin),
             jnp.asarray(apply_correction),
         )
-        out = {k: np.asarray(v) for k, v in jax.device_get(out).items()}
-        converged = bool(out["seg_converged"].all())
-        complete = bool(out["roots_complete"].all())
-        blobs_ok = bool(out["blobs_complete"].all())
-        if converged and complete and blobs_ok:
-            return out, params, True
-        stronger = engine._escalate_seg_params(params, converged, complete, blobs_ok)
-        if stronger is None:
-            return out, params, False
+        sub = {k: np.asarray(v) for k, v in jax.device_get(sub).items()}
+        for k, v in out.items():
+            v[fail] = sub[k][: len(fail)]
+        certified[fail] = (
+            sub["seg_converged"] & sub["roots_complete"] & sub["blobs_complete"]
+        )[: len(fail)]
         params = stronger
+    return out, params, True

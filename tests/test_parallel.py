@@ -149,3 +149,84 @@ def test_sharded_escalation_loop(engine):
     np.testing.assert_allclose(
         np.asarray(out["angles"])[0], np.asarray(ref["angles"])[0], atol=1e-4
     )
+
+
+def test_mesh_per_volume_escalation(engine, caplog):
+    """VERDICT r3 #2: a mixed clean/noisy mesh batch escalates ONLY the
+    uncertified volume — the failing row re-runs as a compacted dp-divisible
+    sub-batch and scatters back; clean rows keep first-pass results."""
+    import logging
+
+    from mamri_tpu.parallel import run_sharded_batched
+
+    vol = _scene(engine)
+    clean = np.asarray(vol.data)
+    # clutter: a lattice of isolated 2x2x2 bright clusters — OUT of the blob
+    # band at 6 mm spacing (8 x 216 mm3 > max_volume 1500) and too far apart
+    # for closing(2) to merge, so only ROOT completeness fails (>128
+    # components) and the escalated max_roots/exhaustive pass certifies
+    noisy = clean.copy()
+    bright = clean > 60.0
+    n_added = 0
+    for i in range(2, clean.shape[0] - 3, 7):
+        for j in range(2, clean.shape[1] - 3, 7):
+            for k in range(2, clean.shape[2] - 3, 7):
+                if n_added < 200 and not bright[
+                    max(i - 4, 0):i + 6, max(j - 4, 0):j + 6, max(k - 4, 0):k + 6
+                ].any():
+                    noisy[i:i + 2, j:j + 2, k:k + 2] = 100.0
+                    n_added += 1
+    assert n_added >= 150
+
+    mesh = make_mesh(4, axes=("dp",))
+    batch = np.stack([clean, noisy, clean, clean])
+    cache = {}
+    with caplog.at_level(logging.WARNING, logger="mamri_tpu.parallel.mesh"):
+        out, final_params, certified = run_sharded_batched(
+            engine, mesh, batch, vol.spacing, vol.origin, _fn_cache=cache
+        )
+    assert certified
+    assert any("escalation for 1/4 volumes" in r.message for r in caplog.records)
+    # clean rows carry FIRST-PASS results: bit-identical to an all-clean run
+    ref, _, ref_cert = run_sharded_batched(
+        engine, mesh, np.stack([clean] * 4), vol.spacing, vol.origin, _fn_cache=cache
+    )
+    assert ref_cert
+    for row in (0, 2, 3):
+        np.testing.assert_array_equal(out["angles"][row], ref["angles"][row])
+    assert out["success"].all()
+
+
+def test_mesh_microbatch_chunking(engine):
+    """lax.map-chunked mesh batching must match the flat vmap on both the
+    dp-only and dp x sp paths (VERDICT r3 #2: microbatch= under shard_map)."""
+    from mamri_tpu.parallel import run_sharded_batched
+
+    vol = _scene(engine)
+    batch = np.broadcast_to(vol.data, (4,) + vol.data.shape).copy()
+
+    mesh_dp = make_mesh(2, axes=("dp",))
+    flat, _, c1 = run_sharded_batched(engine, mesh_dp, batch, vol.spacing, vol.origin)
+    chunked, _, c2 = run_sharded_batched(
+        engine, mesh_dp, batch, vol.spacing, vol.origin, microbatch=2
+    )
+    assert c1 and c2
+    np.testing.assert_array_equal(flat["angles"], chunked["angles"])
+
+    data = vol.data
+    pad_x = (-data.shape[0]) % 4
+    if pad_x:
+        data = np.pad(data, ((0, pad_x), (0, 0), (0, 0)), constant_values=10.0)
+    batch_sp = np.broadcast_to(data, (4,) + data.shape).copy()
+    mesh_sp = make_mesh(4, axes=("dp", "sp"))  # 2 x 2
+    flat_sp, _, c3 = run_sharded_batched(
+        engine, mesh_sp, batch_sp, vol.spacing, vol.origin, sp_axis="sp"
+    )
+    chunked_sp, _, c4 = run_sharded_batched(
+        engine, mesh_sp, batch_sp, vol.spacing, vol.origin, sp_axis="sp", microbatch=2
+    )
+    assert c3 and c4
+    np.testing.assert_array_equal(flat_sp["angles"], chunked_sp["angles"])
+
+    with pytest.raises(ValueError):
+        sharded_batched_pipeline(engine, mesh_sp, sp_axis="sp", microbatch=3)
