@@ -229,3 +229,74 @@ def test_sync_monitor_corrects_drift(rig):
         time.sleep(0.003)
         sync.step()
     assert mc.query_positions() == enc.latest_position == [150, 200, 0, 0, 0, 0]
+
+
+def test_wall_clock_soak_free_running_encoder():
+    """VERDICT r3 #8: ~2 s of REAL wall time with a free-running encoder
+    emitter thread, the blocking RobotTaskRunner.run loop, and the background
+    sync loop all running concurrently — the one place ordering/timing bugs
+    could hide from the fake-clock tests (reference: the 150 ms task QTimer
+    and 250 ms sync QTimer running together, Mamri.py:485-581, 1250-1302).
+    Asserts arrival, live updates were observed throughout, clean shutdown."""
+    import threading
+    import time
+
+    from mamri_tpu.api import MamriEngine
+    from mamri_tpu.hw.transport import LoopbackTransport
+
+    robot = SimulatedRobot(speed_steps_per_s=1500.0, clock=time.time)
+    mc_dev = SimulatedMotorController(robot)
+    enc_dev = SimulatedEncoder(robot)
+    tp_mc = LoopbackTransport(mc_dev)
+    tp_enc = LoopbackTransport(enc_dev)
+
+    stop_emit = threading.Event()
+
+    def emitter():
+        while not stop_emit.is_set():
+            enc_dev.emit()
+            time.sleep(0.004)  # ~250 Hz free-running stream
+
+    emit_thread = threading.Thread(target=emitter, daemon=True)
+    emit_thread.start()
+
+    engine = MamriEngine()
+    stack = engine.attach_hardware(tp_mc, tp_enc)
+    enc_dev.garbage_every = 7  # corrupt lines mixed into the live stream
+    stop_sync = stack.start_sync_loop(interval_s=0.05)
+
+    observed = []
+    engine_cb = stack.runner.pose_callback
+
+    def spy_cb(steps):
+        observed.append(np.asarray(steps).copy())
+        engine_cb(steps)
+
+    stack.runner.pose_callback = spy_cb
+
+    target = [900, -600, 450, 300, -200, 120]
+    stack.runner.start("move", target_steps=target, timeout_s=15.0)
+    t0 = time.time()
+    state = stack.runner.run(tick_interval_s=0.01)
+    elapsed = time.time() - t0
+
+    stop_sync()
+    stop_emit.set()
+    emit_thread.join(timeout=2.0)
+    assert not emit_thread.is_alive()
+    stack.disconnect()
+
+    assert state.outcome is TaskOutcome.SUCCESS, (state.outcome, state.message)
+    assert elapsed < 10.0
+    # the listener tracked the stream live: many distinct intermediate
+    # positions were observed, ending at the target
+    distinct = {tuple(p) for p in observed}
+    assert len(distinct) > 5, f"only {len(distinct)} distinct updates observed"
+    np.testing.assert_array_equal(observed[-1], target)
+    assert stack.encoder.latest_position == target
+    # engine state followed the pose callback to the final pose
+    np.testing.assert_allclose(
+        engine.current_angles,
+        np.asarray(engine.convert_steps_to_angles(np.asarray(target))),
+        atol=1e-6,
+    )
