@@ -222,7 +222,7 @@ def main():
         tcp_est = np.asarray(fk_all_links(engine.model, jnp.asarray(est), jnp.asarray(base)))[-1][:3, 3]
         tcp_err = float(np.linalg.norm(tcp_true - tcp_est))
         rmse = float(np.asarray(res["rmse"]).max())
-        solved = ok and certified and rmse < 1.5 and tcp_err < 2.0 and err_deg[0] < 1.5
+        solved = bool(ok and certified and rmse < 1.5 and tcp_err < 2.0 and err_deg[0] < 1.5)
 
         t0 = time.perf_counter()
         outs = [fb_s(dev_batch) for _ in range(REPS)]
@@ -268,11 +268,13 @@ def main():
     chained_j = jax.jit(lambda d: chained(d, K))
     jax.device_get(chained_j(dev_one))  # compile
     samples = []
-    for _ in range(3):
+    for _ in range(10):
         t0 = time.perf_counter()
         jax.device_get(chained_j(dev_one))
         samples.append((time.perf_counter() - t0) / K)
-    p50_device_ms = sorted(samples)[len(samples) // 2] * 1e3
+    samples.sort()
+    p50_device_ms = samples[len(samples) // 2] * 1e3
+    p95_device_ms = samples[min(int(len(samples) * 0.95), len(samples) - 1)] * 1e3
 
     # ---- streaming (BASELINE config 5): sequential frames through the
     # tracker — fresh host array every frame (H2D + relay RTT included),
@@ -394,6 +396,55 @@ def main():
     jax.device_get(outs[-1]["rmse"])
     noisy_vols_per_s = BATCH * len(outs) / (time.perf_counter() - t0)
 
+    # ---- large volume: anisotropic 512x512x192 (a realistic MR acquisition
+    # shape) over the same physical bbox — proves the kernel grids and block
+    # scheduling scale past 256^3 (VERDICT r3 #6). BENCH_LARGE=off to skip,
+    # or "AxBxC" for another shape.
+    large = None
+    large_env = os.environ.get("BENCH_LARGE", "512x512x192")
+    if large_env not in ("", "0", "off"):
+        lshape = tuple(int(t) for t in large_env.split("x"))
+        extent = spacing * SIZE  # physical bbox of the bench grid
+        lspacing = (extent / np.asarray(lshape)).astype(np.float32)
+        lvol = synthetic_volume(
+            shape=lshape,
+            spacing=lspacing,
+            origin=origin,
+            fiducials_ras=scenes[0][2],
+            fiducial_radius_mm=4.0,
+            body_center_ras=body_center,
+            body_radii_mm=[45.0, 55.0, 65.0],
+        )
+        dev_large = jnp.asarray(lvol.data)
+        lparams = engine.seg_params
+        f1_l = fb_cache[lparams][1]
+        while True:
+            resl = jax.device_get(f1_l(dev_large))
+            lconv = bool(resl["seg_converged"])
+            lcomp = bool(resl["roots_complete"])
+            lblob = bool(resl["blobs_complete"])
+            if lconv and lcomp and lblob:
+                break
+            stronger = engine._escalate_seg_params(lparams, lconv, lcomp, lblob)
+            if stronger is None:
+                break
+            lparams = stronger
+            if lparams not in fb_cache:
+                fb_cache[lparams] = make_fns(lparams)
+            f1_l = fb_cache[lparams][1]
+        t0 = time.perf_counter()
+        louts = [f1_l(dev_large) for _ in range(REPS)]
+        jax.device_get(louts[-1]["rmse"])
+        large_vols_per_s = REPS / (time.perf_counter() - t0)
+        large = {
+            "shape": "x".join(map(str, lshape)),
+            "vols_per_s": round(large_vols_per_s, 3),
+            "success": bool(resl["success"]),
+            "certified": lconv and lcomp and lblob,
+            "escalated": lparams != engine.seg_params,
+            "rmse_mm": round(float(resl["rmse"]), 4),
+        }
+
     print(
         json.dumps(
             {
@@ -402,17 +453,18 @@ def main():
                 "unit": "volumes/sec",
                 "vs_baseline": round(vols_per_s / TARGET_VOLS_PER_S, 4),
                 "p50_latency_ms": round(p50_device_ms, 2),
+                "p95_latency_ms": round(p95_device_ms, 2),
                 "p50_sync_incl_relay_rtt_ms": round(p50_sync_ms, 2),
                 "batch": BATCH,
                 "volume": f"{SIZE}^3",
-                "pipeline_success": pipeline_success,
+                "pipeline_success": bool(pipeline_success),
                 "per_scene": per_scene,
                 "streaming": {
                     "p50_ms": round(stream_p50_ms, 2),
                     "p95_ms": round(stream_p95_ms, 2),
                     "pipelined_fps": round(stream_fps, 2),
                     "frames": STREAM_FRAMES,
-                    "all_success": stream_ok,
+                    "all_success": bool(stream_ok),
                     "interactive": stream_p50_ms < TARGET_STREAM_MS,
                     "includes": "H2D upload + relay RTT + device compute, per frame (pipelined_fps overlaps them across frames)",
                 },
@@ -420,9 +472,10 @@ def main():
                     "entry_search_p50_ms": round(entry_ms, 2),
                     "heuristic_path_p50_ms": round(path_ms, 2),
                     "safety_sweep8_p50_ms": round(sweep_ms, 2),
-                    "success_collision_free": plan_ok,
+                    "success_collision_free": bool(plan_ok),
                     "includes": "public-API calls incl. one host fetch (relay RTT) each; fused jit-cached plan programs",
                 },
+                "large_volume": large,
                 "noisy_scan": {
                     "vols_per_s": round(noisy_vols_per_s, 3),
                     "speckle_components": int(np.asarray(resn["num_components"]).max()),

@@ -23,19 +23,24 @@ from mamri_tpu.perception import segmentation as seg
 _BIG = np.iinfo(np.int32).max
 
 
-def _scene(size: int):
-    """Deterministic blobs + ellipsoid + sparse speckle scene."""
-    rng = np.random.default_rng(42)
-    x, y, z = np.mgrid[:size, :size, :size].astype(np.float32)
-    data = np.full((size,) * 3, 10.0, np.float32)
-    n = max(4, size // 24)
-    centers = rng.integers(8, size - 8, size=(n, 3))
+def _scene(size, seed: int = 42):
+    """Deterministic blobs + ellipsoid + sparse speckle scene. `size` may be
+    an int (cubic) or an (nx, ny, nz) shape."""
+    shape = (size,) * 3 if isinstance(size, int) else tuple(size)
+    nx, ny, nz = shape
+    rng = np.random.default_rng(seed)
+    x, y, z = np.mgrid[:nx, :ny, :nz].astype(np.float32)
+    data = np.full(shape, 10.0, np.float32)
+    n = max(4, min(shape) // 24)
+    centers = np.stack(
+        [rng.integers(8, d - 8, size=n) for d in shape], axis=1
+    )
     for c in centers:
         data[((x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2) < 16] = 120.0
     data[
-        ((x - size / 2) ** 2 / (size / 3.2) ** 2)
-        + ((y - size / 2) ** 2 / (size / 4) ** 2)
-        + ((z - size / 1.7) ** 2 / (size / 3.6) ** 2)
+        ((x - nx / 2) ** 2 / (nx / 3.2) ** 2)
+        + ((y - ny / 2) ** 2 / (ny / 4) ** 2)
+        + ((z - nz / 1.7) ** 2 / (nz / 3.6) ** 2)
         < 1.0
     ] = 90.0
     sp = rng.random(data.shape) < 2.5e-5
@@ -190,6 +195,32 @@ def run_parity_checks(size: int = 128, sweeps: int = 6) -> Dict:
             "converged": bool(rk.ccl_converged),
             "roots_complete": bool(rk.roots_complete),
             "blobs_complete": bool(rk.blobs_complete),
+        },
+    }
+
+    # --- anisotropic end-to-end: kernel path vs jnp path on a non-cubic grid
+    # (the realistic MR acquisition aspect, e.g. 512x512x192 — proves kernel
+    # grids/tile padding are shape-correct, not just at cubes)
+    ashape = (size + 32, size, max(48, size // 2))
+    adata = jnp.asarray(_scene(ashape, seed=7))
+    rka = jax.jit(lambda d: seg.segment_volume(d, sp3, org, params_k))(adata)
+    rja = jax.jit(lambda d: seg.segment_volume(d, sp3, org, params_j))(adata)
+    report["segment_volume_anisotropic"] = {
+        "shape": "x".join(map(str, ashape)),
+        "centroids_max_diff_mm": float(
+            np.abs(np.asarray(rka.centroids_ras) - np.asarray(rja.centroids_ras)).max()
+        ),
+        "volumes_exact": bool(
+            np.array_equal(np.asarray(rka.volumes_mm3), np.asarray(rja.volumes_mm3))
+        ),
+        "num_components_exact": int(rka.num_components) == int(rja.num_components),
+        "body_mask_exact": bool(
+            np.array_equal(np.asarray(rka.body_mask), np.asarray(rja.body_mask))
+        ),
+        "certificates": {
+            "converged": bool(rka.ccl_converged),
+            "roots_complete": bool(rka.roots_complete),
+            "blobs_complete": bool(rka.blobs_complete),
         },
     }
 
