@@ -416,8 +416,30 @@ def main():
             body_radii_mm=[45.0, 55.0, 65.0],
         )
         dev_large = jnp.asarray(lvol.data)
+
+        def make_large_fn(params):
+            # the shared make_fns closes over the CUBIC grid's spacing; the
+            # large volume has its own anisotropic lspacing
+            pipeline = engine.pipeline_fn(params)
+
+            def one(d):
+                out = pipeline(
+                    d,
+                    jnp.asarray(lspacing),
+                    jnp.asarray(origin),
+                    jnp.eye(4, dtype=jnp.float32),
+                    jnp.asarray(False),
+                    jnp.asarray(False),
+                    jnp.asarray(False),
+                    jnp.zeros(engine.model.num_joints, dtype=jnp.float32),
+                )
+                keep = ("angles", "rmse", "success", "seg_converged", "roots_complete", "blobs_complete")
+                return {k: out[k] for k in keep}
+
+            return jax.jit(one)
+
         lparams = engine.seg_params
-        f1_l = fb_cache[lparams][1]
+        f1_l = make_large_fn(lparams)
         while True:
             resl = jax.device_get(f1_l(dev_large))
             lconv = bool(resl["seg_converged"])
@@ -429,9 +451,7 @@ def main():
             if stronger is None:
                 break
             lparams = stronger
-            if lparams not in fb_cache:
-                fb_cache[lparams] = make_fns(lparams)
-            f1_l = fb_cache[lparams][1]
+            f1_l = make_large_fn(lparams)
         t0 = time.perf_counter()
         louts = [f1_l(dev_large) for _ in range(REPS)]
         jax.device_get(louts[-1]["rmse"])

@@ -135,6 +135,10 @@ class MamriEngine:
 
         self._pipeline_cache = _LRUCache(jit_cache_size)
         self._batch_cache = _LRUCache(max(4, jit_cache_size // 2))
+        # planning programs get their own cache: scan-shape churn in the
+        # pipeline cache must not evict jitted plan fns out from under the
+        # streaming re-plan hot path
+        self._plan_cache = _LRUCache(16)
 
     # ------------------------------------------------------------------ compute core
     def pipeline_fn(self, seg_params: Optional[SegmentationParams] = None, seg_fn=None):
@@ -231,6 +235,7 @@ class MamriEngine:
         cheap for previously seen shapes."""
         self._pipeline_cache.clear()
         self._batch_cache.clear()
+        self._plan_cache.clear()
 
     def _get_pipeline(self, shape, seg_params: Optional[SegmentationParams] = None):
         params = seg_params if seg_params is not None else self.seg_params
@@ -927,7 +932,7 @@ class MamriEngine:
         re-plan step of streaming runs at jitted cost instead of eager
         per-op relay dispatch)."""
         key = ("plan", mode, world_shape, n)  # world_shape None <=> no world
-        if key not in self._pipeline_cache:
+        if key not in self._plan_cache:
             model, geometry = self.model, self.geometry
 
             def goal_fn(target, entry, safety, base_tf, current, world):
@@ -955,8 +960,8 @@ class MamriEngine:
                         flags = jnp.zeros(path.shape[0], dtype=bool)
                     return {"goal": goal, "keyframes": kf, "path": path, "flags": flags}
 
-            self._pipeline_cache[key] = jax.jit(fn)
-        return self._pipeline_cache[key]
+            self._plan_cache[key] = jax.jit(fn)
+        return self._plan_cache[key]
 
     def _plan_args(self, target_ras, entry_ras, safety, start=None):
         if self.baseplate_tf is None:

@@ -111,8 +111,10 @@ def sharded_batched_pipeline(
     """
     nj = engine.model.num_joints
     dp = mesh.shape[dp_axis]
-    if microbatch is not None and microbatch % dp:
-        raise ValueError(f"microbatch {microbatch} must be a multiple of the dp extent {dp}")
+    if microbatch is not None and (microbatch < 1 or microbatch % dp):
+        raise ValueError(
+            f"microbatch {microbatch} must be a positive multiple of the dp extent {dp}"
+        )
 
     if sp_axis is None:
         pipeline = engine.pipeline_fn(seg_params)
@@ -137,6 +139,8 @@ def sharded_batched_pipeline(
         else:
             def batched(data, spacing, origin, apply_correction):
                 b = data.shape[0]
+                if microbatch >= b:
+                    return vone(data, spacing, origin, apply_correction)  # no chunking
                 if b % microbatch:
                     raise ValueError(f"microbatch {microbatch} must divide batch {b}")
                 chunks = data.reshape((b // microbatch, microbatch) + data.shape[1:])
@@ -240,7 +244,10 @@ def run_sharded_batched(
     cache = _fn_cache if _fn_cache is not None else {}
     params = engine.seg_params
     dp = mesh.shape[dp_axis]
-    data_np = np.asarray(data_batch)
+    batch_size = int(np.shape(data_batch)[0])
+    data_np = None  # host copy made lazily, only if an escalation rerun
+    # needs fancy-indexed sub-batches — the certified-first-pass common case
+    # must not round-trip a device batch through the host
 
     def get_fn(p, mb):
         key = (p, dp_axis, sp_axis, mb)
@@ -252,7 +259,7 @@ def run_sharded_batched(
         return cache[key]
 
     out = get_fn(params, microbatch)(
-        jnp.asarray(data_np),
+        jnp.asarray(data_batch),
         jnp.asarray(spacing),
         jnp.asarray(origin),
         jnp.asarray(apply_correction),
@@ -275,6 +282,8 @@ def run_sharded_batched(
                 "for volumes %s", fail.tolist(),
             )
             return out, params, False
+        if data_np is None:
+            data_np = np.asarray(data_batch)
         # compact the failures; pad to dp x next power of two with repeats of
         # the first failure (dp-divisible, bounded compile-shape set)
         groups = -(-len(fail) // dp)
@@ -283,7 +292,7 @@ def run_sharded_batched(
         logger.warning(
             "mesh-batched segmentation escalation for %d/%d volumes -> "
             "passes=%s max_sweeps=%d max_roots=%d max_blobs=%d exhaustive=%s",
-            len(fail), data_np.shape[0], stronger.passes, stronger.max_sweeps,
+            len(fail), batch_size, stronger.passes, stronger.max_sweeps,
             stronger.max_roots, stronger.max_blobs, stronger.exhaustive_roots,
         )
         sub = get_fn(stronger, None)(

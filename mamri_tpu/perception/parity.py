@@ -32,9 +32,12 @@ def _scene(size, seed: int = 42):
     x, y, z = np.mgrid[:nx, :ny, :nz].astype(np.float32)
     data = np.full(shape, 10.0, np.float32)
     n = max(4, min(shape) // 24)
-    centers = np.stack(
-        [rng.integers(8, d - 8, size=n) for d in shape], axis=1
-    )
+    if nx == ny == nz:
+        # keep the exact RNG stream (one (n, 3) draw) of rounds <= 3 so the
+        # cubic baseline scene stays byte-comparable across parity artifacts
+        centers = rng.integers(8, nx - 8, size=(n, 3))
+    else:
+        centers = np.stack([rng.integers(8, d - 8, size=n) for d in shape], axis=1)
     for c in centers:
         data[((x - c[0]) ** 2 + (y - c[1]) ** 2 + (z - c[2]) ** 2) < 16] = 120.0
     data[

@@ -48,6 +48,20 @@ class TrajectoryIKResult(NamedTuple):
     target_tf: jnp.ndarray  # (4, 4) the needle target frame solved for
 
 
+def _orthonormal_basis(x_axis):
+    """(y, z) completing `x_axis` to a right-handed frame, with the
+    reference's world-up choice and 0.99-parallel fallback (Mamri.py:906-910).
+    Shared by the goal-frame builder and the analytic seed generator so the
+    degeneracy threshold can never drift between them."""
+    up = jnp.asarray([0.0, 0.0, 1.0], dtype=x_axis.dtype)
+    alt = jnp.asarray([0.0, 1.0, 0.0], dtype=x_axis.dtype)
+    up = jnp.where(jnp.abs(jnp.dot(x_axis, up)) > 0.99, alt, up)
+    y_axis = jnp.cross(up, x_axis)
+    y_axis = y_axis / jnp.maximum(jnp.linalg.norm(y_axis), 1e-9)
+    z_axis = jnp.cross(x_axis, y_axis)
+    return y_axis, z_axis
+
+
 def needle_target_frame(target_ras, entry_ras, safety_distance_mm):
     """Build the needle goal frame from target/entry markers (Mamri.py:895-911)."""
     target_ras = jnp.asarray(target_ras, dtype=jnp.float32)
@@ -55,14 +69,7 @@ def needle_target_frame(target_ras, entry_ras, safety_distance_mm):
     direction = target_ras - entry_ras
     x_axis = direction / jnp.maximum(jnp.linalg.norm(direction), 1e-9)
     tip = entry_ras - safety_distance_mm * x_axis
-
-    up = jnp.asarray([0.0, 0.0, 1.0])
-    alt = jnp.asarray([0.0, 1.0, 0.0])
-    use_alt = jnp.abs(jnp.dot(x_axis, up)) > 0.99
-    up = jnp.where(use_alt, alt, up)
-    y_axis = jnp.cross(up, x_axis)
-    y_axis = y_axis / jnp.maximum(jnp.linalg.norm(y_axis), 1e-9)
-    z_axis = jnp.cross(x_axis, y_axis)
+    y_axis, z_axis = _orthonormal_basis(x_axis)
     m = jnp.eye(4, dtype=jnp.float32)
     m = m.at[:3, 0].set(x_axis).at[:3, 1].set(y_axis).at[:3, 2].set(z_axis).at[:3, 3].set(tip)
     return m
@@ -87,12 +94,7 @@ def analytic_trajectory_seeds(model: RobotModel, target_tf, base_tf, n_roll: int
     needle_off = model.fixed_offsets[model.link_index("Needle")][:3, 3]
     x6 = -target_tf[:3, 0]  # needle direction = -x of the Joint6/Needle frame
     tip = target_tf[:3, 3]
-    up = jnp.asarray([0.0, 0.0, 1.0], dtype=dtype)
-    alt = jnp.asarray([0.0, 1.0, 0.0], dtype=dtype)
-    up = jnp.where(jnp.abs(jnp.dot(x6, up)) > 0.99, alt, up)
-    y0 = jnp.cross(up, x6)
-    y0 = y0 / jnp.maximum(jnp.linalg.norm(y0), 1e-9)
-    z0 = jnp.cross(x6, y0)
+    y0, z0 = _orthonormal_basis(x6)
     rolls = (2.0 * jnp.pi / n_roll) * jnp.arange(n_roll, dtype=dtype)
 
     def seeds_for_roll(roll):

@@ -230,3 +230,15 @@ def test_mesh_microbatch_chunking(engine):
 
     with pytest.raises(ValueError):
         sharded_batched_pipeline(engine, mesh_sp, sp_axis="sp", microbatch=3)
+
+
+def test_mesh_microbatch_validation(engine):
+    """microbatch must be a positive multiple of dp; values >= batch clamp to
+    un-chunked on BOTH paths (consistent dp-only vs dp x sp behavior)."""
+    mesh = make_mesh(2, axes=("dp",))
+    with pytest.raises(ValueError):
+        sharded_batched_pipeline(engine, mesh, microbatch=0)
+    with pytest.raises(ValueError):
+        sharded_batched_pipeline(engine, mesh, microbatch=-2)
+    with pytest.raises(ValueError):
+        sharded_batched_pipeline(engine, mesh, microbatch=3)  # not a dp multiple

@@ -13,7 +13,7 @@ until probe; do
   if [ $((n % 10)) -eq 0 ]; then echo "still waiting (probe $n)... $(date -u)" >> $LOG; fi
 done
 echo "RELAY UP $(date -u)" | tee -a $LOG
-run() { name="$1"; t="$2"; shift 2; echo "=== $name ($(date -u))" >> $LOG; timeout "$t" "$@" 2>&1 | grep -v "^WARNING" >> $LOG; echo "rc=$?" >> $LOG; }
+run() { name="$1"; t="$2"; shift 2; echo "=== $name ($(date -u))" >> $LOG; timeout "$t" "$@" 2>&1 | grep -v "^WARNING" >> $LOG; echo "rc=${PIPESTATUS[0]}" >> $LOG; }
 run "tpu_parity 04" 3000 python tools/tpu_parity.py 04
 run "profile_stages" 1800 python tools/profile_stages.py
 run "bench" 5400 python bench.py
