@@ -1,6 +1,7 @@
 """Command-line surface for the framework (the headless counterpart of the
 reference's Slicer panel): pose estimation, entry search, and path planning
-over NIfTI volumes or DICOM series directories.
+over NIfTI / NRRD / MetaImage volumes or DICOM files and series
+directories (format inferred from extension or magic bytes).
 
     python -m mamri_tpu estimate scan.nii.gz [--save-baseplate bp.npz] [--correction]
     python -m mamri_tpu entry    scan.nii.gz --target X Y Z
@@ -27,20 +28,11 @@ def _engine(args):
 
 
 def _load(path):
-    import os
-
-    from mamri_tpu.perception.io import load_nifti
+    from mamri_tpu.perception.formats import load_volume
 
     try:
-        if os.path.isdir(path):  # DICOM series directory
-            from mamri_tpu.perception.dicom import load_dicom_series
-
-            return load_dicom_series(path)
-        if path.lower().endswith(".dcm"):  # single file (multi-frame or one slice)
-            from mamri_tpu.perception.dicom import load_dicom
-
-            return load_dicom(path)
-        return load_nifti(path)
+        # DICOM series dir / .dcm / NIfTI / NRRD / MetaImage, magic-sniffed
+        return load_volume(path)
     except (OSError, ValueError) as e:
         print(json.dumps({"success": False, "message": f"cannot load volume: {e}"}))
         raise SystemExit(2)
@@ -55,10 +47,10 @@ def cmd_convert(args) -> int:
 
     vol = _load(args.input)
     out = args.output
-    if out.endswith(".nii") or out.endswith(".nii.gz"):
-        from mamri_tpu.perception.io import save_nifti
+    if out.endswith((".nii", ".nii.gz", ".nrrd", ".mha", ".mhd")):
+        from mamri_tpu.perception.formats import save_volume
 
-        save_nifti(out, vol)
+        save_volume(out, vol)
         written = [out]
     elif out.endswith(".dcm"):
         from mamri_tpu.perception.dicom import save_dicom_multiframe
@@ -244,7 +236,7 @@ def main(argv=None) -> int:
     sub.add_parser("info", help="robot definition + runtime summary")
 
     pe = sub.add_parser("estimate", help="scan -> joint angles")
-    pe.add_argument("volume", help="NIfTI volume (.nii/.nii.gz)")
+    pe.add_argument("volume", help="volume: .nii/.nii.gz, .nrrd/.nhdr, .mha/.mhd, .dcm, or a DICOM series directory")
     pe.add_argument("--correction", action="store_true", help="apply 180-deg end-effector correction")
     pe.add_argument("--save-baseplate", default=None)
     pe.add_argument("--load-baseplate", default=None)
@@ -278,9 +270,9 @@ def main(argv=None) -> int:
     px.add_argument("--safety", type=float, default=5.0)
     px.add_argument("--correction", action="store_true")
 
-    pc = sub.add_parser("convert", help="convert volumes: NIfTI <-> DICOM series/multi-frame, any supported transfer syntax")
-    pc.add_argument("input", help="NIfTI file or DICOM series directory")
-    pc.add_argument("output", help=".nii/.nii.gz, .dcm (Enhanced multi-frame), or a directory (per-slice series)")
+    pc = sub.add_parser("convert", help="convert volumes between NIfTI / NRRD / MetaImage / DICOM series or multi-frame, any supported transfer syntax")
+    pc.add_argument("input", help="any supported volume (NIfTI/NRRD/MetaImage/.dcm/series dir)")
+    pc.add_argument("output", help=".nii/.nii.gz, .nrrd, .mha/.mhd, .dcm (Enhanced multi-frame), or a directory (per-slice series)")
     pc.add_argument("--transfer", default="explicit_le",
                     choices=["explicit_le", "deflated", "rle", "jpegll", "jpegls", "j2k"],
                     help="DICOM transfer syntax for DICOM outputs (default explicit_le)")

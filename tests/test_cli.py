@@ -99,3 +99,29 @@ def test_cli_convert_roundtrip(tmp_path, capsys):
     back = str(tmp_path / "back.nii.gz")
     assert main(["convert", str(tmp_path / "mf"), back]) == 0
     np.testing.assert_array_equal(np.asarray(load_nifti(back).data), v.data)
+
+
+def test_cli_convert_nrrd_mha(tmp_path, capsys):
+    """convert: DICOM series -> NRRD -> MetaImage -> NIfTI, values and
+    geometry preserved through every hop."""
+    from mamri_tpu.perception.dicom import save_dicom_series
+    from mamri_tpu.perception.io import load_nifti
+    from mamri_tpu.perception.volume import Volume
+
+    rng = np.random.default_rng(3)
+    v = Volume(data=rng.integers(0, 500, (8, 9, 5)).astype(np.float32),
+               spacing=(1.0, 1.5, 2.0), origin=(-4.0, 1.0, 2.5))
+    series = str(tmp_path / "series")
+    save_dicom_series(series, v)
+    nrrd = str(tmp_path / "v.nrrd")
+    assert main(["convert", series, nrrd]) == 0
+    assert json.loads(capsys.readouterr().out)["success"]
+    mha = str(tmp_path / "v.mha")
+    assert main(["convert", nrrd, mha]) == 0
+    capsys.readouterr()
+    back = str(tmp_path / "back.nii.gz")
+    assert main(["convert", mha, back]) == 0
+    out = load_nifti(back)
+    np.testing.assert_array_equal(np.asarray(out.data), v.data)
+    np.testing.assert_allclose(out.spacing, v.spacing, atol=1e-5)
+    np.testing.assert_allclose(out.origin, v.origin, atol=1e-4)
