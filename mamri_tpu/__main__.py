@@ -45,11 +45,11 @@ def cmd_convert(args) -> int:
     Slicer's DICOM module."""
     import os
 
+    from mamri_tpu.perception.formats import SAVE_EXTENSIONS, save_volume
+
     vol = _load(args.input)
     out = args.output
-    if out.endswith((".nii", ".nii.gz", ".nrrd", ".mha", ".mhd")):
-        from mamri_tpu.perception.formats import save_volume
-
+    if out.lower().endswith(SAVE_EXTENSIONS):
         save_volume(out, vol)
         written = [out]
     elif out.endswith(".dcm"):

@@ -130,9 +130,15 @@ def _nrrd_decode(payload: bytes, encoding: str, dt: np.dtype, count: int, path: 
             raise ValueError(f"{path}: NRRD raw data truncated")
         return np.frombuffer(payload, dtype=dt, count=count)
     if enc in ("gzip", "gz"):
-        payload = gzip.decompress(payload)
+        try:
+            payload = gzip.decompress(payload)
+        except (EOFError, zlib.error, gzip.BadGzipFile) as e:
+            raise ValueError(f"{path}: corrupt NRRD gzip data ({e})") from e
     elif enc in ("bzip2", "bz2"):
-        payload = bz2.decompress(payload)
+        try:
+            payload = bz2.decompress(payload)
+        except (OSError, ValueError, EOFError) as e:
+            raise ValueError(f"{path}: corrupt NRRD bzip2 data ({e})") from e
     elif enc in ("ascii", "text", "txt"):
         try:
             toks = payload.decode("ascii").split()
@@ -227,25 +233,33 @@ def load_nrrd(path: str) -> Volume:
         affine[:, 3] = origin * flip
         return volume_from_affine(data, affine)
 
-    # legacy headers: per-axis spacings (or unit), origin at 0
+    # legacy headers: per-axis spacings (or unit), origin at 0. A NEGATIVE
+    # spacing encodes a decreasing world coordinate along that axis — route
+    # through the affine normalizer so the data flips instead of silently
+    # dropping the sign.
     if "spacings" in fields:
-        spac = np.array([abs(float(s)) for s in fields["spacings"].split()], dtype=np.float32)
-        if spac.shape != (3,) or not np.all(spac > 0):
+        spac = np.array([float(s) for s in fields["spacings"].split()], dtype=np.float64)
+        if spac.shape != (3,) or not np.all(np.abs(spac) > 0) or not np.all(np.isfinite(spac)):
             raise ValueError(f"{path}: malformed NRRD spacings {fields['spacings']!r}")
     else:
-        spac = np.ones(3, dtype=np.float32)
-    return Volume(
-        data=np.ascontiguousarray(data),
-        spacing=spac,
-        origin=np.zeros(3, dtype=np.float32),
-    )
+        spac = np.ones(3, dtype=np.float64)
+    affine = np.concatenate([np.diag(spac), np.zeros((3, 1))], axis=1)
+    return volume_from_affine(data, affine)
 
 
 def save_nrrd(path: str, volume: Volume, encoding: str = "gzip") -> None:
-    """Write a float32 NRRD0004 volume in LPS space (gzip or raw encoding)."""
+    """Write a float32 NRRD0004 volume in LPS space (gzip or raw encoding).
+
+    A `.nhdr` path writes a DETACHED header whose data lives next to it in
+    `<stem>.raw` / `<stem>.raw.gz`; anything else writes one attached file."""
     if encoding not in ("gzip", "raw"):
         raise ValueError(f"save_nrrd supports gzip/raw encodings, not {encoding!r}")
     data = np.asarray(volume.data, dtype=np.float32)
+    detached = path.lower().endswith(".nhdr")
+    datafile = ""
+    if detached:
+        stem = os.path.basename(path)[: -len(".nhdr")]
+        datafile = stem + (".raw.gz" if encoding == "gzip" else ".raw")
     sx, sy, sz = (float(v) for v in volume.spacing)
     ox, oy, oz = (float(v) for v in volume.origin)
     hdr = (
@@ -260,13 +274,20 @@ def save_nrrd(path: str, volume: Volume, encoding: str = "gzip") -> None:
         "endian: little\n"
         f"encoding: {encoding}\n"
         f"space origin: ({ox!r},{oy!r},{oz!r})\n"
-        "\n"
+        + (f"data file: {datafile}\n" if detached else "")
+        + "\n"
     ).encode("ascii")
     payload = data.astype("<f4").tobytes(order="F")
     if encoding == "gzip":
         payload = gzip.compress(payload, compresslevel=1)
-    with open(path, "wb") as f:
-        f.write(hdr + payload)
+    if detached:
+        with open(path, "wb") as f:
+            f.write(hdr)
+        with open(os.path.join(os.path.dirname(os.path.abspath(path)), datafile), "wb") as f:
+            f.write(payload)
+    else:
+        with open(path, "wb") as f:
+            f.write(hdr + payload)
 
 
 # ------------------------------------------------------------------ MetaImage
@@ -320,7 +341,10 @@ def load_metaimage(path: str) -> Volume:
         raise ValueError(f"{path}: only NDims = 3 MetaImages are supported")
     if int(fields.get("elementnumberofchannels", 1)) != 1:
         raise ValueError(f"{path}: multi-channel MetaImages are not supported")
-    sizes = [int(s) for s in fields["dimsize"].split()]
+    try:
+        sizes = [int(s) for s in fields["dimsize"].split()]
+    except (KeyError, ValueError) as e:
+        raise ValueError(f"{path}: missing/invalid DimSize") from e
     if len(sizes) != 3 or any(s <= 0 for s in sizes):
         raise ValueError(f"{path}: bad DimSize {fields.get('dimsize')!r}")
 
@@ -342,14 +366,22 @@ def load_metaimage(path: str) -> Volume:
         dpath = os.path.join(os.path.dirname(os.path.abspath(path)), datafile)
         with open(dpath, "rb") as f:
             payload = f.read()
+    compressed = _MET_BOOL.get(fields.get("compresseddata", "false").lower(), False)
     header_skip = int(fields.get("headersize", 0))
     if header_skip > 0:
         payload = payload[header_skip:]
     elif header_skip == -1:
+        # MetaIO defines HeaderSize -1 (count back from the end) only for
+        # uncompressed data — the compressed byte count is unknowable here
+        if compressed:
+            raise ValueError(f"{path}: HeaderSize -1 requires uncompressed data")
         payload = payload[len(payload) - int(np.prod(sizes)) * dt.itemsize:]
 
-    if _MET_BOOL.get(fields.get("compresseddata", "false").lower(), False):
-        payload = zlib.decompress(payload)
+    if compressed:
+        try:
+            payload = zlib.decompress(payload)
+        except zlib.error as e:
+            raise ValueError(f"{path}: corrupt MetaImage CompressedData ({e})") from e
     count = int(np.prod(sizes))
     if len(payload) < count * dt.itemsize:
         raise ValueError(f"{path}: MetaImage data truncated")
@@ -444,14 +476,19 @@ def load_volume(path: str) -> Volume:
     return load_nifti(path)  # NIfTI validates its own magic
 
 
+# extensions save_volume dispatches on — the single source of truth callers
+# (e.g. the CLI convert command) key their format routing off
+SAVE_EXTENSIONS = (".nii", ".nii.gz", ".nrrd", ".nhdr", ".mha", ".mhd")
+
+
 def save_volume(path: str, volume: Volume, **kwargs) -> None:
-    """Save by extension: .nii/.nii.gz, .nrrd, .mha/.mhd (kwargs pass through
-    to the format writer). DICOM output keeps its dedicated API
+    """Save by extension (`SAVE_EXTENSIONS`; kwargs pass through to the
+    format writer). DICOM output keeps its dedicated API
     (`save_dicom_series` / `save_dicom_multiframe` — it needs series knobs)."""
     low = path.lower()
     if low.endswith((".nii", ".nii.gz")):
         save_nifti(path, volume, **kwargs)
-    elif low.endswith(".nrrd"):
+    elif low.endswith((".nrrd", ".nhdr")):
         save_nrrd(path, volume, **kwargs)
     elif low.endswith((".mha", ".mhd")):
         save_metaimage(path, volume, **kwargs)

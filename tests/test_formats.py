@@ -345,3 +345,71 @@ def test_save_volume_dispatch(tmp_path):
         np.testing.assert_array_equal(load_volume(p).data, v.data, err_msg=name)
     with pytest.raises(ValueError):
         save_volume(str(tmp_path / "a.xyz"), v)
+
+
+def test_nrrd_corrupt_compressed_raises_valueerror(tmp_path):
+    """Truncated/garbled compressed payloads must surface as ValueError (the
+    loader contract the CLI error handler relies on), not EOFError/zlib.error."""
+    base = "NRRD0004\ntype: float\ndimension: 3\nsizes: 2 2 2\nencoding: {enc}\n\n"
+    good = gzip.compress(np.zeros((2, 2, 2), "<f4").tobytes())
+    cases = [
+        ("gzip", good[: len(good) // 2]),   # truncated stream
+        ("gzip", b"\x1f\x8b" + b"\xff" * 20),  # garbled body
+        ("bzip2", b"BZh9" + b"\x00" * 10),
+    ]
+    for enc, payload in cases:
+        p = str(tmp_path / f"bad_{enc}_{len(payload)}.nrrd")
+        with open(p, "wb") as f:
+            f.write(base.format(enc=enc).encode() + payload)
+        with pytest.raises(ValueError):
+            load_nrrd(p)
+
+
+def test_nrrd_legacy_negative_spacing_flips(tmp_path):
+    """Legacy 'spacings' with a negative value = decreasing world coordinate:
+    the axis must flip (with the origin moved), not silently abs()."""
+    data = _asym_data((4, 3, 2))
+    hdr = (
+        b"NRRD0004\ntype: float\ndimension: 3\nsizes: 4 3 2\n"
+        b"encoding: raw\nspacings: 1 -2 3\n\n"
+    )
+    p = str(tmp_path / "neg.nrrd")
+    with open(p, "wb") as f:
+        f.write(hdr + data.astype("<f4").tobytes(order="F"))
+    vol = load_nrrd(p)
+    np.testing.assert_array_equal(vol.data, data[:, ::-1, :])
+    np.testing.assert_allclose(vol.spacing, [1.0, 2.0, 3.0], atol=1e-6)
+    np.testing.assert_allclose(vol.origin, [0.0, -4.0, 0.0], atol=1e-6)
+
+
+def test_nrrd_detached_writer_roundtrip(tmp_path):
+    v = synthetic_volume(shape=(10, 8, 6), spacing=(1.0, 1.5, 2.0))
+    for enc, datafile in (("gzip", "v.raw.gz"), ("raw", "v.raw")):
+        p = str(tmp_path / "v.nhdr")
+        save_nrrd(p, v, encoding=enc)
+        assert (tmp_path / datafile).exists()
+        back = load_nrrd(p)
+        np.testing.assert_array_equal(back.data, v.data)
+        np.testing.assert_allclose(back.spacing, v.spacing, atol=1e-6)
+
+
+def test_metaimage_corrupt_and_headersize_contract(tmp_path):
+    common = (
+        b"ObjectType = Image\nNDims = 3\nDimSize = 2 2 2\n"
+        b"ElementType = MET_FLOAT\n"
+    )
+    cases = {
+        # corrupt zlib payload -> ValueError, not zlib.error
+        "corrupt.mha": common + b"CompressedData = True\nElementDataFile = LOCAL\n" + b"\xde\xad\xbe\xef" * 8,
+        # HeaderSize -1 is undefined for compressed data -> reject
+        "hs.mha": common + b"CompressedData = True\nHeaderSize = -1\nElementDataFile = LOCAL\n"
+        + zlib.compress(np.zeros((2, 2, 2), "<f4").tobytes()),
+        # missing DimSize -> ValueError, not KeyError
+        "nodim.mha": b"ObjectType = Image\nNDims = 3\nElementType = MET_FLOAT\nElementDataFile = LOCAL\n" + b"\x00" * 32,
+    }
+    for name, body in cases.items():
+        p = str(tmp_path / name)
+        with open(p, "wb") as f:
+            f.write(body)
+        with pytest.raises(ValueError):
+            load_metaimage(p)
