@@ -170,13 +170,25 @@ def cmd_plan(args) -> int:
 
 
 def cmd_export(args) -> int:
-    if not args.out_dir and not args.scene and not args.render and not args.animate:
-        print(json.dumps({"success": False, "message": "give --out-dir (posed STLs), --scene (assembled OBJ/GLB/HTML), --render (PNG snapshot) and/or --animate (trajectory-simulation HTML)"}))
+    if not (args.out_dir or args.scene or args.render or args.animate or args.seg):
+        print(json.dumps({"success": False, "message": "give --out-dir (posed STLs), --scene (assembled OBJ/GLB/HTML), --render (PNG snapshot), --animate (trajectory-simulation HTML) and/or --seg (Slicer .seg.nrrd)"}))
         return 2
     eng = _engine(args)
     vol = _load(args.volume)
     pose = eng.estimate_pose(vol, apply_correction=args.correction)
     if not pose.success:
+        # segmentation runs before IK (as in the reference's process()), so
+        # --seg can still deliver when the pose itself is unavailable
+        if args.seg and not (args.out_dir or args.scene or args.render or args.animate):
+            if eng.body_mask() is None:
+                print(json.dumps({"success": False, "message": "no body segmentation found in scan (--seg)"}))
+                return 1
+            print(json.dumps({
+                "success": True,
+                "seg": eng.export_segmentation(args.seg),
+                "message": f"pose estimation failed ({pose.message}); segmentation exported",
+            }))
+            return 0
         print(json.dumps({"success": False, "message": f"pose estimation failed: {pose.message}"}))
         return 1
     out = {"success": True, "angles_deg": np.rad2deg(pose.angles_rad).round(3).tolist()}
@@ -225,6 +237,11 @@ def cmd_export(args) -> int:
             )
             out["render"] = args.render
             out["render_size"] = list(size)
+    if args.seg:
+        if eng.body_mask() is None:
+            print(json.dumps({"success": False, "message": "no body segmentation found in scan (--seg)"}))
+            return 1
+        out["seg"] = eng.export_segmentation(args.seg)
     print(json.dumps(out, indent=2))
     return 0
 
@@ -262,6 +279,7 @@ def main(argv=None) -> int:
     px.add_argument("--out-dir", default=None, help="write per-link FK-posed STLs here")
     px.add_argument("--scene", default=None, help="write one assembled scene (robot + needle + body + trajectory); OBJ, binary glTF (.glb), or a self-contained interactive WebGL viewer (.html)")
     px.add_argument("--render", default=None, help="write a PNG snapshot of the scene (software rasterizer)")
+    px.add_argument("--seg", default=None, help="write the body segmentation as a Slicer-loadable .seg.nrrd segmentation node")
     px.add_argument("--animate", default=None, help="write an interactive trajectory-simulation HTML (slider + play at 50 ms) — requires --target")
     px.add_argument("--view", nargs=2, type=float, default=(35.0, 22.0), metavar=("AZIM", "ELEV"))
     px.add_argument("--smooth-body", action="store_true", help="marching-tetrahedra body surface instead of exact voxel faces")

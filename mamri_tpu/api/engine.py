@@ -893,6 +893,21 @@ class MamriEngine:
             return None
         return np.asarray(self.last_segmentation["body_mask"])
 
+    def export_segmentation(self, path: str) -> str:
+        """Write the last run's body segmentation as a Slicer-loadable
+        `.seg.nrrd` segmentation node — the file counterpart of the
+        reference's in-scene "AutoBodySegmentation" node with its "Body"
+        segment (Mamri.py:1322-1341, consumed by `_get_body_polydata`
+        :1794-1814). Requires a prior estimate with a body found."""
+        mask = self.body_mask()
+        if mask is None:
+            raise RuntimeError("no body segmentation available; run estimate_pose first")
+        from mamri_tpu.perception.formats import save_seg_nrrd
+
+        spacing, origin = self.last_volume_geom
+        save_seg_nrrd(path, {"Body": mask.astype(bool)}, spacing, origin)
+        return path
+
     # ------------------------------------------------------------------ conversions
     def convert_angles_to_steps(self, angles_rad) -> np.ndarray:
         return np.asarray(angles_to_steps(jnp.asarray(angles_rad), self.model.steps_per_rev))

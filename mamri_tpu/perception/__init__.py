@@ -7,6 +7,7 @@ from mamri_tpu.perception.formats import (
     load_volume,
     save_metaimage,
     save_nrrd,
+    save_seg_nrrd,
     save_volume,
 )
 from mamri_tpu.perception.dicom import (
@@ -28,6 +29,7 @@ __all__ = [
     "save_nifti",
     "load_nrrd",
     "save_nrrd",
+    "save_seg_nrrd",
     "load_metaimage",
     "save_metaimage",
     "load_volume",

@@ -290,6 +290,71 @@ def save_nrrd(path: str, volume: Volume, encoding: str = "gzip") -> None:
             f.write(hdr + payload)
 
 
+def save_seg_nrrd(path: str, segments, spacing, origin) -> None:
+    """Write a Slicer-compatible segmentation file (`.seg.nrrd`).
+
+    `segments` is an ordered {name: bool array (nx, ny, nz)} mapping; masks
+    share one uint8 labelmap layer with label values 1..N (later segments win
+    where masks overlap, which the pipeline's disjoint components never do).
+    The key:=value metadata follows Slicer's vtkSegmentationConverter
+    conventions (master representation, per-segment ID/Name/Color/LabelValue/
+    Layer/Extent), so Slicer loads the file directly as a segmentation node —
+    the counterpart of the reference's in-scene "AutoBodySegmentation" node
+    (Mamri/Mamri.py:1322-1341). Geometry is the package's axis-aligned LPS.
+    """
+    if not segments:
+        raise ValueError("save_seg_nrrd needs at least one segment")
+    names = list(segments.keys())
+    first = np.asarray(segments[names[0]])
+    labelmap = np.zeros(first.shape, dtype=np.uint8)
+    meta_lines = []
+    palette = [(0.9, 0.6, 0.3), (0.3, 0.7, 0.4), (0.4, 0.5, 0.9), (0.8, 0.3, 0.6)]
+    for i, name in enumerate(names):
+        m = np.asarray(segments[name]).astype(bool)
+        if m.shape != labelmap.shape:
+            raise ValueError(f"segment {name!r} shape {m.shape} != {labelmap.shape}")
+        labelmap[m] = i + 1
+        nz = np.nonzero(m)
+        extent = (
+            " ".join(f"{int(a.min())} {int(a.max())}" for a in nz)
+            if m.any() else "0 -1 0 -1 0 -1"
+        )
+        r, g, b = palette[i % len(palette)]
+        meta_lines += [
+            f"Segment{i}_ID:=Segment_{i + 1}",
+            f"Segment{i}_Name:={name}",
+            f"Segment{i}_NameAutoGenerated:=0",
+            f"Segment{i}_Color:={r} {g} {b}",
+            f"Segment{i}_ColorAutoGenerated:=1",
+            f"Segment{i}_LabelValue:={i + 1}",
+            "Segment{}_Layer:=0".format(i),
+            f"Segment{i}_Extent:={extent}",
+            f"Segment{i}_Tags:=TerminologyEntry:Segmentation category and type"
+            " - 3D Slicer General Anatomy list"
+            "~SCT^123037004^Anatomical Structure~^^~^^~Anatomic codes - DICOM master list~^^~^^|",
+        ]
+    sx, sy, sz = (float(v) for v in np.asarray(spacing))
+    ox, oy, oz = (float(v) for v in np.asarray(origin))
+    hdr = (
+        "NRRD0004\n"
+        "# written by mamri_tpu (Slicer segmentation conventions)\n"
+        "type: unsigned char\n"
+        "dimension: 3\n"
+        "space: left-posterior-superior\n"
+        f"sizes: {labelmap.shape[0]} {labelmap.shape[1]} {labelmap.shape[2]}\n"
+        f"space directions: ({sx!r},0,0) (0,{sy!r},0) (0,0,{sz!r})\n"
+        "kinds: domain domain domain\n"
+        "encoding: gzip\n"
+        f"space origin: ({ox!r},{oy!r},{oz!r})\n"
+        "Segmentation_ContainedRepresentationNames:=Binary labelmap|\n"
+        "Segmentation_MasterRepresentation:=Binary labelmap\n"
+        + "".join(line + "\n" for line in meta_lines)
+        + "\n"
+    ).encode("ascii")
+    with open(path, "wb") as f:
+        f.write(hdr + gzip.compress(labelmap.tobytes(order="F"), compresslevel=1))
+
+
 # ------------------------------------------------------------------ MetaImage
 
 _MET_TYPES = {

@@ -125,3 +125,18 @@ def test_cli_convert_nrrd_mha(tmp_path, capsys):
     np.testing.assert_array_equal(np.asarray(out.data), v.data)
     np.testing.assert_allclose(out.spacing, v.spacing, atol=1e-5)
     np.testing.assert_allclose(out.origin, v.origin, atol=1e-4)
+
+
+def test_cli_export_seg_nrrd(scan_path, tmp_path, capsys):
+    """export --seg writes a Slicer .seg.nrrd even when the pose itself is
+    unavailable (segmentation precedes IK, as in the reference's process())."""
+    seg = str(tmp_path / "auto.seg.nrrd")
+    assert main(["export", scan_path, "--seg", seg]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["success"] and out["seg"] == seg
+    from mamri_tpu.perception.formats import load_nrrd
+
+    lm = load_nrrd(seg)
+    assert lm.data.max() == 1.0  # one Body segment
+    head = open(seg, "rb").read(4096).split(b"\n\n")[0].decode()
+    assert "Segment0_Name:=Body" in head

@@ -413,3 +413,37 @@ def test_metaimage_corrupt_and_headersize_contract(tmp_path):
             f.write(body)
         with pytest.raises(ValueError):
             load_metaimage(p)
+
+
+def test_seg_nrrd_slicer_conventions(tmp_path):
+    """save_seg_nrrd: uint8 labelmap with Slicer segmentation metadata,
+    loadable by the plain NRRD reader (labels intact, geometry exact)."""
+    from mamri_tpu.perception.formats import save_seg_nrrd
+
+    body = np.zeros((12, 10, 8), bool)
+    body[2:7, 3:8, 1:5] = True
+    lesion = np.zeros_like(body)
+    lesion[8:10, 1:3, 6:8] = True
+    p = str(tmp_path / "auto.seg.nrrd")
+    save_seg_nrrd(p, {"Body": body, "Lesion": lesion},
+                  spacing=(1.0, 1.5, 2.0), origin=(-3.0, 4.0, 5.0))
+
+    back = load_volume(p)  # .seg.nrrd ends with .nrrd -> NRRD reader
+    np.testing.assert_array_equal(back.data == 1.0, body)
+    np.testing.assert_array_equal(back.data == 2.0, lesion)
+    np.testing.assert_allclose(back.spacing, [1.0, 1.5, 2.0], atol=1e-6)
+    np.testing.assert_allclose(back.origin, [-3.0, 4.0, 5.0], atol=1e-6)
+
+    head = open(p, "rb").read(4096).split(b"\n\n")[0].decode()
+    assert "Segmentation_MasterRepresentation:=Binary labelmap" in head
+    assert "Segment0_Name:=Body" in head
+    assert "Segment0_LabelValue:=1" in head
+    assert "Segment0_Extent:=2 6 3 7 1 4" in head
+    assert "Segment1_Name:=Lesion" in head
+    assert "Segment1_LabelValue:=2" in head
+
+    with pytest.raises(ValueError):
+        save_seg_nrrd(str(tmp_path / "bad.seg.nrrd"), {}, (1, 1, 1), (0, 0, 0))
+    with pytest.raises(ValueError):
+        save_seg_nrrd(str(tmp_path / "bad.seg.nrrd"),
+                      {"A": body, "B": np.zeros((2, 2, 2), bool)}, (1, 1, 1), (0, 0, 0))
