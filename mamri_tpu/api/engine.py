@@ -908,6 +908,44 @@ class MamriEngine:
         save_seg_nrrd(path, {"Body": mask.astype(bool)}, spacing, origin)
         return path
 
+    def set_body_segmentation(self, source, spacing=None, origin=None, segment: str = "Body"):
+        """Override the body mask used by entry search / collision checking.
+
+        The reference's operator can EDIT the scene segmentation between
+        `process()` and planning (planning always re-reads the node named
+        "Body", Mamri.py:1794-1814); this is the standalone counterpart.
+        `source` is a `.seg.nrrd` path (the `segment`-named segment is
+        taken, or the only one) or a bool (nx, ny, nz) mask with explicit
+        `spacing`/`origin`. Invalidates the cached collision world."""
+        if isinstance(source, str):
+            from mamri_tpu.perception.formats import load_seg_nrrd
+
+            segments, labelmap = load_seg_nrrd(source)
+            if segment in segments:
+                mask = segments[segment]
+            elif len(segments) == 1:
+                mask = next(iter(segments.values()))
+            else:
+                raise ValueError(
+                    f"{source}: no segment named {segment!r} among {sorted(segments)}"
+                )
+            spacing, origin = labelmap.spacing, labelmap.origin
+        else:
+            if spacing is None or origin is None:
+                raise ValueError("a raw mask needs explicit spacing and origin")
+            mask = np.asarray(source, dtype=bool)
+        if mask.ndim != 3 or not mask.any():
+            raise ValueError("body mask must be a non-empty 3-D boolean volume")
+        seg = dict(self.last_segmentation) if self.last_segmentation is not None else {}
+        seg["body_mask"] = np.asarray(mask, dtype=bool)
+        seg["body_found"] = True
+        self.last_segmentation = seg
+        self.last_volume_geom = (
+            np.asarray(spacing, dtype=np.float32),
+            np.asarray(origin, dtype=np.float32),
+        )
+        self.last_collision_world = None
+
     # ------------------------------------------------------------------ conversions
     def convert_angles_to_steps(self, angles_rad) -> np.ndarray:
         return np.asarray(angles_to_steps(jnp.asarray(angles_rad), self.model.steps_per_rev))

@@ -4,6 +4,7 @@ from mamri_tpu.perception.io import load_nifti, save_nifti, resample_to_axis_ali
 from mamri_tpu.perception.formats import (
     load_metaimage,
     load_nrrd,
+    load_seg_nrrd,
     load_volume,
     save_metaimage,
     save_nrrd,
@@ -28,6 +29,7 @@ __all__ = [
     "load_nifti",
     "save_nifti",
     "load_nrrd",
+    "load_seg_nrrd",
     "save_nrrd",
     "save_seg_nrrd",
     "load_metaimage",

@@ -40,7 +40,7 @@ from typing import Dict, Optional, Tuple
 
 import numpy as np
 
-from mamri_tpu.perception.io import load_nifti, save_nifti, volume_from_affine
+from mamri_tpu.perception.io import _is_axis_aligned, load_nifti, save_nifti, volume_from_affine
 from mamri_tpu.perception.volume import Volume
 
 # ----------------------------------------------------------------------- NRRD
@@ -91,13 +91,14 @@ def _parse_nrrd_vector(tok: str, path: str) -> Optional[np.ndarray]:
         raise ValueError(f"{path}: malformed NRRD vector {tok!r}") from e
 
 
-def _parse_nrrd_header(raw: bytes, path: str) -> Tuple[Dict[str, str], int]:
-    """-> (normalized field dict, offset of the first data byte)."""
+def _parse_nrrd_header(raw: bytes, path: str) -> Tuple[Dict[str, str], Dict[str, str], int]:
+    """-> (normalized field dict, key:=value metadata dict, data offset)."""
     if not raw.startswith(b"NRRD000"):
         raise ValueError(f"{path}: not a NRRD file (bad magic)")
     if raw[7:8] not in b"12345":
         raise ValueError(f"{path}: unsupported NRRD version {raw[4:8]!r}")
     fields: Dict[str, str] = {}
+    kvs: Dict[str, str] = {}
     pos = raw.index(b"\n") + 1
     while True:
         if pos >= len(raw):
@@ -112,7 +113,9 @@ def _parse_nrrd_header(raw: bytes, path: str) -> Tuple[Dict[str, str], int]:
         if line.startswith(b"#"):
             continue
         text = line.decode("ascii", errors="replace")
-        if ":=" in text:  # key/value metadata pair — carried but unused
+        if ":=" in text:  # key/value metadata pair (keys ARE case-sensitive)
+            key, _, value = text.partition(":=")
+            kvs[key.strip()] = value.strip()
             continue
         if ": " not in text and not text.endswith(":"):
             raise ValueError(f"{path}: malformed NRRD header line {text!r}")
@@ -120,7 +123,7 @@ def _parse_nrrd_header(raw: bytes, path: str) -> Tuple[Dict[str, str], int]:
         # field identifiers are case-insensitive with optional spaces
         key = re.sub(r"\s+", " ", name.strip().lower())
         fields[key] = value.strip()
-    return fields, pos
+    return fields, kvs, pos
 
 
 def _nrrd_decode(payload: bytes, encoding: str, dt: np.dtype, count: int, path: str) -> np.ndarray:
@@ -159,7 +162,7 @@ def load_nrrd(path: str) -> Volume:
     """Read a NRRD volume (attached .nrrd or detached .nhdr header)."""
     with open(path, "rb") as f:
         raw = f.read()
-    fields, data_off = _parse_nrrd_header(raw, path)
+    fields, _, data_off = _parse_nrrd_header(raw, path)
 
     try:
         ndim = int(fields["dimension"])
@@ -353,6 +356,105 @@ def save_seg_nrrd(path: str, segments, spacing, origin) -> None:
     ).encode("ascii")
     with open(path, "wb") as f:
         f.write(hdr + gzip.compress(labelmap.tobytes(order="F"), compresslevel=1))
+
+
+def load_seg_nrrd(path: str):
+    """Read a Slicer segmentation file (`.seg.nrrd`).
+
+    Returns `(segments, labelmap)` where `segments` is an ordered
+    {name: bool (nx, ny, nz) mask} dict and `labelmap` is the merged label
+    `Volume` (float32 label values; for multi-layer files, later layers win
+    where segments overlap). Handles both layouts Slicer writes: a 3-D
+    shared labelmap (non-overlapping segments) and a 4-D multi-layer
+    labelmap (overlapping segments; the layer axis is the one whose space
+    direction is `none`). Segment identity comes from the Segment{i}_* NRRD
+    key:=value metadata. Oblique orientations are rejected — label values
+    cannot be trilinearly resampled; permutation/flip orientations normalize
+    exactly like every other loader here.
+    """
+    with open(path, "rb") as f:
+        raw = f.read()
+    fields, kvs, data_off = _parse_nrrd_header(raw, path)
+
+    try:
+        ndim = int(fields["dimension"])
+        sizes = [int(s) for s in fields["sizes"].split()]
+    except (KeyError, ValueError) as e:
+        raise ValueError(f"{path}: missing/invalid dimension or sizes") from e
+    if ndim not in (3, 4) or len(sizes) != ndim or any(s <= 0 for s in sizes):
+        raise ValueError(f"{path}: unsupported segmentation layout (dimension={ndim}, sizes={sizes})")
+
+    type_key = re.sub(r"\s+", " ", fields.get("type", "").strip().lower())
+    if type_key not in _NRRD_TYPES:
+        raise ValueError(f"{path}: unsupported NRRD type {fields.get('type')!r}")
+    dt = np.dtype(_NRRD_TYPES[type_key])
+    if dt.itemsize > 1:
+        dt = dt.newbyteorder("<" if fields.get("endian", "little").lower() == "little" else ">")
+    if fields.get("data file") or fields.get("datafile"):
+        raise ValueError(f"{path}: detached segmentation headers are not supported")
+
+    count = int(np.prod(sizes))
+    flat = _nrrd_decode(raw[data_off:], fields.get("encoding", "raw"), dt, count, path)
+    arr = flat.reshape(sizes, order="F")
+
+    space = fields.get("space", "").strip().lower()
+    if space and space not in _NRRD_SPACES:
+        raise ValueError(f"{path}: unsupported NRRD space {fields.get('space')!r}")
+    flip = np.array(_NRRD_SPACES.get(space, (1.0, 1.0, 1.0)), dtype=np.float64)
+    dir_toks = re.findall(r"\(.*?\)|none|NONE|None", fields.get("space directions", ""))
+    vecs = [_parse_nrrd_vector(t, path) for t in dir_toks]
+    if ndim == 4:
+        layer_axes = [i for i, v in enumerate(vecs) if v is None]
+        if len(vecs) != 4 or len(layer_axes) != 1:
+            raise ValueError(f"{path}: a 4-D segmentation needs exactly one 'none' space direction")
+        layer_axis = layer_axes[0]
+        nlayers = sizes[layer_axis]
+        layers = np.moveaxis(arr, layer_axis, 0)
+        vecs = [v for v in vecs if v is not None]
+    else:
+        if vecs and (len(vecs) != 3 or any(v is None for v in vecs)):
+            raise ValueError(f"{path}: need 3 spatial space directions, got {fields.get('space directions')!r}")
+        nlayers = 1
+        layers = arr[None]
+    if vecs:
+        spatial = np.stack(vecs, axis=1) * flip[:, None]
+        if not _is_axis_aligned(spatial):
+            raise ValueError(
+                f"{path}: oblique segmentation labelmaps cannot be resampled losslessly"
+            )
+        origin = _parse_nrrd_vector(fields.get("space origin", "(0,0,0)"), path)
+        if origin is None or origin.shape != (3,):
+            raise ValueError(f"{path}: malformed NRRD space origin")
+        affine = np.concatenate([spatial, (origin * flip)[:, None]], axis=1)
+    else:
+        affine = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+
+    vols = [volume_from_affine(np.ascontiguousarray(layers[i]), affine) for i in range(nlayers)]
+    geometry = vols[0]
+
+    segments: Dict[str, np.ndarray] = {}
+    merged = np.zeros(geometry.data.shape, dtype=np.float32)
+    i = 0
+    while f"Segment{i}_LabelValue" in kvs or f"Segment{i}_Name" in kvs:
+        name = kvs.get(f"Segment{i}_Name", f"Segment_{i + 1}")
+        try:
+            label = int(kvs.get(f"Segment{i}_LabelValue", i + 1))
+            layer = int(kvs.get(f"Segment{i}_Layer", 0))
+        except ValueError as e:
+            raise ValueError(f"{path}: malformed Segment{i} metadata") from e
+        if not 0 <= layer < nlayers:
+            raise ValueError(f"{path}: Segment{i}_Layer {layer} out of range ({nlayers} layers)")
+        mask = vols[layer].data == float(label)
+        segments[name] = mask
+        merged[mask] = float(label)
+        i += 1
+    if not segments:  # plain labelmap without Slicer metadata: one segment per value
+        for label in np.unique(geometry.data):
+            if label != 0.0:
+                segments[f"Segment_{int(label)}"] = geometry.data == label
+        merged = geometry.data
+    labelmap = Volume(data=merged, spacing=geometry.spacing, origin=geometry.origin)
+    return segments, labelmap
 
 
 # ------------------------------------------------------------------ MetaImage

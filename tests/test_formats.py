@@ -447,3 +447,121 @@ def test_seg_nrrd_slicer_conventions(tmp_path):
     with pytest.raises(ValueError):
         save_seg_nrrd(str(tmp_path / "bad.seg.nrrd"),
                       {"A": body, "B": np.zeros((2, 2, 2), bool)}, (1, 1, 1), (0, 0, 0))
+
+
+def test_seg_nrrd_reader_roundtrip(tmp_path):
+    from mamri_tpu.perception.formats import load_seg_nrrd, save_seg_nrrd
+
+    body = np.zeros((12, 10, 8), bool)
+    body[2:7, 3:8, 1:5] = True
+    lesion = np.zeros_like(body)
+    lesion[8:10, 1:3, 6:8] = True
+    p = str(tmp_path / "auto.seg.nrrd")
+    save_seg_nrrd(p, {"Body": body, "Lesion": lesion},
+                  spacing=(1.0, 1.5, 2.0), origin=(-3.0, 4.0, 5.0))
+    segments, labelmap = load_seg_nrrd(p)
+    assert list(segments) == ["Body", "Lesion"]
+    np.testing.assert_array_equal(segments["Body"], body)
+    np.testing.assert_array_equal(segments["Lesion"], lesion)
+    np.testing.assert_array_equal(labelmap.data == 1.0, body)
+    np.testing.assert_array_equal(labelmap.data == 2.0, lesion)
+    np.testing.assert_allclose(labelmap.spacing, [1.0, 1.5, 2.0], atol=1e-6)
+    np.testing.assert_allclose(labelmap.origin, [-3.0, 4.0, 5.0], atol=1e-6)
+
+
+def test_seg_nrrd_4d_multilayer_overlap(tmp_path):
+    """Slicer's 4-D layout: layer axis first with a 'none' space direction;
+    overlapping segments live on different layers with per-layer labels."""
+    from mamri_tpu.perception.formats import load_seg_nrrd
+
+    nx, ny, nz = 5, 4, 3
+    layer0 = np.zeros((nx, ny, nz), np.uint8)
+    layer0[1:4, 1:3, :] = 1
+    layer1 = np.zeros_like(layer0)
+    layer1[2:5, 0:2, 1:3] = 1  # overlaps layer0 in [2:4, 1:2, 1:3]
+    arr = np.stack([layer0, layer1], axis=0)  # (layer, x, y, z)
+    hdr = (
+        "NRRD0004\n"
+        "type: unsigned char\n"
+        "dimension: 4\n"
+        "space: left-posterior-superior\n"
+        f"sizes: 2 {nx} {ny} {nz}\n"
+        "space directions: none (1,0,0) (0,1,0) (0,0,2)\n"
+        "kinds: list domain domain domain\n"
+        "encoding: gzip\n"
+        "space origin: (1,2,3)\n"
+        "Segmentation_MasterRepresentation:=Binary labelmap\n"
+        "Segment0_Name:=Body\n"
+        "Segment0_LabelValue:=1\n"
+        "Segment0_Layer:=0\n"
+        "Segment1_Name:=Tumor\n"
+        "Segment1_LabelValue:=1\n"
+        "Segment1_Layer:=1\n"
+        "\n"
+    ).encode()
+    p = str(tmp_path / "multi.seg.nrrd")
+    with open(p, "wb") as f:
+        f.write(hdr + gzip.compress(arr.tobytes(order="F")))
+    segments, labelmap = load_seg_nrrd(p)
+    np.testing.assert_array_equal(segments["Body"], layer0 == 1)
+    np.testing.assert_array_equal(segments["Tumor"], layer1 == 1)
+    assert (segments["Body"] & segments["Tumor"]).any()  # overlap preserved
+    np.testing.assert_allclose(labelmap.spacing, [1.0, 1.0, 2.0], atol=1e-6)
+
+
+def test_seg_nrrd_plain_labelmap_and_oblique_rejected(tmp_path):
+    from mamri_tpu.perception.formats import load_seg_nrrd
+
+    lab = np.zeros((4, 4, 4), np.uint8)
+    lab[0, 0, 0] = 3
+    lab[2, 2, 2] = 7
+    hdr = (
+        "NRRD0004\ntype: unsigned char\ndimension: 3\nsizes: 4 4 4\n"
+        "encoding: raw\n\n"
+    ).encode()
+    p = str(tmp_path / "plain.seg.nrrd")
+    with open(p, "wb") as f:
+        f.write(hdr + lab.tobytes(order="F"))
+    segments, labelmap = load_seg_nrrd(p)
+    assert set(segments) == {"Segment_3", "Segment_7"}
+    assert segments["Segment_7"][2, 2, 2]
+
+    c, s = np.cos(0.3), np.sin(0.3)
+    hdr2 = (
+        "NRRD0004\ntype: unsigned char\ndimension: 3\nsizes: 4 4 4\n"
+        "space: left-posterior-superior\nencoding: raw\n"
+        f"space directions: ({c},{s},0) ({-s},{c},0) (0,0,1)\n\n"
+    ).encode()
+    p2 = str(tmp_path / "obl.seg.nrrd")
+    with open(p2, "wb") as f:
+        f.write(hdr2 + lab.tobytes(order="F"))
+    with pytest.raises(ValueError):
+        load_seg_nrrd(p2)  # labels cannot be trilinearly resampled
+
+
+def test_engine_set_body_segmentation(tmp_path):
+    """A user-supplied .seg.nrrd replaces the body used by entry search (the
+    reference's editable-segmentation workflow)."""
+    from mamri_tpu.api import MamriEngine
+    from mamri_tpu.perception.formats import save_seg_nrrd
+
+    eng = MamriEngine()
+    body = np.zeros((32, 32, 32), bool)
+    x, y, z = np.mgrid[:32, :32, :32]
+    body[(x - 16) ** 2 + (y - 16) ** 2 + (z - 16) ** 2 < 100] = True
+    p = str(tmp_path / "body.seg.nrrd")
+    save_seg_nrrd(p, {"Body": body}, spacing=(2.0, 2.0, 2.0), origin=(-32.0, -32.0, -32.0))
+    eng.set_body_segmentation(p)
+    np.testing.assert_array_equal(eng.body_mask(), body)
+    ep = eng.find_entry_point(np.asarray([0.0, 0.0, 0.0], np.float32))
+    assert bool(ep.found)
+
+    with pytest.raises(ValueError):
+        eng.set_body_segmentation(body)  # raw mask needs spacing/origin
+    eng.set_body_segmentation(body, spacing=(1, 1, 1), origin=(0, 0, 0))
+    assert eng.last_collision_world is None
+
+    save_seg_nrrd(str(tmp_path / "two.seg.nrrd"), {"A": body, "B": ~body},
+                  spacing=(1, 1, 1), origin=(0, 0, 0))
+    with pytest.raises(ValueError):
+        eng.set_body_segmentation(str(tmp_path / "two.seg.nrrd"))  # no 'Body'
