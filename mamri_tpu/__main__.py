@@ -176,22 +176,28 @@ def cmd_export(args) -> int:
     eng = _engine(args)
     vol = _load(args.volume)
     pose = eng.estimate_pose(vol, apply_correction=args.correction)
+    # segmentation runs before IK (as in the reference's process()), so --seg
+    # delivers regardless of whether the pose itself is available
+    seg_path = None
+    if args.seg:
+        if eng.body_mask() is None:
+            print(json.dumps({"success": False, "message": "no body segmentation found in scan (--seg)"}))
+            return 1
+        seg_path = eng.export_segmentation(args.seg)
     if not pose.success:
-        # segmentation runs before IK (as in the reference's process()), so
-        # --seg can still deliver when the pose itself is unavailable
-        if args.seg and not (args.out_dir or args.scene or args.render or args.animate):
-            if eng.body_mask() is None:
-                print(json.dumps({"success": False, "message": "no body segmentation found in scan (--seg)"}))
-                return 1
-            print(json.dumps({
-                "success": True,
-                "seg": eng.export_segmentation(args.seg),
-                "message": f"pose estimation failed ({pose.message}); segmentation exported",
-            }))
-            return 0
-        print(json.dumps({"success": False, "message": f"pose estimation failed: {pose.message}"}))
-        return 1
+        pose_outputs = args.out_dir or args.scene or args.render or args.animate
+        out = {
+            "success": bool(seg_path) and not pose_outputs,
+            "message": f"pose estimation failed: {pose.message}"
+            + ("; segmentation exported" if seg_path else ""),
+        }
+        if seg_path:
+            out["seg"] = seg_path
+        print(json.dumps(out, indent=2))
+        return 1 if pose_outputs else 0
     out = {"success": True, "angles_deg": np.rad2deg(pose.angles_rad).round(3).tolist()}
+    if seg_path:
+        out["seg"] = seg_path
     if args.out_dir:
         if not args.mesh_dir:
             print(json.dumps({"success": False, "message": "--out-dir requires --mesh-dir"}))
@@ -237,11 +243,6 @@ def cmd_export(args) -> int:
             )
             out["render"] = args.render
             out["render_size"] = list(size)
-    if args.seg:
-        if eng.body_mask() is None:
-            print(json.dumps({"success": False, "message": "no body segmentation found in scan (--seg)"}))
-            return 1
-        out["seg"] = eng.export_segmentation(args.seg)
     print(json.dumps(out, indent=2))
     return 0
 

@@ -917,10 +917,10 @@ class MamriEngine:
         `source` is a `.seg.nrrd` path (the `segment`-named segment is
         taken, or the only one) or a bool (nx, ny, nz) mask with explicit
         `spacing`/`origin`. Invalidates the cached collision world."""
-        if isinstance(source, str):
+        if isinstance(source, (str, os.PathLike)):
             from mamri_tpu.perception.formats import load_seg_nrrd
 
-            segments, labelmap = load_seg_nrrd(source)
+            segments, labelmap = load_seg_nrrd(os.fspath(source))
             if segment in segments:
                 mask = segments[segment]
             elif len(segments) == 1:

@@ -158,6 +158,62 @@ def _nrrd_decode(payload: bytes, encoding: str, dt: np.dtype, count: int, path: 
     return np.frombuffer(payload, dtype=dt, count=count)
 
 
+def _nrrd_dtype(fields: Dict[str, str], path: str) -> np.dtype:
+    """Element dtype from the type/endian header fields (endian validated)."""
+    type_key = re.sub(r"\s+", " ", fields.get("type", "").strip().lower())
+    if type_key not in _NRRD_TYPES:
+        raise ValueError(f"{path}: unsupported NRRD type {fields.get('type')!r}")
+    dt = np.dtype(_NRRD_TYPES[type_key])
+    if dt.itemsize > 1:
+        endian = fields.get("endian", "little").lower()
+        if endian not in ("little", "big"):
+            raise ValueError(f"{path}: bad NRRD endian {endian!r}")
+        dt = dt.newbyteorder("<" if endian == "little" else ">")
+    return dt
+
+
+def _nrrd_affine(fields: Dict[str, str], path: str, vecs=None) -> np.ndarray:
+    """3x4 voxel-index -> LPS affine from the header geometry fields.
+
+    `vecs` overrides the space-direction vectors (the 4-D segmentation
+    reader passes the spatial subset after stripping the layer axis).
+    Headers without space directions fall back to the legacy `spacings`
+    field (negative spacing = decreasing world coordinate — the diag affine
+    lets the normalizer flip the axis) or unit spacing."""
+    space = fields.get("space", "").strip().lower()
+    if space and space not in _NRRD_SPACES:
+        raise ValueError(f"{path}: unsupported NRRD space {fields.get('space')!r}")
+    flip = np.array(_NRRD_SPACES.get(space, (1.0, 1.0, 1.0)), dtype=np.float64)
+    if vecs is None:
+        dirs_f = fields.get("space directions")
+        if dirs_f:
+            vecs = [
+                _parse_nrrd_vector(tok, path)
+                for tok in re.findall(r"\(.*?\)|none|NONE|None", dirs_f)
+            ]
+            vecs = [v for v in vecs if v is not None]
+        else:
+            vecs = []
+    if vecs:
+        if len(vecs) != 3 or any(v is None or v.shape != (3,) for v in vecs):
+            raise ValueError(f"{path}: need 3 spatial NRRD space directions")
+        origin = _parse_nrrd_vector(fields.get("space origin", "(0,0,0)"), path)
+        if origin is None or origin.shape != (3,):
+            raise ValueError(f"{path}: malformed NRRD space origin")
+        affine = np.empty((3, 4), dtype=np.float64)
+        for c, v in enumerate(vecs):
+            affine[:, c] = v * flip
+        affine[:, 3] = origin * flip
+        return affine
+    if "spacings" in fields:
+        spac = np.array([float(s) for s in fields["spacings"].split()], dtype=np.float64)
+        if spac.shape != (3,) or not np.all(np.abs(spac) > 0) or not np.all(np.isfinite(spac)):
+            raise ValueError(f"{path}: malformed NRRD spacings {fields['spacings']!r}")
+    else:
+        spac = np.ones(3, dtype=np.float64)
+    return np.concatenate([np.diag(spac), np.zeros((3, 1))], axis=1)
+
+
 def load_nrrd(path: str) -> Volume:
     """Read a NRRD volume (attached .nrrd or detached .nhdr header)."""
     with open(path, "rb") as f:
@@ -174,16 +230,7 @@ def load_nrrd(path: str) -> Volume:
     if any(s <= 0 for s in sizes):
         raise ValueError(f"{path}: non-positive NRRD sizes {sizes}")
 
-    type_key = re.sub(r"\s+", " ", fields.get("type", "").strip().lower())
-    if type_key not in _NRRD_TYPES:
-        raise ValueError(f"{path}: unsupported NRRD type {fields.get('type')!r}")
-    dt = np.dtype(_NRRD_TYPES[type_key])
-    if dt.itemsize > 1:
-        endian = fields.get("endian", "little").lower()
-        if endian not in ("little", "big"):
-            raise ValueError(f"{path}: bad NRRD endian {endian!r}")
-        dt = dt.newbyteorder("<" if endian == "little" else ">")
-
+    dt = _nrrd_dtype(fields, path)
     encoding = fields.get("encoding", "raw")
     datafile = fields.get("data file") or fields.get("datafile")
     if datafile:
@@ -213,41 +260,7 @@ def load_nrrd(path: str) -> Volume:
     count = int(np.prod(sizes))
     flat = _nrrd_decode(payload, encoding, dt, count, path)
     data = flat.reshape(sizes, order="F").astype(np.float32)  # first axis fastest
-
-    space = fields.get("space", "").strip().lower()
-    dirs_f = fields.get("space directions")
-    if space and space not in _NRRD_SPACES:
-        raise ValueError(f"{path}: unsupported NRRD space {fields.get('space')!r}")
-    if dirs_f:
-        vecs = [
-            _parse_nrrd_vector(tok, path)
-            for tok in re.findall(r"\(.*?\)|none|NONE|None", dirs_f)
-        ]
-        vecs = [v for v in vecs if v is not None]
-        if len(vecs) != 3 or any(v.shape != (3,) for v in vecs):
-            raise ValueError(f"{path}: need 3 spatial NRRD space directions, got {dirs_f!r}")
-        origin = _parse_nrrd_vector(fields.get("space origin", "(0,0,0)"), path)
-        if origin is None or origin.shape != (3,):
-            raise ValueError(f"{path}: malformed NRRD space origin")
-        flip = np.array(_NRRD_SPACES.get(space, (1.0, 1.0, 1.0)), dtype=np.float64)
-        affine = np.empty((3, 4), dtype=np.float64)
-        for c, v in enumerate(vecs):
-            affine[:, c] = v * flip
-        affine[:, 3] = origin * flip
-        return volume_from_affine(data, affine)
-
-    # legacy headers: per-axis spacings (or unit), origin at 0. A NEGATIVE
-    # spacing encodes a decreasing world coordinate along that axis — route
-    # through the affine normalizer so the data flips instead of silently
-    # dropping the sign.
-    if "spacings" in fields:
-        spac = np.array([float(s) for s in fields["spacings"].split()], dtype=np.float64)
-        if spac.shape != (3,) or not np.all(np.abs(spac) > 0) or not np.all(np.isfinite(spac)):
-            raise ValueError(f"{path}: malformed NRRD spacings {fields['spacings']!r}")
-    else:
-        spac = np.ones(3, dtype=np.float64)
-    affine = np.concatenate([np.diag(spac), np.zeros((3, 1))], axis=1)
-    return volume_from_affine(data, affine)
+    return volume_from_affine(data, _nrrd_affine(fields, path))
 
 
 def save_nrrd(path: str, volume: Volume, encoding: str = "gzip") -> None:
@@ -313,6 +326,11 @@ def save_seg_nrrd(path: str, segments, spacing, origin) -> None:
     meta_lines = []
     palette = [(0.9, 0.6, 0.3), (0.3, 0.7, 0.4), (0.4, 0.5, 0.9), (0.8, 0.3, 0.6)]
     for i, name in enumerate(names):
+        if not name or not name.isascii() or not name.isprintable():
+            raise ValueError(
+                f"segment name {name!r} must be printable single-line ASCII "
+                "(it is written verbatim into the NRRD header)"
+            )
         m = np.asarray(segments[name]).astype(bool)
         if m.shape != labelmap.shape:
             raise ValueError(f"segment {name!r} shape {m.shape} != {labelmap.shape}")
@@ -384,12 +402,7 @@ def load_seg_nrrd(path: str):
     if ndim not in (3, 4) or len(sizes) != ndim or any(s <= 0 for s in sizes):
         raise ValueError(f"{path}: unsupported segmentation layout (dimension={ndim}, sizes={sizes})")
 
-    type_key = re.sub(r"\s+", " ", fields.get("type", "").strip().lower())
-    if type_key not in _NRRD_TYPES:
-        raise ValueError(f"{path}: unsupported NRRD type {fields.get('type')!r}")
-    dt = np.dtype(_NRRD_TYPES[type_key])
-    if dt.itemsize > 1:
-        dt = dt.newbyteorder("<" if fields.get("endian", "little").lower() == "little" else ">")
+    dt = _nrrd_dtype(fields, path)
     if fields.get("data file") or fields.get("datafile"):
         raise ValueError(f"{path}: detached segmentation headers are not supported")
 
@@ -397,10 +410,6 @@ def load_seg_nrrd(path: str):
     flat = _nrrd_decode(raw[data_off:], fields.get("encoding", "raw"), dt, count, path)
     arr = flat.reshape(sizes, order="F")
 
-    space = fields.get("space", "").strip().lower()
-    if space and space not in _NRRD_SPACES:
-        raise ValueError(f"{path}: unsupported NRRD space {fields.get('space')!r}")
-    flip = np.array(_NRRD_SPACES.get(space, (1.0, 1.0, 1.0)), dtype=np.float64)
     dir_toks = re.findall(r"\(.*?\)|none|NONE|None", fields.get("space directions", ""))
     vecs = [_parse_nrrd_vector(t, path) for t in dir_toks]
     if ndim == 4:
@@ -412,22 +421,15 @@ def load_seg_nrrd(path: str):
         layers = np.moveaxis(arr, layer_axis, 0)
         vecs = [v for v in vecs if v is not None]
     else:
-        if vecs and (len(vecs) != 3 or any(v is None for v in vecs)):
-            raise ValueError(f"{path}: need 3 spatial space directions, got {fields.get('space directions')!r}")
         nlayers = 1
         layers = arr[None]
-    if vecs:
-        spatial = np.stack(vecs, axis=1) * flip[:, None]
-        if not _is_axis_aligned(spatial):
-            raise ValueError(
-                f"{path}: oblique segmentation labelmaps cannot be resampled losslessly"
-            )
-        origin = _parse_nrrd_vector(fields.get("space origin", "(0,0,0)"), path)
-        if origin is None or origin.shape != (3,):
-            raise ValueError(f"{path}: malformed NRRD space origin")
-        affine = np.concatenate([spatial, (origin * flip)[:, None]], axis=1)
-    else:
-        affine = np.concatenate([np.eye(3), np.zeros((3, 1))], axis=1)
+    # shared geometry resolution with load_nrrd (incl. the legacy `spacings`
+    # fallback); labels additionally demand an axis-aligned orientation
+    affine = _nrrd_affine(fields, path, vecs=vecs if vecs else None)
+    if not _is_axis_aligned(affine[:, :3]):
+        raise ValueError(
+            f"{path}: oblique segmentation labelmaps cannot be resampled losslessly"
+        )
 
     vols = [volume_from_affine(np.ascontiguousarray(layers[i]), affine) for i in range(nlayers)]
     geometry = vols[0]
@@ -437,6 +439,8 @@ def load_seg_nrrd(path: str):
     i = 0
     while f"Segment{i}_LabelValue" in kvs or f"Segment{i}_Name" in kvs:
         name = kvs.get(f"Segment{i}_Name", f"Segment_{i + 1}")
+        if name in segments:  # duplicate names are legal in Slicer: keep both
+            name = f"{name}_{i}"
         try:
             label = int(kvs.get(f"Segment{i}_LabelValue", i + 1))
             layer = int(kvs.get(f"Segment{i}_Layer", 0))

@@ -140,3 +140,16 @@ def test_cli_export_seg_nrrd(scan_path, tmp_path, capsys):
     assert lm.data.max() == 1.0  # one Body segment
     head = open(seg, "rb").read(4096).split(b"\n\n")[0].decode()
     assert "Segment0_Name:=Body" in head
+
+
+def test_cli_export_seg_with_pose_outputs_fails_cleanly(scan_path, tmp_path, capsys):
+    """--seg + a pose-dependent output on a pose-less scan: the seg is still
+    written, the command reports the pose failure and exits 1."""
+    seg = str(tmp_path / "s.seg.nrrd")
+    scene = str(tmp_path / "s.obj")
+    assert main(["export", scan_path, "--seg", seg, "--scene", scene]) == 1
+    out = json.loads(capsys.readouterr().out)
+    assert not out["success"] and out["seg"] == seg
+    import os
+
+    assert os.path.exists(seg)

@@ -565,3 +565,56 @@ def test_engine_set_body_segmentation(tmp_path):
                   spacing=(1, 1, 1), origin=(0, 0, 0))
     with pytest.raises(ValueError):
         eng.set_body_segmentation(str(tmp_path / "two.seg.nrrd"))  # no 'Body'
+
+
+def test_seg_nrrd_review_fixes(tmp_path):
+    """Regressions from review: legacy 'spacings' honored in the seg reader,
+    bad endian rejected, duplicate names kept, writer name validation,
+    Path inputs to set_body_segmentation."""
+    from pathlib import Path
+
+    from mamri_tpu.api import MamriEngine
+    from mamri_tpu.perception.formats import load_seg_nrrd, save_seg_nrrd
+
+    lab = np.zeros((4, 4, 4), np.uint8)
+    lab[1, 1, 1] = 1
+    p = str(tmp_path / "legacy.seg.nrrd")
+    with open(p, "wb") as f:
+        f.write(b"NRRD0004\ntype: unsigned char\ndimension: 3\nsizes: 4 4 4\n"
+                b"encoding: raw\nspacings: 2 2 2\n\n" + lab.tobytes(order="F"))
+    _, labelmap = load_seg_nrrd(p)
+    np.testing.assert_allclose(labelmap.spacing, [2.0, 2.0, 2.0])
+
+    p2 = str(tmp_path / "endian.seg.nrrd")
+    with open(p2, "wb") as f:
+        f.write(b"NRRD0004\ntype: unsigned short\ndimension: 3\nsizes: 2 2 2\n"
+                b"endian: l\nencoding: raw\n\n" + np.zeros((2, 2, 2), "<u2").tobytes())
+    with pytest.raises(ValueError):
+        load_seg_nrrd(p2)
+
+    # duplicate segment names: both masks survive
+    dup = (
+        b"NRRD0004\ntype: unsigned char\ndimension: 3\nsizes: 4 4 4\n"
+        b"encoding: raw\n"
+        b"Segment0_Name:=Body\nSegment0_LabelValue:=1\n"
+        b"Segment1_Name:=Body\nSegment1_LabelValue:=2\n\n"
+    )
+    lab2 = lab.copy()
+    lab2[2, 2, 2] = 2
+    p3 = str(tmp_path / "dup.seg.nrrd")
+    with open(p3, "wb") as f:
+        f.write(dup + lab2.tobytes(order="F"))
+    segments, _ = load_seg_nrrd(p3)
+    assert set(segments) == {"Body", "Body_1"}
+
+    mask = np.zeros((2, 2, 2), bool)
+    mask[0, 0, 0] = True
+    for bad in ("", "a\nb", "Körper"):
+        with pytest.raises(ValueError):
+            save_seg_nrrd(str(tmp_path / "bad.seg.nrrd"), {bad: mask}, (1, 1, 1), (0, 0, 0))
+
+    eng = MamriEngine()
+    p4 = tmp_path / "body.seg.nrrd"
+    save_seg_nrrd(str(p4), {"Body": mask}, (1, 1, 1), (0, 0, 0))
+    eng.set_body_segmentation(Path(p4))  # PathLike accepted
+    assert eng.body_mask().any()
