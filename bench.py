@@ -329,16 +329,22 @@ def main():
         ts.sort()
         return ts[len(ts) // 2] * 1e3
 
-    entry_ms = timed_p50(lambda: engine.find_entry_point(target))
-    ep = engine.find_entry_point(target)
-    plan_ok = plan_ok and bool(ep.found)
-    path_ms = timed_p50(
-        lambda: engine.plan_heuristic_path(target, ep.point_ras, 5.0, start_pose_steps=est.steps)
-    )
-    sweep_d = [2.0, 5.0, 7.5, 10.0, 12.5, 15.0, 17.5, 20.0]
-    sweep_ms = timed_p50(lambda: engine.plan_trajectory_sweep(target, ep.point_ras, sweep_d))
-    plan = engine.plan_heuristic_path(target, ep.point_ras, 5.0, start_pose_steps=est.steps)
-    plan_ok = plan_ok and plan.success and not plan.collision_detected
+    # a failed estimate (e.g. BENCH_SIZE so small the fiducials are
+    # sub-voxel) must degrade to plan_ok=False — a crash here would cost the
+    # WHOLE bench JSON, not just the planning block
+    entry_ms = path_ms = sweep_ms = float("nan")
+    if plan_ok:
+        entry_ms = timed_p50(lambda: engine.find_entry_point(target))
+        ep = engine.find_entry_point(target)
+        plan_ok = plan_ok and bool(ep.found)
+    if plan_ok:
+        path_ms = timed_p50(
+            lambda: engine.plan_heuristic_path(target, ep.point_ras, 5.0, start_pose_steps=est.steps)
+        )
+        sweep_d = [2.0, 5.0, 7.5, 10.0, 12.5, 15.0, 17.5, 20.0]
+        sweep_ms = timed_p50(lambda: engine.plan_trajectory_sweep(target, ep.point_ras, sweep_d))
+        plan = engine.plan_heuristic_path(target, ep.point_ras, 5.0, start_pose_steps=est.steps)
+        plan_ok = plan_ok and plan.success and not plan.collision_detected
 
     # ---- robustness: dense-speckle noisy variant at the noisy-scan settings
     # (the caps the engine's certificate escalation would land on, pre-set so
@@ -489,9 +495,11 @@ def main():
                     "includes": "H2D upload + relay RTT + device compute, per frame (pipelined_fps overlaps them across frames)",
                 },
                 "planning": {
-                    "entry_search_p50_ms": round(entry_ms, 2),
-                    "heuristic_path_p50_ms": round(path_ms, 2),
-                    "safety_sweep8_p50_ms": round(sweep_ms, 2),
+                    # None (valid JSON), not NaN, when the planning block was
+                    # skipped because the scene's pose was unavailable
+                    "entry_search_p50_ms": None if entry_ms != entry_ms else round(entry_ms, 2),
+                    "heuristic_path_p50_ms": None if path_ms != path_ms else round(path_ms, 2),
+                    "safety_sweep8_p50_ms": None if sweep_ms != sweep_ms else round(sweep_ms, 2),
                     "success_collision_free": bool(plan_ok),
                     "includes": "public-API calls incl. one host fetch (relay RTT) each; fused jit-cached plan programs",
                 },
