@@ -247,6 +247,89 @@ def cmd_export(args) -> int:
     return 0
 
 
+def _json_default(o):
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    raise TypeError(f"not JSON serializable: {type(o)}")
+
+
+def cmd_hw(args) -> int:
+    """Hardware control — the reference's 'Connection & Manual Control' +
+    execution buttons (Mamri.py:319-446, 367-432) as a CLI: move to a pose,
+    execute a planned trajectory (`plan --out plan.npz` -> `hw exec`), jog
+    one joint, home, zero the counters, or snapshot the live status table.
+    `--sim` runs the full closed loop against the in-process simulator."""
+    eng = _engine(args)
+    shutdown = None
+    try:
+        if args.sim:
+            from mamri_tpu.hw.sim import simulated_hardware
+
+            stack, _, shutdown = simulated_hardware(eng, speed_steps_per_s=args.sim_speed)
+        else:
+            if not args.ports:
+                print(json.dumps({"success": False, "message": "give --ports CONTROLLER ENCODER serial devices, or --sim"}))
+                return 2
+            from mamri_tpu.hw.transport import SerialTransport
+
+            stack = eng.attach_hardware(SerialTransport(args.ports[0]), SerialTransport(args.ports[1]))
+            shutdown = stack.disconnect
+    except (OSError, RuntimeError) as e:
+        print(json.dumps({"success": False, "message": f"hardware connection failed: {e}"}))
+        return 1
+    stop_sync = None
+    try:
+        if args.sync:
+            stop_sync = stack.start_sync_loop()
+        out = {"success": True, "action": args.action}
+        if args.action == "status":
+            out["status"] = stack.status()
+            out["joints"] = stack.joint_status_table()
+        elif args.action == "zero-hardware":
+            stack.zero_hardware()
+            out["status"] = stack.status()
+        else:
+            try:
+                if args.action == "move":
+                    if args.degrees:
+                        steps = eng.convert_angles_to_steps(np.deg2rad(np.asarray(args.degrees, np.float64)))
+                    elif args.steps:
+                        steps = np.asarray(args.steps, dtype=int)
+                    else:
+                        print(json.dumps({"success": False, "message": "hw move needs --steps or --degrees (6 values)"}))
+                        return 2
+                    stack.move_to_pose([int(s) for s in steps], timeout_s=args.timeout)
+                elif args.action == "exec":
+                    if not args.plan:
+                        print(json.dumps({"success": False, "message": "hw exec needs --plan plan.npz (from `plan --out`)"}))
+                        return 2
+                    kf = np.load(args.plan)["keyframes"]
+                    stack.execute_trajectory(list(kf), timeout_s=args.timeout)
+                elif args.action == "jog":
+                    stack.jog(args.joint - 1, args.delta, timeout_s=args.timeout)
+                elif args.action == "zero":
+                    stack.return_to_zero(timeout_s=args.timeout)
+            except (RuntimeError, ValueError, OSError) as e:
+                print(json.dumps({"success": False, "message": f"cannot start task: {e}"}))
+                return 1
+            state = stack.runner.run(tick_interval_s=args.tick)
+            out["outcome"] = state.outcome.name
+            out["message"] = state.message
+            out["success"] = state.outcome.name == "SUCCESS"
+            out["final_status"] = stack.status()
+    finally:
+        if stop_sync is not None:
+            stop_sync()
+        if shutdown is not None:
+            shutdown()
+    print(json.dumps(out, indent=2, default=_json_default))
+    return 0 if out["success"] else 1
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="mamri_tpu", description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -297,6 +380,20 @@ def main(argv=None) -> int:
                     help="DICOM transfer syntax for DICOM outputs (default explicit_le)")
     pc.add_argument("--series-number", type=int, default=1)
 
+    ph = sub.add_parser("hw", help="hardware control: status / move / exec / jog / zero / zero-hardware over serial or the built-in simulator")
+    ph.add_argument("action", choices=["status", "move", "exec", "jog", "zero", "zero-hardware"])
+    ph.add_argument("--ports", nargs=2, metavar=("CONTROLLER", "ENCODER"), default=None, help="serial devices (e.g. /dev/ttyUSB0 /dev/ttyUSB1)")
+    ph.add_argument("--sim", action="store_true", help="drive the in-process protocol simulator instead of real serial")
+    ph.add_argument("--sim-speed", type=float, default=1500.0, help="simulated motor speed, steps/s")
+    ph.add_argument("--steps", nargs=6, type=int, default=None, metavar="S", help="move: absolute per-joint steps")
+    ph.add_argument("--degrees", nargs=6, type=float, default=None, metavar="D", help="move: absolute per-joint angles in degrees")
+    ph.add_argument("--plan", default=None, help="exec: plan .npz written by `plan --out` (keyframes)")
+    ph.add_argument("--joint", type=int, default=1, choices=range(1, 7), help="jog: joint number 1-6")
+    ph.add_argument("--delta", type=int, default=100, help="jog: step delta")
+    ph.add_argument("--timeout", type=float, default=120.0, help="task timeout seconds (reference: 120 s)")
+    ph.add_argument("--tick", type=float, default=0.15, help="control-loop tick seconds (reference: 150 ms)")
+    ph.add_argument("--sync", action="store_true", help="run the encoder<->controller sync monitor during the task")
+
     args = ap.parse_args(argv)
     return {
         "info": cmd_info,
@@ -305,6 +402,7 @@ def main(argv=None) -> int:
         "plan": cmd_plan,
         "export": cmd_export,
         "convert": cmd_convert,
+        "hw": cmd_hw,
     }[args.cmd](args)
 
 

@@ -148,3 +148,46 @@ class SimulatedEncoder:
         if self.garbage_every and self._emit_count % self.garbage_every == 0:
             self._tp.push_from_device("!!corrupt@@line##")
         self._tp.push_from_device(",".join(str(v) for v in self.robot.true_position()))
+
+
+def simulated_hardware(engine, speed_steps_per_s: float = 1500.0, emit_hz: float = 250.0):
+    """Attach a complete simulated hardware rig to `engine` and start a
+    free-running encoder stream — everything the reference needs two USB
+    cables for, in-process (controller + encoder protocol endpoints, a
+    kinematic step integrator, and the ~250 Hz encoder emitter).
+
+    Returns `(stack, robot, shutdown)`: the engine's `HardwareStack`, the
+    `SimulatedRobot` (for `inject_stall` etc.), and a `shutdown()` that stops
+    the emitter thread and disconnects both links. Used by the CLI `hw --sim`
+    and available for user scripts/demos."""
+    import threading
+
+    robot = SimulatedRobot(speed_steps_per_s=speed_steps_per_s, clock=time.time)
+    mc_dev = SimulatedMotorController(robot)
+    enc_dev = SimulatedEncoder(robot)
+    tp_mc = LoopbackTransport(mc_dev)
+    tp_enc = LoopbackTransport(enc_dev)
+
+    stop_emit = threading.Event()
+    period = 1.0 / max(emit_hz, 1.0)
+
+    def emitter():
+        while not stop_emit.is_set():
+            enc_dev.emit()
+            time.sleep(period)
+
+    thread = threading.Thread(target=emitter, daemon=True, name="sim-encoder-emit")
+    thread.start()
+    try:
+        stack = engine.attach_hardware(tp_mc, tp_enc)
+    except Exception:
+        stop_emit.set()
+        thread.join(timeout=2.0)
+        raise
+
+    def shutdown():
+        stop_emit.set()
+        thread.join(timeout=2.0)
+        stack.disconnect()
+
+    return stack, robot, shutdown

@@ -153,3 +153,45 @@ def test_cli_export_seg_with_pose_outputs_fails_cleanly(scan_path, tmp_path, cap
     import os
 
     assert os.path.exists(seg)
+
+
+def test_cli_hw_simulator_closed_loop(tmp_path, capsys):
+    """hw --sim: full closed loop against the protocol simulator — status,
+    absolute move (degrees), trajectory exec from a plan .npz, jog, homing,
+    and counter zeroing, each through the real 150 ms-style runner."""
+    assert main(["hw", "status", "--sim"]) == 0
+    st = json.loads(capsys.readouterr().out)
+    assert st["success"] and st["status"]["encoder_steps"] is not None
+    assert st["joints"][0][0] == "Joint"
+
+    assert main(["hw", "move", "--sim", "--degrees", "5", "-3", "2", "0", "1", "0",
+                 "--tick", "0.01"]) == 0
+    mv = json.loads(capsys.readouterr().out)
+    assert mv["outcome"] == "SUCCESS"
+    assert mv["final_status"]["encoder_steps"] == mv["final_status"]["controller_steps"]
+
+    plan = str(tmp_path / "plan.npz")
+    kf = np.deg2rad(np.array([[2.0, -1.0, 1.0, 0.0, 0.5, 0.0],
+                              [4.0, -2.0, 2.0, 0.0, 1.0, 0.0]], dtype=np.float32))
+    np.savez(plan, keyframes=kf)
+    assert main(["hw", "exec", "--sim", "--plan", plan, "--tick", "0.01"]) == 0
+    ex = json.loads(capsys.readouterr().out)
+    assert ex["outcome"] == "SUCCESS"
+
+    assert main(["hw", "jog", "--sim", "--joint", "2", "--delta", "40", "--tick", "0.01"]) == 0
+    assert json.loads(capsys.readouterr().out)["outcome"] == "SUCCESS"
+
+    assert main(["hw", "zero", "--sim", "--tick", "0.01", "--sync"]) == 0
+    z = json.loads(capsys.readouterr().out)
+    assert z["outcome"] == "SUCCESS"
+    assert z["final_status"]["encoder_steps"] == [0] * 6
+
+    assert main(["hw", "zero-hardware", "--sim"]) == 0
+    assert json.loads(capsys.readouterr().out)["success"]
+
+
+def test_cli_hw_argument_errors(capsys):
+    assert main(["hw", "status"]) == 2  # neither --sim nor --ports
+    assert not json.loads(capsys.readouterr().out)["success"]
+    assert main(["hw", "move", "--sim"]) == 2  # no --steps/--degrees
+    assert not json.loads(capsys.readouterr().out)["success"]
