@@ -247,6 +247,75 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_demo(args) -> int:
+    """Zero-input end-to-end demo: build the canonical synthetic scene
+    (robot at a known pose + body phantom), write it as a scan, estimate
+    the pose back, search an entry point, plan the collision-checked path,
+    export the artifacts (scan.nrrd, body.seg.nrrd, plan.npz, scene.html),
+    and optionally execute the plan on the protocol simulator. The
+    reference cannot demo itself without a real scan in the scene."""
+    import os
+
+    from mamri_tpu.api.demo import build_demo_scene
+    from mamri_tpu.perception.formats import save_volume
+
+    eng = _engine(args)
+    vol, true_angles, _, target = build_demo_scene(eng, spacing=args.spacing)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    def art(name):
+        return os.path.join(args.out_dir, name)
+
+    save_volume(art("scan.nrrd"), vol)
+    pose = eng.estimate_pose(vol)
+    out = {
+        "success": pose.success,
+        "scan": art("scan.nrrd"),
+        "shape": list(vol.shape),
+        "spacing_mm": float(args.spacing),
+    }
+    if not pose.success:
+        out["message"] = f"pose estimation failed: {pose.message}"
+        print(json.dumps(out, indent=2, default=_json_default))
+        return 1
+    out.update(
+        angles_deg=np.rad2deg(pose.angles_rad).round(3).tolist(),
+        true_angles_deg=np.rad2deg(true_angles).round(3).tolist(),
+        rmse_mm=round(pose.rmse_mm, 4),
+    )
+    out["seg"] = eng.export_segmentation(art("body.seg.nrrd"))
+    ep = eng.find_entry_point(target)
+    if bool(ep.found):
+        out["entry_ras"] = np.asarray(ep.point_ras).round(3).tolist()
+        plan = eng.plan_heuristic_path(target, np.asarray(ep.point_ras), args.safety,
+                                       start_pose_steps=pose.steps)
+        out["plan_success"] = plan.success
+        out["collision_detected"] = plan.collision_detected
+        if plan.success:
+            np.savez(art("plan.npz"), path=plan.path, keyframes=plan.keyframes,
+                     goal_steps=plan.goal_steps)
+            out["plan"] = art("plan.npz")
+            eng.export_scene(art("scene.html"), target_ras=target,
+                             entry_ras=np.asarray(ep.point_ras))
+            out["scene"] = art("scene.html")
+            if args.execute:
+                from mamri_tpu.hw.sim import simulated_hardware
+
+                stack, _, shutdown = simulated_hardware(eng)
+                try:
+                    stack.execute_trajectory(list(plan.keyframes), timeout_s=60.0)
+                    state = stack.runner.run(tick_interval_s=0.01)
+                    out["executed"] = state.outcome.name
+                    out["final_steps"] = stack.encoder.latest_position
+                finally:
+                    shutdown()
+    else:
+        out["plan_success"] = False
+        out["message"] = "no suitable entry point found"
+    print(json.dumps(out, indent=2, default=_json_default))
+    return 0 if out.get("plan_success") else 1
+
+
 def _json_default(o):
     if isinstance(o, (np.integer,)):
         return int(o)
@@ -380,6 +449,12 @@ def main(argv=None) -> int:
                     help="DICOM transfer syntax for DICOM outputs (default explicit_le)")
     pc.add_argument("--series-number", type=int, default=1)
 
+    pd = sub.add_parser("demo", help="zero-input end-to-end demo on the canonical synthetic scene (scan -> pose -> entry -> plan -> scene.html; --execute runs the simulator)")
+    pd.add_argument("--out-dir", default="mamri_demo", help="artifact directory (default ./mamri_demo)")
+    pd.add_argument("--spacing", type=float, default=3.0, help="scene voxel spacing mm (larger = faster, default 3.0)")
+    pd.add_argument("--safety", type=float, default=5.0, help="needle standoff mm")
+    pd.add_argument("--execute", action="store_true", help="execute the planned trajectory on the protocol simulator")
+
     ph = sub.add_parser("hw", help="hardware control: status / move / exec / jog / zero / zero-hardware over serial or the built-in simulator")
     ph.add_argument("action", choices=["status", "move", "exec", "jog", "zero", "zero-hardware"])
     ph.add_argument("--ports", nargs=2, metavar=("CONTROLLER", "ENCODER"), default=None, help="serial devices (e.g. /dev/ttyUSB0 /dev/ttyUSB1)")
@@ -402,6 +477,7 @@ def main(argv=None) -> int:
         "plan": cmd_plan,
         "export": cmd_export,
         "convert": cmd_convert,
+        "demo": cmd_demo,
         "hw": cmd_hw,
     }[args.cmd](args)
 

@@ -195,3 +195,24 @@ def test_cli_hw_argument_errors(capsys):
     assert not json.loads(capsys.readouterr().out)["success"]
     assert main(["hw", "move", "--sim"]) == 2  # no --steps/--degrees
     assert not json.loads(capsys.readouterr().out)["success"]
+
+
+def test_cli_demo_end_to_end(tmp_path, capsys):
+    """demo: synthetic scene -> estimate -> entry -> plan -> artifacts ->
+    simulated execution, with no input data. Coarse spacing keeps it fast."""
+    import os
+
+    out_dir = str(tmp_path / "demo")
+    rc = main(["demo", "--out-dir", out_dir, "--spacing", "6.0", "--execute"])
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0, out
+    assert out["success"] and out["plan_success"]
+    est = np.asarray(out["angles_deg"])
+    true = np.asarray(out["true_angles_deg"])
+    assert abs(est[0] - true[0]) < 2.0  # J1 directly observed by markers
+    for name in ("scan.nrrd", "body.seg.nrrd", "plan.npz", "scene.html"):
+        assert os.path.exists(os.path.join(out_dir, name)), name
+    assert out["executed"] == "SUCCESS"
+    np.testing.assert_array_equal(
+        out["final_steps"], np.load(os.path.join(out_dir, "plan.npz"))["goal_steps"]
+    )
