@@ -283,6 +283,11 @@ def cmd_demo(args) -> int:
         true_angles_deg=np.rad2deg(true_angles).round(3).tolist(),
         rmse_mm=round(pose.rmse_mm, 4),
     )
+    if eng.body_mask() is None:  # very coarse --spacing can lose the phantom
+        out["success"] = False
+        out["message"] = "no body segmentation found (try a finer --spacing)"
+        print(json.dumps(out, indent=2, default=_json_default))
+        return 1
     out["seg"] = eng.export_segmentation(art("body.seg.nrrd"))
     ep = eng.find_entry_point(target)
     if bool(ep.found):
@@ -312,8 +317,17 @@ def cmd_demo(args) -> int:
     else:
         out["plan_success"] = False
         out["message"] = "no suitable entry point found"
+    # keep the JSON success field and the exit status consistent: the demo
+    # passed only if the plan succeeded AND (when requested) the simulated
+    # execution arrived
+    ok = bool(out.get("plan_success"))
+    if args.execute and "executed" in out:
+        ok = ok and out["executed"] == "SUCCESS"
+    elif args.execute:
+        ok = False
+    out["success"] = ok
     print(json.dumps(out, indent=2, default=_json_default))
-    return 0 if out.get("plan_success") else 1
+    return 0 if ok else 1
 
 
 def _json_default(o):
@@ -332,6 +346,25 @@ def cmd_hw(args) -> int:
     execute a planned trajectory (`plan --out plan.npz` -> `hw exec`), jog
     one joint, home, zero the counters, or snapshot the live status table.
     `--sim` runs the full closed loop against the in-process simulator."""
+    # pure argument validation FIRST — never open serial ports (handshakes,
+    # sync traffic) just to report a typo
+    if args.action == "move" and not (args.steps or args.degrees):
+        print(json.dumps({"success": False, "message": "hw move needs --steps or --degrees (6 values)"}))
+        return 2
+    kf = None
+    if args.action == "exec":
+        if not args.plan:
+            print(json.dumps({"success": False, "message": "hw exec needs --plan plan.npz (from `plan --out`)"}))
+            return 2
+        try:
+            npz = np.load(args.plan)
+            if "keyframes" not in npz:
+                raise ValueError(f"{args.plan}: no 'keyframes' array (not a `plan --out` file?)")
+            kf = npz["keyframes"]
+        except (OSError, ValueError, KeyError) as e:
+            print(json.dumps({"success": False, "message": f"cannot read plan: {e}"}))
+            return 2
+
     eng = _engine(args)
     shutdown = None
     try:
@@ -362,34 +395,37 @@ def cmd_hw(args) -> int:
             stack.zero_hardware()
             out["status"] = stack.status()
         else:
+            if args.action == "move":
+                if args.degrees:
+                    steps = eng.convert_angles_to_steps(np.deg2rad(np.asarray(args.degrees, np.float64)))
+                else:
+                    steps = np.asarray(args.steps, dtype=int)
+                stack.move_to_pose([int(s) for s in steps], timeout_s=args.timeout)
+            elif args.action == "exec":
+                stack.execute_trajectory(list(kf), timeout_s=args.timeout)
+            elif args.action == "jog":
+                stack.jog(args.joint - 1, args.delta, timeout_s=args.timeout)
+            elif args.action == "zero":
+                stack.return_to_zero(timeout_s=args.timeout)
             try:
-                if args.action == "move":
-                    if args.degrees:
-                        steps = eng.convert_angles_to_steps(np.deg2rad(np.asarray(args.degrees, np.float64)))
-                    elif args.steps:
-                        steps = np.asarray(args.steps, dtype=int)
-                    else:
-                        print(json.dumps({"success": False, "message": "hw move needs --steps or --degrees (6 values)"}))
-                        return 2
-                    stack.move_to_pose([int(s) for s in steps], timeout_s=args.timeout)
-                elif args.action == "exec":
-                    if not args.plan:
-                        print(json.dumps({"success": False, "message": "hw exec needs --plan plan.npz (from `plan --out`)"}))
-                        return 2
-                    kf = np.load(args.plan)["keyframes"]
-                    stack.execute_trajectory(list(kf), timeout_s=args.timeout)
-                elif args.action == "jog":
-                    stack.jog(args.joint - 1, args.delta, timeout_s=args.timeout)
-                elif args.action == "zero":
-                    stack.return_to_zero(timeout_s=args.timeout)
-            except (RuntimeError, ValueError, OSError) as e:
-                print(json.dumps({"success": False, "message": f"cannot start task: {e}"}))
+                state = stack.runner.run(tick_interval_s=args.tick)
+            except KeyboardInterrupt:
+                # the reference's STOP button: hold at the current position
+                # (soft stop) — never leave the controller driving to the old
+                # target after the CLI exits
+                stack.runner.request_stop()
+                stack.controller.soft_stop()
+                print(json.dumps({"success": False, "action": args.action,
+                                  "outcome": "STOPPED",
+                                  "message": "interrupted: soft stop issued (controller holds current position)"}))
                 return 1
-            state = stack.runner.run(tick_interval_s=args.tick)
             out["outcome"] = state.outcome.name
             out["message"] = state.message
             out["success"] = state.outcome.name == "SUCCESS"
             out["final_status"] = stack.status()
+    except (RuntimeError, ValueError, OSError) as e:
+        print(json.dumps({"success": False, "action": args.action, "message": str(e)}))
+        return 1
     finally:
         if stop_sync is not None:
             stop_sync()

@@ -20,6 +20,7 @@ the listener's malformed-line handling.
 
 from __future__ import annotations
 
+import threading
 import time
 from typing import Callable, List, Optional, Sequence
 
@@ -44,9 +45,17 @@ class SimulatedRobot:
         self.missed_steps = [0.0] * NUM_JOINTS  # slip: true = counts - missed
         self.stalled_joints: set[int] = set()
         self._last_t = clock()
+        # one rig can be driven from several threads at once (runner tick,
+        # free-running encoder emitter, sync monitor) — all state transitions
+        # go through this re-entrant lock
+        self.lock = threading.RLock()
 
     def advance(self) -> None:
         """Integrate motion up to the current clock time."""
+        with self.lock:
+            self._advance_locked()
+
+    def _advance_locked(self) -> None:
         now = self.clock()
         dt = max(0.0, now - self._last_t)
         self._last_t = now
@@ -62,19 +71,22 @@ class SimulatedRobot:
                 self.missed_steps[j] += step
 
     def true_position(self) -> List[int]:
-        return [
-            int(round(self.controller_counts[j] - self.missed_steps[j] - self.encoder_offset[j]))
-            for j in range(NUM_JOINTS)
-        ]
+        with self.lock:
+            return [
+                int(round(self.controller_counts[j] - self.missed_steps[j] - self.encoder_offset[j]))
+                for j in range(NUM_JOINTS)
+            ]
 
     def inject_stall(self, joints: Sequence[int]) -> None:
-        self.stalled_joints.update(joints)
+        with self.lock:
+            self.stalled_joints.update(joints)
 
     def clear_stall(self, joints: Optional[Sequence[int]] = None) -> None:
-        if joints is None:
-            self.stalled_joints.clear()
-        else:
-            self.stalled_joints.difference_update(joints)
+        with self.lock:
+            if joints is None:
+                self.stalled_joints.clear()
+            else:
+                self.stalled_joints.difference_update(joints)
 
 
 class SimulatedMotorController:
@@ -89,6 +101,10 @@ class SimulatedMotorController:
         self._tp = tp
 
     def handle_line(self, line: str) -> None:
+        with self.robot.lock:
+            self._handle_locked(line)
+
+    def _handle_locked(self, line: str) -> None:
         self.robot.advance()
         if not line:
             return
@@ -134,6 +150,10 @@ class SimulatedEncoder:
         self._tp = tp
 
     def handle_line(self, line: str) -> None:
+        with self.robot.lock:
+            self._handle_locked(line)
+
+    def _handle_locked(self, line: str) -> None:
         self.robot.advance()
         if line == "R":
             for j in range(NUM_JOINTS):
@@ -143,6 +163,10 @@ class SimulatedEncoder:
             self._tp.push_from_device("Encoders reset")
 
     def emit(self) -> None:
+        with self.robot.lock:
+            self._emit()
+
+    def _emit(self) -> None:
         self.robot.advance()
         self._emit_count += 1
         if self.garbage_every and self._emit_count % self.garbage_every == 0:

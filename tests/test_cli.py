@@ -216,3 +216,15 @@ def test_cli_demo_end_to_end(tmp_path, capsys):
     np.testing.assert_array_equal(
         out["final_steps"], np.load(os.path.join(out_dir, "plan.npz"))["goal_steps"]
     )
+
+
+def test_cli_hw_exec_rejects_bad_plan(tmp_path, capsys):
+    """Plan validation happens BEFORE any hardware is touched: a .npz
+    without 'keyframes' is a structured error, not a traceback."""
+    bad = str(tmp_path / "notaplan.npz")
+    np.savez(bad, path=np.zeros((3, 6)))
+    assert main(["hw", "exec", "--sim", "--plan", bad]) == 2
+    out = json.loads(capsys.readouterr().out)
+    assert not out["success"] and "keyframes" in out["message"]
+    assert main(["hw", "exec", "--sim", "--plan", str(tmp_path / "missing.npz")]) == 2
+    assert not json.loads(capsys.readouterr().out)["success"]
