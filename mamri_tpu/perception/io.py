@@ -201,7 +201,36 @@ def load_nifti(path: str) -> Volume:
         # permutation/flip affines normalize exactly; obliques resample
         return volume_from_affine(data, affine_lps)
 
-    # fall back to pixdim with origin at 0 (qform ignored)
+    qform_code = struct.unpack(byteorder + "h", raw[252:254])[0]
+    if qform_code > 0:
+        # qform (the "method 2" orientation real scanners write when no
+        # sform is present): unit quaternion (a, b, c, d) with a recovered
+        # from the stored (b, c, d), qfac = pixdim[0] (z-column sign), and
+        # the qoffset translation. Spec: nifti1.h "METHOD 2".
+        b, c, d = struct.unpack(byteorder + "3f", raw[256:268])
+        qx, qy, qz = struct.unpack(byteorder + "3f", raw[268:280])
+        a_sq = 1.0 - (b * b + c * c + d * d)
+        a = np.sqrt(a_sq) if a_sq > 0.0 else 0.0
+        rot = np.array(
+            [
+                [a * a + b * b - c * c - d * d, 2 * b * c - 2 * a * d, 2 * b * d + 2 * a * c],
+                [2 * b * c + 2 * a * d, a * a + c * c - b * b - d * d, 2 * c * d - 2 * a * b],
+                [2 * b * d - 2 * a * c, 2 * c * d + 2 * a * b, a * a + d * d - c * c - b * b],
+            ],
+            dtype=np.float64,
+        )
+        qfac = -1.0 if pixdim[0] < 0 else 1.0
+        affine_ras = np.empty((3, 4), dtype=np.float64)
+        for col in range(3):
+            scale = abs(pixdim[col + 1]) * (qfac if col == 2 else 1.0)
+            affine_ras[:, col] = rot[:, col] * scale
+        affine_ras[:, 3] = (qx, qy, qz)
+        affine_lps = affine_ras
+        affine_lps[0] *= -1.0
+        affine_lps[1] *= -1.0
+        return volume_from_affine(data, affine_lps)
+
+    # no orientation stored at all: pixdim with origin at 0
     spacing = np.array([abs(pixdim[1]), abs(pixdim[2]), abs(pixdim[3])], dtype=np.float32)
     return Volume(data=np.ascontiguousarray(data), spacing=spacing, origin=np.zeros(3, dtype=np.float32))
 

@@ -1096,3 +1096,46 @@ def test_jpegls_lse_partial_preset_matches_native_and_validates():
     bad = with_lse(0, 300, 200, 0)
     with pytest.raises(ValueError):
         jpegls.decode_jpeg_ls(bad, use_native=False)
+
+
+def test_nifti_qform_only(tmp_path):
+    """Real scanners often write only the qform (sform_code=0). A 180-deg-
+    about-z quaternion with the right offsets must reproduce exactly what the
+    equivalent sform gives; qfac=-1 must flip the z column."""
+    import struct
+
+    from mamri_tpu.perception.volume import Volume
+
+    data = (np.arange(4 * 3 * 2, dtype=np.float32) % 97).reshape(4, 3, 2)
+    v = Volume(data=data, spacing=(1.0, 2.0, 3.0), origin=(5.0, 6.0, 7.0))
+    p = str(tmp_path / "q.nii")
+    save_nifti(p, v)
+    raw = bytearray(open(p, "rb").read())
+    sform_loaded = load_nifti(p)
+
+    # rewrite as qform-only: sform off, quaternion (a=0,b=0,c=0,d=1) = RotZ(180)
+    # -> RAS columns (-sx, -sy, +sz), identical to save_nifti's srow
+    origin_ras = (-5.0, -6.0, 7.0)
+    struct.pack_into("<h", raw, 252, 1)      # qform_code
+    struct.pack_into("<h", raw, 254, 0)      # sform_code off
+    struct.pack_into("<3f", raw, 256, 0.0, 0.0, 1.0)   # quatern b, c, d
+    struct.pack_into("<3f", raw, 268, *origin_ras)     # qoffset x, y, z
+    struct.pack_into("<f", raw, 76, 1.0)     # pixdim[0] = qfac +1
+    open(p, "wb").write(raw)
+    q = load_nifti(p)
+    np.testing.assert_array_equal(q.data, sform_loaded.data)
+    np.testing.assert_allclose(q.spacing, sform_loaded.spacing, atol=1e-6)
+    np.testing.assert_allclose(q.origin, sform_loaded.origin, atol=1e-5)
+
+    # identity quaternion + qfac=-1: RAS affine diag(1,2,-3) -> LPS flips
+    # all three axes, origin moves to each kept corner
+    struct.pack_into("<3f", raw, 256, 0.0, 0.0, 0.0)
+    struct.pack_into("<3f", raw, 268, 5.0, 6.0, 7.0)
+    struct.pack_into("<f", raw, 76, -1.0)    # qfac -1
+    open(p, "wb").write(raw)
+    q2 = load_nifti(p)
+    np.testing.assert_array_equal(q2.data, data[::-1, ::-1, ::-1])
+    np.testing.assert_allclose(q2.spacing, [1.0, 2.0, 3.0], atol=1e-6)
+    np.testing.assert_allclose(
+        q2.origin, [-5.0 - 1.0 * 3, -6.0 - 2.0 * 2, 7.0 - 3.0 * 1], atol=1e-5
+    )
