@@ -249,6 +249,11 @@ def save_nifti(path: str, volume: Volume) -> None:
     struct.pack_into("<f", hdr, 112, 1.0)  # scl_slope
     struct.pack_into("<h", hdr, 254, 1)  # sform_code
     origin_ras = volume.origin * np.array([-1.0, -1.0, 1.0], dtype=np.float32)
+    # matching qform for readers that prefer method 2: the axis-aligned LPS
+    # direction is RotZ(180) in RAS = quaternion (a,b,c,d) = (0,0,0,1)
+    struct.pack_into("<h", hdr, 252, 1)  # qform_code
+    struct.pack_into("<3f", hdr, 256, 0.0, 0.0, 1.0)  # quatern b, c, d
+    struct.pack_into("<3f", hdr, 268, *[float(v) for v in origin_ras])
     sx, sy, sz = volume.spacing.tolist()
     # LPS spacing along +x LPS = -x RAS direction
     struct.pack_into("<4f", hdr, 280, -sx, 0.0, 0.0, float(origin_ras[0]))
