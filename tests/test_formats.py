@@ -618,3 +618,65 @@ def test_seg_nrrd_review_fixes(tmp_path):
     save_seg_nrrd(str(p4), {"Body": mask}, (1, 1, 1), (0, 0, 0))
     eng.set_body_segmentation(Path(p4))  # PathLike accepted
     assert eng.body_mask().any()
+
+
+def test_nrrd_dtype_encoding_roundtrip_matrix(tmp_path):
+    """Handwritten files across the dtype x encoding matrix all decode to
+    the same values (the writers only emit float32/gzip+raw; this pins the
+    READER breadth independently)."""
+    rng = np.random.default_rng(7)
+    shape = (5, 6, 4)
+    cases = [
+        ("uchar", np.uint8), ("short", np.int16), ("ushort", np.uint16),
+        ("int", np.int32), ("uint", np.uint32), ("float", np.float32),
+        ("double", np.float64), ("int64", np.int64),
+    ]
+    for tname, dt in cases:
+        info = np.iinfo(dt) if np.issubdtype(dt, np.integer) else None
+        vals = rng.integers(0, min(info.max, 10_000) if info else 10_000,
+                            size=shape).astype(dt)
+        for enc in ("raw", "gzip", "ascii"):
+            payload = vals.astype(np.dtype(dt).newbyteorder("<")).tobytes(order="F")
+            if enc == "gzip":
+                payload = gzip.compress(payload)
+            elif enc == "ascii":
+                payload = " ".join(str(x) for x in vals.flatten(order="F")).encode()
+            hdr = (
+                f"NRRD0004\ntype: {tname}\ndimension: 3\n"
+                f"sizes: {shape[0]} {shape[1]} {shape[2]}\n"
+                f"endian: little\nencoding: {enc}\n\n"
+            ).encode()
+            p = str(tmp_path / f"m_{tname}_{enc}.nrrd")
+            with open(p, "wb") as f:
+                f.write(hdr + payload)
+            np.testing.assert_array_equal(
+                load_nrrd(p).data, vals.astype(np.float32), err_msg=f"{tname}/{enc}"
+            )
+
+
+def test_format_header_fuzz_never_crashes(tmp_path):
+    """Random single-byte corruption of NRRD/MetaImage headers either still
+    loads or raises ValueError/OSError — never an unhandled exception type
+    (the CLI's error contract). Mirrors the DICOM codecs' byte-flip fuzz."""
+    v = synthetic_volume(shape=(6, 5, 4), spacing=(1.0, 1.0, 2.0))
+    seeds = {
+        "f.nrrd": (save_nrrd, load_nrrd),
+        "f.mha": (save_metaimage, load_metaimage),
+    }
+    rng = np.random.default_rng(11)
+    for name, (saver, loader) in seeds.items():
+        p = str(tmp_path / name)
+        saver(p, v)
+        good = open(p, "rb").read()
+        header_len = good.index(b"\n\n") + 2 if name.endswith(".nrrd") else good.index(b"LOCAL\n") + 6
+        for trial in range(120):
+            buf = bytearray(good)
+            pos = int(rng.integers(0, header_len))
+            buf[pos] = int(rng.integers(0, 256))
+            q = str(tmp_path / f"fz_{name}")
+            with open(q, "wb") as f:
+                f.write(bytes(buf))
+            try:
+                loader(q)
+            except (ValueError, OSError):
+                pass  # structured rejection is fine
