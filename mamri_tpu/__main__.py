@@ -178,14 +178,19 @@ def cmd_export(args) -> int:
     pose = eng.estimate_pose(vol, apply_correction=args.correction)
     # segmentation runs before IK (as in the reference's process()), so --seg
     # delivers regardless of whether the pose itself is available
+    pose_outputs = args.out_dir or args.scene or args.render or args.animate
     seg_path = None
+    seg_warning = None
     if args.seg:
         if eng.body_mask() is None:
-            print(json.dumps({"success": False, "message": "no body segmentation found in scan (--seg)"}))
-            return 1
-        seg_path = eng.export_segmentation(args.seg)
+            if not pose_outputs:  # seg was the only deliverable
+                print(json.dumps({"success": False, "message": "no body segmentation found in scan (--seg)"}))
+                return 1
+            # other outputs can still be produced — skip the seg, don't abort
+            seg_warning = "no body segmentation found in scan; --seg skipped"
+        else:
+            seg_path = eng.export_segmentation(args.seg)
     if not pose.success:
-        pose_outputs = args.out_dir or args.scene or args.render or args.animate
         out = {
             "success": bool(seg_path) and not pose_outputs,
             "message": f"pose estimation failed: {pose.message}"
@@ -198,6 +203,8 @@ def cmd_export(args) -> int:
     out = {"success": True, "angles_deg": np.rad2deg(pose.angles_rad).round(3).tolist()}
     if seg_path:
         out["seg"] = seg_path
+    if seg_warning:
+        out["seg_warning"] = seg_warning
     if args.out_dir:
         if not args.mesh_dir:
             print(json.dumps({"success": False, "message": "--out-dir requires --mesh-dir"}))

@@ -284,10 +284,16 @@ def run_sharded_batched(
             return out, params, False
         if data_np is None:
             data_np = np.asarray(data_batch)
-        # compact the failures; pad to dp x next power of two with repeats of
-        # the first failure (dp-divisible, bounded compile-shape set)
-        groups = -(-len(fail) // dp)
-        n_pad = dp * (1 if groups <= 1 else 1 << (groups - 1).bit_length())
+        # compact the failures and pad with repeats of the first failure to a
+        # power-of-two group count (bounded compile-shape set). The padding
+        # unit — and the rerun's chunking — honor the caller's `microbatch`
+        # memory bound: escalated settings need MORE workspace than the first
+        # pass that already required chunking, so running the rerun fully
+        # resident would OOM exactly the workloads microbatch protects.
+        unit = microbatch if microbatch is not None else dp
+        groups = -(-len(fail) // unit)
+        n_pad = unit * (1 if groups <= 1 else 1 << (groups - 1).bit_length())
+        mb = microbatch if (microbatch is not None and n_pad > microbatch) else None
         sel = np.concatenate([fail, np.full(n_pad - len(fail), fail[0], fail.dtype)])
         logger.warning(
             "mesh-batched segmentation escalation for %d/%d volumes -> "
@@ -295,7 +301,7 @@ def run_sharded_batched(
             len(fail), batch_size, stronger.passes, stronger.max_sweeps,
             stronger.max_roots, stronger.max_blobs, stronger.exhaustive_roots,
         )
-        sub = get_fn(stronger, None)(
+        sub = get_fn(stronger, mb)(
             jnp.asarray(data_np[sel]),
             jnp.asarray(spacing),
             jnp.asarray(origin),

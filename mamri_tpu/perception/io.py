@@ -141,7 +141,7 @@ _DTYPES = {
 
 
 def _read_bytes(path: str) -> bytes:
-    if path.endswith(".gz"):
+    if path.lower().endswith(".gz"):
         with gzip.open(path, "rb") as f:
             return f.read()
     with open(path, "rb") as f:
@@ -261,7 +261,7 @@ def save_nifti(path: str, volume: Volume) -> None:
     struct.pack_into("<4f", hdr, 312, 0.0, 0.0, sz, float(origin_ras[2]))
     hdr[344:348] = b"n+1\x00"
     payload = bytes(hdr) + data.tobytes(order="F")
-    if path.endswith(".gz"):
+    if path.lower().endswith(".gz"):
         with gzip.open(path, "wb") as f:
             f.write(payload)
     else:

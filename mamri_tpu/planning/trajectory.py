@@ -131,13 +131,20 @@ def solve_trajectory_ik(
     (num_iters 32, no random restarts) — less than a quarter of the
     unseeded path's LM work (8 guesses x 100 iters) at equal-or-better
     success. `analytic_seeds=False` restores the unseeded
-    {current, zeros, 6 random} x 100-iter search."""
+    {current, zeros, 6 random} x 100-iter search.
+
+    `num_random_restarts=0` is the documented strict-reference-emulation
+    flag (the reference polishes exactly {current, zeros},
+    Mamri.py:921-933), so it ALSO disables the auto analytic seeding and
+    keeps the 100-iter budget unless those are overridden explicitly —
+    otherwise the emulation knob would silently select different IK
+    branches than the reference search."""
     from mamri_tpu.ik.analytic import chain_is_analytic
 
     nj = model.num_joints
     dtype = model.limits_rad.dtype
     if analytic_seeds is None:
-        analytic_seeds = chain_is_analytic(model)
+        analytic_seeds = chain_is_analytic(model) and num_random_restarts != 0
     if num_iters is None:
         num_iters = 32 if analytic_seeds else 100
     if num_random_restarts is None:

@@ -151,20 +151,11 @@ def test_sharded_escalation_loop(engine):
     )
 
 
-def test_mesh_per_volume_escalation(engine, caplog):
-    """VERDICT r3 #2: a mixed clean/noisy mesh batch escalates ONLY the
-    uncertified volume — the failing row re-runs as a compacted dp-divisible
-    sub-batch and scatters back; clean rows keep first-pass results."""
-    import logging
-
-    from mamri_tpu.parallel import run_sharded_batched
-
-    vol = _scene(engine)
-    clean = np.asarray(vol.data)
-    # clutter: a lattice of isolated 2x2x2 bright clusters — OUT of the blob
-    # band at 6 mm spacing (8 x 216 mm3 > max_volume 1500) and too far apart
-    # for closing(2) to merge, so only ROOT completeness fails (>128
-    # components) and the escalated max_roots/exhaustive pass certifies
+def _lattice_clutter(clean):
+    """Clutter: a lattice of isolated 2x2x2 bright clusters — OUT of the blob
+    band at 6 mm spacing (8 x 216 mm3 > max_volume 1500) and too far apart
+    for closing(2) to merge, so only ROOT completeness fails (>128
+    components) and the escalated max_roots/exhaustive pass certifies."""
     noisy = clean.copy()
     bright = clean > 60.0
     n_added = 0
@@ -177,6 +168,20 @@ def test_mesh_per_volume_escalation(engine, caplog):
                     noisy[i:i + 2, j:j + 2, k:k + 2] = 100.0
                     n_added += 1
     assert n_added >= 150
+    return noisy
+
+
+def test_mesh_per_volume_escalation(engine, caplog):
+    """VERDICT r3 #2: a mixed clean/noisy mesh batch escalates ONLY the
+    uncertified volume — the failing row re-runs as a compacted dp-divisible
+    sub-batch and scatters back; clean rows keep first-pass results."""
+    import logging
+
+    from mamri_tpu.parallel import run_sharded_batched
+
+    vol = _scene(engine)
+    clean = np.asarray(vol.data)
+    noisy = _lattice_clutter(clean)
 
     mesh = make_mesh(4, axes=("dp",))
     batch = np.stack([clean, noisy, clean, clean])
@@ -242,3 +247,36 @@ def test_mesh_microbatch_validation(engine):
         sharded_batched_pipeline(engine, mesh, microbatch=-2)
     with pytest.raises(ValueError):
         sharded_batched_pipeline(engine, mesh, microbatch=3)  # not a dp multiple
+
+
+def test_mesh_escalation_honors_microbatch(engine, monkeypatch, caplog):
+    """The escalated rerun must honor the caller's microbatch memory bound:
+    the compacted failure sub-batch pads to a microbatch multiple and the
+    rerun pipeline is built WITH chunking (review finding: it previously ran
+    fully resident at STRONGER settings, the exact OOM microbatch guards)."""
+    import logging
+
+    import mamri_tpu.parallel.mesh as mesh_mod
+
+    vol = _scene(engine)
+    noisy = _lattice_clutter(np.asarray(vol.data))
+    built = []
+    orig = mesh_mod.sharded_batched_pipeline
+
+    def spy(*a, **kw):
+        built.append(kw.get("microbatch"))
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(mesh_mod, "sharded_batched_pipeline", spy)
+    mesh = make_mesh(2, axes=("dp",))
+    batch = np.stack([noisy] * 4)
+    with caplog.at_level(logging.WARNING, logger="mamri_tpu.parallel.mesh"):
+        out, params, certified = mesh_mod.run_sharded_batched(
+            engine, mesh, batch, vol.spacing, vol.origin, microbatch=2
+        )
+    assert certified and out["success"].all()
+    assert any("escalation for 4/4" in r.message for r in caplog.records)
+    # first pass chunked at 2; every escalated rerun (4 failures pad to 4 > 2)
+    # must also be chunked at 2, never unchunked
+    assert built[0] == 2
+    assert len(built) > 1 and all(m == 2 for m in built[1:]), built

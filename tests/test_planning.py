@@ -189,3 +189,25 @@ def test_analytic_trajectory_seeds_contains_near_exact(model):
 
     errs = jax.vmap(lambda s: jnp.linalg.norm(trajectory_pose_residual(model, s, jnp.eye(4), tf)[:3]))(seeds)
     assert float(jnp.min(errs)) < 1.0, float(jnp.min(errs))
+
+
+def test_trajectory_strict_reference_flag_disables_seeding():
+    """num_random_restarts=0 is the documented strict-reference-emulation
+    knob: it must run exactly {current, zeros} x 100 iters — no analytic
+    seeds, no shortened budget — unless those are overridden explicitly."""
+    from mamri_tpu.planning import trajectory as traj
+    from mamri_tpu.core.robot import load_robot_model
+    import jax.numpy as jnp
+
+    model = load_robot_model()
+    base = jnp.eye(4, dtype=jnp.float32)
+    target = jnp.asarray([-40.0, -30.0, 120.0], jnp.float32)
+    entry = jnp.asarray([-80.0, -30.0, 120.0], jnp.float32)
+    # both paths must run; the strict one uses only the 2 reference guesses
+    res_strict = traj.solve_trajectory_ik(
+        model, None, target, entry, 5.0, base, None, num_random_restarts=0
+    )
+    res_auto = traj.solve_trajectory_ik(model, None, target, entry, 5.0, base, None)
+    assert bool(res_auto.success)
+    # strict mode is a valid solver too (the reference solves this pose)
+    assert float(res_strict.position_error_mm) < 50.0
