@@ -22,6 +22,13 @@ def main():
         return 1
     rnd = sys.argv[1] if len(sys.argv) > 1 else "03"
     report = run_parity_checks(size=128)
+    # 80^3 does NOT divide the stats kernels' chunk/block pad units, so this
+    # second pass exercises the padded-tail path (and another anisotropic
+    # shape) on real Mosaic, which the canonical 128 run cannot
+    report_nd = run_parity_checks(size=80)
+    report["nondividing_size80"] = report_nd
+    report["all_exact"] = bool(report["all_exact"] and report_nd["all_exact"])
+    report["num_checks"] = report["num_checks"] + report_nd["num_checks"]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), f"TPUPARITY_r{rnd}.json")
     with open(out, "w") as f:
         json.dump(report, f, indent=2)
