@@ -14,9 +14,9 @@ until probe; do
 done
 echo "RELAY UP $(date -u)" | tee -a $LOG
 run() { name="$1"; t="$2"; shift 2; echo "=== $name ($(date -u))" >> $LOG; timeout "$t" "$@" 2>&1 | grep -v "^WARNING" >> $LOG; echo "rc=${PIPESTATUS[0]}" >> $LOG; }
-run "tpu_parity 04" 3000 python tools/tpu_parity.py 04
+run "tpu_parity 04" 4200 python tools/tpu_parity.py 04
 run "profile_stages" 1800 python tools/profile_stages.py
-run "bench" 5400 python bench.py
+run "bench" 9000 python bench.py
 run "profile_sharded" 1800 python tools/profile_sharded.py
 run "batch_scaling" 4800 python tools/batch_scaling.py
 echo "QUEUE DONE $(date -u)" | tee -a $LOG
