@@ -9,7 +9,11 @@ numbers land in docs/ARCHITECTURE.md's codec section.
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
