@@ -11,9 +11,11 @@ Usage: python tools/batch_scaling.py [--sizes 1,8,16,32,64] [--volume 256]
 import argparse
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_compilation")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -32,9 +34,6 @@ def main():
 
     from mamri_tpu.api import MamriEngine
 
-    import sys
-
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from bench import _build_scenes
 
     from mamri_tpu.perception.volume import synthetic_volume
