@@ -435,6 +435,10 @@ def segment_volume_sharded(
 
     _validate_thresholds(params)
     data = jnp.asarray(data)
+    if data.dtype != jnp.float32:
+        # scanner-native integer shards: cast on device (the halo exchange
+        # and the fused init kernel fill out-of-band planes with f32 -inf)
+        data = data.astype(jnp.float32)
     spacing = jnp.asarray(spacing, dtype=jnp.float32)
     origin = jnp.asarray(origin, dtype=jnp.float32)
     use_pallas = _use_pallas_local(params)

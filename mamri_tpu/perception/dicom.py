@@ -512,9 +512,11 @@ def _sign_extend(arr: np.ndarray, prec: int) -> np.ndarray:
     """Two's-complement sign extension from a `prec`-bit stored pattern.
 
     Signed DICOM samples are BitsStored-wide two's complement; a 12-bit -1
-    decodes as the pattern 0x0FFF and must become -1, not +4095."""
+    decodes as the pattern 0x0FFF and must become -1, not +4095. prec <= 16
+    always (BitsAllocated is 8/16), so the result fits — and stays — the
+    compact int16 scanner dtype."""
     a = arr.astype(np.int32)
-    return np.where(a >= (1 << (prec - 1)), a - (1 << prec), a)
+    return np.where(a >= (1 << (prec - 1)), a - (1 << prec), a).astype(np.int16)
 
 
 def _slice_array(info: Dict) -> np.ndarray:
@@ -595,6 +597,12 @@ def _slice_array(info: Dict) -> np.ndarray:
             raise ValueError(
                 f"{info['path']}: JPEG 2000 frame {arr.shape} != ({info['rows']}, {info['cols']})"
             )
+        # decode returns int32; <=16-bit samples (sign-extended / DC-shifted)
+        # fit the compact scanner dtype
+        if bits == 16:
+            arr = arr.astype(np.int16 if signed else np.uint16)
+        else:
+            arr = arr.astype(np.int8 if signed else np.uint8)
     elif info.get("transfer") == _RLE_LOSSLESS:
         frags = info["pixels"]
         if not isinstance(frags, list) or len(frags) != 1:
@@ -621,10 +629,14 @@ def _slice_array(info: Dict) -> np.ndarray:
         else:
             dt = np.int8 if signed else np.uint8
         arr = np.frombuffer(info["pixels"], dtype=dt, count=npix)
-    arr = arr.reshape(info["rows"], info["cols"]).astype(np.float32)
+    arr = arr.reshape(info["rows"], info["cols"])
     slope = info.get("slope", [1.0])[0]
     inter = info.get("intercept", [0.0])[0]
-    return arr * np.float32(slope) + np.float32(inter)
+    if float(slope) == 1.0 and float(inter) == 0.0:
+        # identity rescale: keep the stored dtype — compact scanner frames
+        # (int16/uint16/…) ride the halved-H2D ingest path end to end
+        return arr
+    return arr.astype(np.float32) * np.float32(slope) + np.float32(inter)
 
 
 def load_dicom_series(directory: str, series_uid: Optional[str] = None) -> Volume:
@@ -720,7 +732,7 @@ def _assemble_series(infos: List[Dict], directory: str, series_uid: Optional[str
 
     from mamri_tpu.perception.io import volume_from_affine
 
-    return volume_from_affine(data.astype(np.float32), affine)
+    return volume_from_affine(data, affine)
 
 
 def _el(group: int, elem: int, vr: bytes, value: bytes) -> bytes:
@@ -763,6 +775,10 @@ def _rescale_int16(data: np.ndarray) -> Tuple[np.ndarray, float, float]:
     integral); anything else quantizes onto the grid."""
     lo, hi = float(data.min()), float(data.max())
     integral = hi - lo <= 64767.0 and bool(np.all(data == np.round(data)))
+    if integral and -32768.0 <= lo and hi <= 32767.0:
+        # already int16-representable: store identity (slope 1, intercept 0)
+        # so readers keep the scanner-compact dtype on load
+        return data.astype(np.int16), 1.0, 0.0
     if hi <= lo or integral:
         scale = 1.0
     else:

@@ -259,18 +259,29 @@ def load_nrrd(path: str) -> Volume:
 
     count = int(np.prod(sizes))
     flat = _nrrd_decode(payload, encoding, dt, count, path)
-    data = flat.reshape(sizes, order="F").astype(np.float32)  # first axis fastest
+    # first axis fastest; storage dtype passes through (Volume keeps
+    # compact int dtypes and normalizes byte order / everything else)
+    data = flat.reshape(sizes, order="F")
     return volume_from_affine(data, _nrrd_affine(fields, path))
 
 
 def save_nrrd(path: str, volume: Volume, encoding: str = "gzip") -> None:
-    """Write a float32 NRRD0004 volume in LPS space (gzip or raw encoding).
+    """Write an NRRD0004 volume in LPS space (gzip or raw encoding). The
+    volume's storage dtype is kept: compact scanner dtypes (int8/16,
+    uint8/16) write as-is (half the bytes, and they re-load compact);
+    everything else writes float32.
 
     A `.nhdr` path writes a DETACHED header whose data lives next to it in
     `<stem>.raw` / `<stem>.raw.gz`; anything else writes one attached file."""
     if encoding not in ("gzip", "raw"):
         raise ValueError(f"save_nrrd supports gzip/raw encodings, not {encoding!r}")
-    data = np.asarray(volume.data, dtype=np.float32)
+    type_name = {
+        np.dtype(np.int8): "int8", np.dtype(np.uint8): "uchar",
+        np.dtype(np.int16): "short", np.dtype(np.uint16): "ushort",
+    }.get(np.asarray(volume.data).dtype, "float")
+    data = np.asarray(volume.data) if type_name != "float" else np.asarray(
+        volume.data, dtype=np.float32
+    )
     detached = path.lower().endswith(".nhdr")
     datafile = ""
     if detached:
@@ -281,7 +292,7 @@ def save_nrrd(path: str, volume: Volume, encoding: str = "gzip") -> None:
     hdr = (
         "NRRD0004\n"
         "# written by mamri_tpu\n"
-        "type: float\n"
+        f"type: {type_name}\n"
         "dimension: 3\n"
         "space: left-posterior-superior\n"
         f"sizes: {data.shape[0]} {data.shape[1]} {data.shape[2]}\n"
@@ -293,7 +304,7 @@ def save_nrrd(path: str, volume: Volume, encoding: str = "gzip") -> None:
         + (f"data file: {datafile}\n" if detached else "")
         + "\n"
     ).encode("ascii")
-    payload = data.astype("<f4").tobytes(order="F")
+    payload = data.astype(data.dtype.newbyteorder("<")).tobytes(order="F")
     if encoding == "gzip":
         payload = gzip.compress(payload, compresslevel=1)
     if detached:
@@ -557,7 +568,6 @@ def load_metaimage(path: str) -> Volume:
     if len(payload) < count * dt.itemsize:
         raise ValueError(f"{path}: MetaImage data truncated")
     data = np.frombuffer(payload, dtype=dt, count=count).reshape(sizes, order="F")
-    data = data.astype(np.float32)
 
     spacing = np.array(
         [float(s) for s in fields.get(
@@ -588,9 +598,17 @@ def load_metaimage(path: str) -> Volume:
 
 
 def save_metaimage(path: str, volume: Volume, compressed: bool = True) -> None:
-    """Write a float32 .mha (attached LOCAL data, zlib-compressed by default)."""
-    data = np.asarray(volume.data, dtype=np.float32)
-    payload = data.astype("<f4").tobytes(order="F")
+    """Write a .mha (attached LOCAL data, zlib-compressed by default). The
+    volume's storage dtype is kept: compact scanner dtypes write as-is and
+    re-load compact; everything else writes MET_FLOAT."""
+    met_name = {
+        np.dtype(np.int8): "MET_CHAR", np.dtype(np.uint8): "MET_UCHAR",
+        np.dtype(np.int16): "MET_SHORT", np.dtype(np.uint16): "MET_USHORT",
+    }.get(np.asarray(volume.data).dtype, "MET_FLOAT")
+    data = np.asarray(volume.data) if met_name != "MET_FLOAT" else np.asarray(
+        volume.data, dtype=np.float32
+    )
+    payload = data.astype(data.dtype.newbyteorder("<")).tobytes(order="F")
     if compressed:
         payload = zlib.compress(payload, 1)
     hdr = (
@@ -605,7 +623,7 @@ def save_metaimage(path: str, volume: Volume, compressed: bool = True) -> None:
         "AnatomicalOrientation = LPS\n"
         f"ElementSpacing = {float(volume.spacing[0])!r} {float(volume.spacing[1])!r} {float(volume.spacing[2])!r}\n"
         f"DimSize = {data.shape[0]} {data.shape[1]} {data.shape[2]}\n"
-        "ElementType = MET_FLOAT\n"
+        f"ElementType = {met_name}\n"
         "ElementDataFile = LOCAL\n"
     ).encode("ascii")
     with open(path, "wb") as f:

@@ -54,7 +54,10 @@ def volume_from_affine(data: np.ndarray, affine_lps: np.ndarray) -> Volume:
             origin[a] = origin[a] + steps[a] * (data.shape[a] - 1)
             steps[a] = -steps[a]
     return Volume(
-        data=np.ascontiguousarray(data, dtype=np.float32),
+        # dtype passes through: Volume keeps compact scanner dtypes
+        # (int8/16, uint8/16) for the halved-H2D ingest path and
+        # normalizes everything else to float32
+        data=np.ascontiguousarray(data),
         spacing=steps.astype(np.float32),
         origin=origin.astype(np.float32),
     )
@@ -191,7 +194,10 @@ def load_nifti(path: str) -> Volume:
         )
     data = np.frombuffer(raw, dtype=dt, count=count, offset=vox_offset)
     data = data.reshape((nx, ny, nz), order="F")
-    data = np.asarray(data, dtype=np.float32) * scl_slope + scl_inter
+    if scl_slope == 1.0 and scl_inter == 0.0:
+        pass  # identity rescale: keep the storage dtype (compact ingest)
+    else:
+        data = np.asarray(data, dtype=np.float32) * scl_slope + scl_inter
 
     if sform_code > 0:
         # NIfTI srow maps voxel ijk -> RAS; Volume is LPS = diag(-1,-1,1)@RAS.
@@ -236,14 +242,22 @@ def load_nifti(path: str) -> Volume:
 
 
 def save_nifti(path: str, volume: Volume) -> None:
-    """Write a minimal NIfTI-1 file (float32, sform from the LPS geometry)."""
-    data = np.asarray(volume.data, dtype=np.float32)
+    """Write a minimal NIfTI-1 file (sform from the LPS geometry). The
+    volume's storage dtype is kept: compact scanner dtypes (int8/16,
+    uint8/16) write as-is and re-load compact; everything else float32."""
+    code = {
+        np.dtype(np.uint8): 2, np.dtype(np.int16): 4,
+        np.dtype(np.int8): 256, np.dtype(np.uint16): 512,
+    }.get(np.asarray(volume.data).dtype, 16)
+    data = np.asarray(volume.data) if code != 16 else np.asarray(
+        volume.data, dtype=np.float32
+    )
     nx, ny, nz = data.shape
     hdr = bytearray(352)
     struct.pack_into("<i", hdr, 0, 348)
     struct.pack_into("<8h", hdr, 40, 3, nx, ny, nz, 1, 1, 1, 1)
-    struct.pack_into("<h", hdr, 70, 16)  # float32
-    struct.pack_into("<h", hdr, 72, 32)  # bitpix
+    struct.pack_into("<h", hdr, 70, code)  # datatype
+    struct.pack_into("<h", hdr, 72, data.dtype.itemsize * 8)  # bitpix
     struct.pack_into("<8f", hdr, 76, 1.0, *volume.spacing.tolist(), 1.0, 1.0, 1.0, 1.0)
     struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
     struct.pack_into("<f", hdr, 112, 1.0)  # scl_slope
@@ -260,7 +274,7 @@ def save_nifti(path: str, volume: Volume) -> None:
     struct.pack_into("<4f", hdr, 296, 0.0, -sy, 0.0, float(origin_ras[1]))
     struct.pack_into("<4f", hdr, 312, 0.0, 0.0, sz, float(origin_ras[2]))
     hdr[344:348] = b"n+1\x00"
-    payload = bytes(hdr) + data.tobytes(order="F")
+    payload = bytes(hdr) + data.astype(data.dtype.newbyteorder("<")).tobytes(order="F")
     if path.lower().endswith(".gz"):
         with gzip.open(path, "wb") as f:
             f.write(payload)

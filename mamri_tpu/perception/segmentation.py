@@ -518,6 +518,12 @@ def segment_volume(data, spacing, origin, params: SegmentationParams = Segmentat
     """
     _validate_thresholds(params)
     data = jnp.asarray(data)
+    if data.dtype != jnp.float32:
+        # Accept scanner-native integer volumes (Volume preserves int8/16):
+        # the cast runs ON DEVICE (one fused HBM pass, ~0.1 ms at 256^3) so
+        # callers ship compact dtypes over the host->device link. The fused
+        # init kernel needs f32 (its out-of-band border fill is -inf).
+        data = data.astype(jnp.float32)
     spacing = jnp.asarray(spacing, dtype=jnp.float32)
     origin = jnp.asarray(origin, dtype=jnp.float32)
 

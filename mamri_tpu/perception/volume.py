@@ -44,8 +44,22 @@ class Volume:
     spacing: np.ndarray  # (3,) mm per voxel
     origin: np.ndarray  # (3,) LPS position of voxel (0,0,0)
 
+    # Scanner-native storage dtypes kept as-is: the device pipeline casts to
+    # f32 on-chip (segmentation.segment_volume), so an int16 frame ships half
+    # the host->device bytes of the equivalent f32 — the streaming tracker's
+    # bottleneck on bandwidth-constrained links. All values are exact in f32
+    # (<= 16 significant bits), so results are bit-identical either way.
+    _COMPACT_DTYPES = (np.int8, np.uint8, np.int16, np.uint16)
+
     def __post_init__(self):
-        self.data = np.asarray(self.data, dtype=np.float32)
+        self.data = np.asarray(self.data)
+        native = self.data.dtype.newbyteorder("=")
+        if native in self._COMPACT_DTYPES:
+            # big-endian scanner files normalize to native byte order only —
+            # same width, so the compact H2D upload is kept
+            self.data = np.asarray(self.data, dtype=native)
+        else:
+            self.data = np.asarray(self.data, dtype=np.float32)
         self.spacing = np.asarray(self.spacing, dtype=np.float32)
         self.origin = np.asarray(self.origin, dtype=np.float32)
 

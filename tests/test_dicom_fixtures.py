@@ -155,6 +155,9 @@ def test_classic_series_four_syntaxes(tmp_path, ts):
     vol = load_dicom_series(str(d))
     # data layout: (cols, rows, slices); spacing (dc, dr, step); origin ipp0
     assert vol.data.shape == (cols, rows, n)
+    # no RescaleSlope/Intercept in these fixtures: the scanner's int16
+    # storage dtype is preserved (compact H2D ingest; device casts on-chip)
+    assert vol.data.dtype == np.int16
     np.testing.assert_allclose(np.asarray(vol.spacing), [1.25, 0.75, 2.5], rtol=1e-6)
     np.testing.assert_allclose(np.asarray(vol.origin), [-40.0, -50.0, 10.0], atol=1e-6)
     for k in range(n):

@@ -87,6 +87,23 @@ def test_estimate_pose_success(estimated):
     )
 
 
+def test_estimate_pose_int16_volume_matches_f32(engine, scene, estimated):
+    """Scanner-native int16 frames give bit-identical pose results (the
+    device pipeline casts on-chip; synthetic intensities are integral) —
+    the compact H2D upload path PoseTracker rides."""
+    from mamri_tpu.perception.volume import Volume
+
+    vol, _ = scene
+    result_f32, _ = estimated
+    v16 = Volume(vol.data.astype(np.int16), vol.spacing, vol.origin)
+    assert v16.data.dtype == np.int16
+    eng = MamriEngine(ik_iters=60, ik_restarts=6)
+    res = eng.estimate_pose(v16)
+    assert res.success, res.message
+    np.testing.assert_array_equal(res.angles_rad, result_f32.angles_rad)
+    np.testing.assert_array_equal(res.baseplate_tf, result_f32.baseplate_tf)
+
+
 def test_estimate_pose_no_baseplate_no_saved_fails(engine):
     vol = synthetic_volume(shape=(48, 48, 48))  # empty scan
     eng = MamriEngine(ik_iters=10, ik_restarts=0)

@@ -654,6 +654,116 @@ def test_nrrd_dtype_encoding_roundtrip_matrix(tmp_path):
             )
 
 
+def test_compact_dtype_ingest_preserved(tmp_path):
+    """Scanner-native integer files keep their storage dtype through load —
+    the halved-H2D ingest path (the device pipeline casts to f32 on-chip):
+    int16 NRRD stays int16, big-endian ushort MetaImage normalizes byte
+    order only, and float data still normalizes to float32."""
+    data = _asym_data((5, 4, 3), np.int16)
+    hdr = (b"NRRD0004\ntype: short\ndimension: 3\nsizes: 5 4 3\n"
+           b"endian: little\nencoding: raw\n\n")
+    p = str(tmp_path / "c.nrrd")
+    with open(p, "wb") as f:
+        f.write(hdr + data.astype("<i2").tobytes(order="F"))
+    v = load_nrrd(p)
+    assert v.data.dtype == np.int16
+    np.testing.assert_array_equal(v.data, data)
+
+    du = _asym_data((4, 5, 6), np.uint16)
+    mh = (b"ObjectType = Image\nNDims = 3\nBinaryData = True\n"
+          b"BinaryDataByteOrderMSB = True\nCompressedData = False\n"
+          b"DimSize = 4 5 6\nElementType = MET_USHORT\nElementDataFile = LOCAL\n")
+    p2 = str(tmp_path / "c.mha")
+    with open(p2, "wb") as f:
+        f.write(mh + du.astype(">u2").tobytes(order="F"))
+    v2 = load_metaimage(p2)
+    assert v2.data.dtype == np.uint16
+    assert v2.data.dtype.byteorder in ("=", "|", "<")  # native on LE hosts
+    np.testing.assert_array_equal(v2.data, du)
+
+    df = _asym_data((4, 3, 2), np.float64)
+    hdrf = (b"NRRD0004\ntype: double\ndimension: 3\nsizes: 4 3 2\n"
+            b"endian: little\nencoding: raw\n\n")
+    p3 = str(tmp_path / "f.nrrd")
+    with open(p3, "wb") as f:
+        f.write(hdrf + df.astype("<f8").tobytes(order="F"))
+    assert load_nrrd(p3).data.dtype == np.float32
+
+
+def test_compact_dtype_writer_roundtrip(tmp_path):
+    """The writers keep compact storage dtypes: an int16 volume writes as
+    int16 (half the bytes) and loads back compact and bit-exact in every
+    format; float volumes still write float32."""
+    from mamri_tpu.perception.volume import Volume
+
+    data = _asym_data((6, 5, 4), np.int16)
+    v = Volume(data, np.array([1.0, 1.5, 2.0]), np.array([-3.0, 2.0, 5.0]))
+    for name, save, load in (
+        ("r.nrrd", save_nrrd, load_nrrd),
+        ("r.mha", save_metaimage, load_metaimage),
+        ("r.nii", save_nifti, load_nifti),
+    ):
+        p = str(tmp_path / name)
+        save(p, v)
+        back = load(p)
+        assert back.data.dtype == np.int16, name
+        np.testing.assert_array_equal(back.data, data)
+        np.testing.assert_allclose(back.spacing, v.spacing, atol=1e-6)
+        np.testing.assert_allclose(back.origin, v.origin, atol=1e-5)
+
+    vf = Volume(data.astype(np.float32) + 0.5, v.spacing, v.origin)
+    for name, save, load in (
+        ("f.nrrd", save_nrrd, load_nrrd),
+        ("f.mha", save_metaimage, load_metaimage),
+        ("f.nii", save_nifti, load_nifti),
+    ):
+        p = str(tmp_path / name)
+        save(p, vf)
+        back = load(p)
+        assert back.data.dtype == np.float32, name
+        np.testing.assert_array_equal(back.data, vf.data)
+
+
+def _nifti_int16_bytes(data, spacing=(1.0, 1.0, 1.0), slope=1.0, inter=0.0):
+    nx, ny, nz = data.shape
+    hdr = bytearray(352)
+    struct.pack_into("<i", hdr, 0, 348)
+    struct.pack_into("<8h", hdr, 40, 3, nx, ny, nz, 1, 1, 1, 1)
+    struct.pack_into("<h", hdr, 70, 4)  # DT_INT16
+    struct.pack_into("<h", hdr, 72, 16)  # bitpix
+    struct.pack_into("<8f", hdr, 76, 1.0, *spacing, 1.0, 1.0, 1.0, 1.0)
+    struct.pack_into("<f", hdr, 108, 352.0)  # vox_offset
+    struct.pack_into("<f", hdr, 112, slope)
+    struct.pack_into("<f", hdr, 116, inter)
+    struct.pack_into("<h", hdr, 254, 1)  # sform_code
+    sx, sy, sz = spacing
+    # RAS srow rows negated in x,y -> identity LPS affine (no flips)
+    struct.pack_into("<4f", hdr, 280, -sx, 0.0, 0.0, 0.0)
+    struct.pack_into("<4f", hdr, 296, 0.0, -sy, 0.0, 0.0)
+    struct.pack_into("<4f", hdr, 312, 0.0, 0.0, sz, 0.0)
+    hdr[344:348] = b"n+1\x00"
+    return bytes(hdr) + data.astype("<i2").tobytes(order="F")
+
+
+def test_nifti_int16_identity_rescale_preserved(tmp_path):
+    """int16 NIfTI with identity scl keeps int16 storage; a real rescale
+    still applies in float32 exactly as before."""
+    data = _asym_data((5, 4, 3), np.int16)
+    p = str(tmp_path / "i16.nii")
+    with open(p, "wb") as f:
+        f.write(_nifti_int16_bytes(data))
+    v = load_nifti(p)
+    assert v.data.dtype == np.int16
+    np.testing.assert_array_equal(v.data, data)
+
+    p2 = str(tmp_path / "scaled.nii")
+    with open(p2, "wb") as f:
+        f.write(_nifti_int16_bytes(data, slope=2.0, inter=10.0))
+    v2 = load_nifti(p2)
+    assert v2.data.dtype == np.float32
+    np.testing.assert_array_equal(v2.data, data.astype(np.float32) * 2.0 + 10.0)
+
+
 def test_format_header_fuzz_never_crashes(tmp_path):
     """Random single-byte corruption of NRRD/MetaImage headers either still
     loads or raises ValueError/OSError — never an unhandled exception type

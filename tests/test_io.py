@@ -126,7 +126,11 @@ def test_dicom_integral_data_roundtrips_exactly(tmp_path):
     for transfer in ("explicit_le", "rle", "jpegll"):
         d = str(tmp_path / transfer)
         save_dicom_series(d, v, transfer=transfer)
-        np.testing.assert_array_equal(load_dicom_series(d).data, data)
+        back = load_dicom_series(d)
+        np.testing.assert_array_equal(back.data, data)
+        # int16-representable integral data stores at identity rescale, so
+        # the loader keeps the compact scanner dtype
+        assert back.data.dtype == np.int16, transfer
     frac = data + 0.5
     d = str(tmp_path / "frac")
     save_dicom_series(d, Volume(data=frac, spacing=v.spacing, origin=v.origin))

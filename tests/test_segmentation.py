@@ -121,6 +121,37 @@ def test_anisotropic_spacing():
     assert np.linalg.norm(np.asarray(res.centroids_ras[0]) - [5.0, -3.0, 4.0]) < 1.5
 
 
+def test_int16_input_bit_identical(vol, jax_seg):
+    """Scanner-native int16 volumes segment bit-identically to f32: the cast
+    to f32 happens on device (segment_volume), and all synthetic intensities
+    (10/90/120) are exact in both dtypes. This is the compact-upload path the
+    streaming tracker uses to halve host->device bytes."""
+    assert np.array_equal(vol.data, vol.data.astype(np.int16))  # integral scene
+    fn = jax.jit(lambda d: segment_volume(d, vol.spacing, vol.origin))
+    res16 = fn(jnp.asarray(vol.data.astype(np.int16)))
+    np.testing.assert_array_equal(np.asarray(res16.labels), np.asarray(jax_seg.labels))
+    np.testing.assert_array_equal(
+        np.asarray(res16.centroids_ras), np.asarray(jax_seg.centroids_ras)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res16.body_mask), np.asarray(jax_seg.body_mask)
+    )
+    assert int(res16.num_blobs) == int(jax_seg.num_blobs)
+
+
+def test_volume_preserves_compact_dtypes():
+    """Volume keeps int8/uint8/int16/uint16 storage (ships fewer H2D bytes);
+    everything else still normalizes to f32."""
+    from mamri_tpu.perception.volume import Volume
+
+    for dt in (np.int8, np.uint8, np.int16, np.uint16):
+        v = Volume(np.zeros((4, 4, 4), dtype=dt), np.ones(3), np.zeros(3))
+        assert v.data.dtype == dt
+    for dt in (np.float64, np.int32, np.int64, bool):
+        v = Volume(np.zeros((4, 4, 4), dtype=dt), np.ones(3), np.zeros(3))
+        assert v.data.dtype == np.float32
+
+
 def test_vmapped_batch(vol):
     data = jnp.stack([jnp.asarray(vol.data)] * 3)
     fn = jax.jit(jax.vmap(lambda d: segment_volume(d, vol.spacing, vol.origin).num_blobs))

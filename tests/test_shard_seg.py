@@ -112,6 +112,21 @@ def test_sharded_pallas_kernel_in_shard_map(scene_vol):
     _assert_parity(got, ref)
 
 
+def test_sharded_int16_input_bit_identical(scene_vol):
+    """Scanner-native int16 shards segment bit-identically: the cast to f32
+    happens shard-locally on device (segment_volume_sharded), so compact
+    frames ride the same halved-H2D path as the single-chip pipeline."""
+    params = SegmentationParams(max_sweeps=8, use_pallas=False)
+    ref = segment_volume(scene_vol.data, scene_vol.spacing, scene_vol.origin, params)
+    assert np.array_equal(scene_vol.data, scene_vol.data.astype(np.int16))
+    vol16 = type(scene_vol)(
+        scene_vol.data.astype(np.int16), scene_vol.spacing, scene_vol.origin
+    )
+    assert vol16.data.dtype == np.int16
+    got = _run_sharded(vol16, params)
+    _assert_parity(got, ref)
+
+
 def test_component_spanning_all_shards():
     """A bar along the full x extent crosses every shard boundary: the
     cross-shard summary-prefix scan must merge it into ONE component."""
