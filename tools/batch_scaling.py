@@ -5,6 +5,14 @@ with `microbatch` chunking (lax.map) where the flat vmap would exceed the
 16 GB chip, and prints one JSON line per configuration. Results feed the
 docs/ROADMAP.md "Scaling" table.
 
+Methodology (matches bench.py): the batch is STAGED ON DEVICE once per
+size — `jax.device_put` timed separately as `h2d_f32_s` / `h2d_i16_s`
+(the int16 staging ships half the bytes; the pipeline casts on device) —
+and the timed reps run on the resident buffers, fetching only the small
+result leaves (success/certificates/angles). The previous version
+re-uploaded the full host batch every rep, so on a degraded relay window
+(~5 MB/s H2D) it measured the tunnel, not the chip.
+
 Usage: python tools/batch_scaling.py [--sizes 1,8,16,32,64] [--volume 256]
 """
 
@@ -18,6 +26,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_compilation
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+_SMALL = ("success", "seg_converged", "roots_complete", "blobs_complete", "angles")
 
 
 def main():
@@ -51,6 +61,17 @@ def main():
         body_radii_mm=[45.0, 55.0, 65.0],
     )
     data = np.asarray(vol.data)
+    sp_j = jnp.asarray(vol.spacing)
+    or_j = jnp.asarray(vol.origin)
+    corr_j = jnp.asarray(False)
+
+    def stage(host_batch):
+        """Upload + fence (device_get of a tiny slice; block_until_ready
+        does not fence on the axon relay)."""
+        t0 = time.perf_counter()
+        dev = jax.device_put(host_batch)
+        jax.device_get(dev[0, 0, 0, :4])
+        return dev, time.perf_counter() - t0
 
     sizes = [int(s) for s in args.sizes.split(",")]
     micros = [int(m) for m in args.micro.split(",")]
@@ -58,19 +79,30 @@ def main():
         batch = np.broadcast_to(data, (b,) + data.shape).copy()
         microbatch = mb if mb > 0 else None
         try:
-            t0 = time.perf_counter()
-            out = engine.estimate_pose_batch(
-                batch, vol.spacing, vol.origin, donate=True, microbatch=microbatch
+            fn = engine._get_batch_pipeline(
+                tuple(data.shape), engine.seg_params, False, microbatch
             )
+            # int16 staging first (half the bytes; device-side cast — the
+            # compact ingest path); then the f32 batch the timed reps use
+            dev16, h2d16 = stage(batch.astype(np.int16))
+            out16 = jax.device_get(
+                {k: v for k, v in fn(dev16, sp_j, or_j, corr_j).items() if k in _SMALL}
+            )
+            del dev16
+            dev, h2d32 = stage(batch)
+
+            t0 = time.perf_counter()
+            out = fn(dev, sp_j, or_j, corr_j)
+            jax.device_get({k: out[k] for k in _SMALL})
             first = time.perf_counter() - t0  # includes compile
             ok = bool(np.asarray(out["success"]).all())
             times = []
             for _ in range(args.reps):
                 t0 = time.perf_counter()
-                out = engine.estimate_pose_batch(
-                    batch, vol.spacing, vol.origin, donate=True, microbatch=microbatch
-                )
+                out = fn(dev, sp_j, or_j, corr_j)
+                small = jax.device_get({k: out[k] for k in _SMALL})
                 times.append(time.perf_counter() - t0)
+            del dev
             t = min(times)
             print(
                 json.dumps(
@@ -81,10 +113,17 @@ def main():
                         "secs_per_batch": round(t, 4),
                         "success": ok,
                         "certified": bool(
-                            np.asarray(out["seg_converged"]).all()
-                            and np.asarray(out["roots_complete"]).all()
-                            and np.asarray(out["blobs_complete"]).all()
+                            np.asarray(small["seg_converged"]).all()
+                            and np.asarray(small["roots_complete"]).all()
+                            and np.asarray(small["blobs_complete"]).all()
                         ),
+                        "int16_matches": bool(
+                            np.array_equal(
+                                np.asarray(small["angles"]), np.asarray(out16["angles"])
+                            )
+                        ),
+                        "h2d_f32_s": round(h2d32, 2),
+                        "h2d_i16_s": round(h2d16, 2),
                         "first_call_s": round(first, 1),
                     }
                 ),
