@@ -211,6 +211,15 @@ def test_batched_estimation(engine, scene):
     angles = np.asarray(out["angles"])
     # both batch entries recover marker geometry (branch may differ from truth)
     assert np.all(np.asarray(out["rmse"]) < 0.5)
+    # compact int16 batches (the halved-H2D upload path) give bit-identical
+    # results: the device pipeline casts on-chip
+    out16 = engine.estimate_pose_batch(
+        small.astype(np.int16), vol.spacing, vol.origin
+    )
+    np.testing.assert_array_equal(np.asarray(out16["angles"]), angles)
+    np.testing.assert_array_equal(
+        np.asarray(out16["success"]), np.asarray(out["success"])
+    )
 
 
 def test_playback_cursor(engine):

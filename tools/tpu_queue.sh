@@ -1,6 +1,8 @@
 #!/bin/bash
-# Waits for the axon TPU relay to come back, then runs the full round-4
-# measurement sequence. Heartbeats every 10 probes so the log shows liveness.
+# Waits for the axon TPU relay to come back, then runs the remaining round-4
+# measurement jobs: the reworked batch_scaling (peak-HBM disciplined, OOM ->
+# microbatch retry) and the sustained-operation soak (SOAK_r04.json).
+# Heartbeats every 10 probes so the log shows liveness.
 export JAX_COMPILATION_CACHE_DIR=/root/.cache/jax_compilation
 cd /root/repo
 LOG=/root/repo/TPU_RUNS_r04.log
@@ -14,9 +16,6 @@ until probe; do
 done
 echo "RELAY UP $(date -u)" | tee -a $LOG
 run() { name="$1"; t="$2"; shift 2; echo "=== $name ($(date -u))" >> $LOG; timeout "$t" "$@" 2>&1 | grep -v "^WARNING" >> $LOG; echo "rc=${PIPESTATUS[0]}" >> $LOG; }
-run "tpu_parity 04" 4200 python tools/tpu_parity.py 04
-run "profile_stages" 1800 python tools/profile_stages.py
-run "bench" 9000 python bench.py
-run "profile_sharded" 1800 python tools/profile_sharded.py
-run "batch_scaling" 4800 python tools/batch_scaling.py
+run "batch_scaling (OOM-retry rework)" 7200 python tools/batch_scaling.py
+run "soak 200 frames" 5400 python tools/soak.py --frames 200 --out SOAK_r04.json
 echo "QUEUE DONE $(date -u)" | tee -a $LOG
