@@ -415,6 +415,7 @@ def segment_volume_sharded(
     params: SegmentationParams = SegmentationParams(),
     axis_name: str = "sp",
     interpret: Optional[bool] = None,
+    force_general: bool = False,
 ) -> SegmentationResult:
     """`segment_volume` for one x-shard of a volume, called INSIDE shard_map.
 
@@ -430,8 +431,11 @@ def segment_volume_sharded(
     shard-locally (`_segment_volume_sharded_fast`); otherwise the jnp
     associative-scan fallback. Both honor `params.passes` and certify via
     the local-consistency check, so results are bit-identical.
+
+    `force_general=True` keeps the sharded formulation even at sp=1
+    (profiling/parity harnesses that isolate its cost on one chip).
     """
-    from mamri_tpu.perception.segmentation import _validate_thresholds
+    from mamri_tpu.perception.segmentation import _validate_thresholds, segment_volume
 
     _validate_thresholds(params)
     data = jnp.asarray(data)
@@ -441,9 +445,22 @@ def segment_volume_sharded(
         data = data.astype(jnp.float32)
     spacing = jnp.asarray(spacing, dtype=jnp.float32)
     origin = jnp.asarray(origin, dtype=jnp.float32)
+    default_interp = jax.default_backend() in ("cpu",)
+    if (
+        not force_general
+        and lax.axis_size(axis_name) == 1
+        and (interpret is None or interpret == default_interp)
+    ):
+        # dp-only meshes (sp=1): the collectives degenerate to copies but the
+        # sharded formulation still pays the raw-data halo concat, boundary
+        # -run masks and the x-prefix fix — 2.4x the single-chip pipeline
+        # (tools/profile_sharded.py). The axis size is STATIC under
+        # shard_map, so route to the single-chip pipeline, which is
+        # bit-identical at sp=1 (tests/test_shard_seg.py).
+        return segment_volume(data, spacing, origin, params)
     use_pallas = _use_pallas_local(params)
     if interpret is None:
-        interpret = jax.default_backend() in ("cpu",)
+        interpret = default_interp
 
     nxl, ny, nz = data.shape
     if use_pallas and nxl % 8 == 0 and params.closing_radius == 2:

@@ -25,11 +25,14 @@ def _mesh(n=8, axis="sp"):
     return Mesh(np.asarray(jax.devices()[:n]), (axis,))
 
 
-def _run_sharded(vol, params, n_shards=8, interpret=None):
+def _run_sharded(vol, params, n_shards=8, interpret=None, force_general=False):
     mesh = _mesh(n_shards)
 
     def fn(data, spacing, origin):
-        return segment_volume_sharded(data, spacing, origin, params, axis_name="sp", interpret=interpret)
+        return segment_volume_sharded(
+            data, spacing, origin, params, axis_name="sp",
+            interpret=interpret, force_general=force_general,
+        )
 
     shmapped = jax.shard_map(
         fn,
@@ -261,6 +264,24 @@ def test_sharded_fast_pipeline_other_shard_counts(scene_vol, n_shards):
     ref = segment_volume(scene_vol.data, scene_vol.spacing, scene_vol.origin, params)
     got = _run_sharded(scene_vol, params, n_shards=n_shards, interpret=True)
     _assert_parity(got, ref)
+
+
+def test_sp1_degenerates_to_single_chip(scene_vol):
+    """dp-only meshes (sp=1): the sharded entry point detects the static
+    axis size and routes to the single-chip pipeline (skipping the halo
+    concat / boundary masks / x-prefix fix, ~2.4x measured overhead). Both
+    the degenerate route and the general formulation kept alive by
+    `force_general` (the profiling/parity harness route) must stay
+    bit-identical to `segment_volume` (passes=5: this scene certifies at 5
+    half-sweeps, like the other fast-path parity tests)."""
+    params = SegmentationParams(max_sweeps=2, passes=5, use_pallas=True)
+    ref = segment_volume(scene_vol.data, scene_vol.spacing, scene_vol.origin, params)
+    got = _run_sharded(scene_vol, params, n_shards=1, interpret=True)
+    _assert_parity(got, ref)
+    got_gen = _run_sharded(
+        scene_vol, params, n_shards=1, interpret=True, force_general=True
+    )
+    _assert_parity(got_gen, ref)
 
 
 def test_thin_shards_rejected_loudly(scene_vol):

@@ -2,12 +2,15 @@
 
 Runs `segment_volume` (the single-chip kernel pipeline) and
 `segment_volume_sharded` inside a shard_map over an sp mesh on the REAL
-TPU, same volume, same certified settings, and prints both times + the
-ratio. With one physical chip the mesh is sp=1 — ppermute/all_gather
-degenerate to copies — so the number isolates the KERNEL cost of the
-sharded formulation (halo concat, global-label shift, boundary-run masks,
-prefix apply); the true multi-chip collective cost additionally needs ICI
-hardware this environment doesn't have (docs/ROADMAP.md).
+TPU, same volume, same certified settings, and prints the times + ratios.
+With one physical chip the mesh is sp=1, so TWO sharded rows print:
+
+  * the production route — `segment_volume_sharded` detects the static
+    sp=1 axis and degenerates to the single-chip pipeline (expect ~1x);
+  * `force_general=True` — keeps the sharded formulation (halo concat,
+    global-label shift, boundary-run masks, prefix apply), isolating its
+    KERNEL cost. The true multi-chip collective cost additionally needs
+    ICI hardware this environment doesn't have (docs/ROADMAP.md).
 
 Run: python tools/profile_sharded.py [SIZE]
 """
@@ -62,26 +65,39 @@ def main():
 
     n_sp = len(jax.devices())
     mesh = Mesh(np.asarray(jax.devices()), ("sp",))
-    shmapped = jax.jit(
-        jax.shard_map(
-            lambda v: segment_volume_sharded(v, spacing, origin, params, axis_name="sp"),
-            mesh=mesh,
-            in_specs=(P("sp"),),
-            out_specs=seg.SegmentationResult(
-                centroids_ras=P(), volumes_mm3=P(), blob_valid=P(), num_blobs=P(),
-                body_mask=P("sp"), body_volume_mm3=P(), body_found=P(),
-                num_components=P(), labels=P("sp"), ccl_converged=P(),
-                roots_complete=P(), blobs_complete=P(),
-            ),
-            check_vma=False,
+
+    def shmap(force_general):
+        return jax.jit(
+            jax.shard_map(
+                lambda v: segment_volume_sharded(
+                    v, spacing, origin, params, axis_name="sp",
+                    force_general=force_general,
+                ),
+                mesh=mesh,
+                in_specs=(P("sp"),),
+                out_specs=seg.SegmentationResult(
+                    centroids_ras=P(), volumes_mm3=P(), blob_valid=P(), num_blobs=P(),
+                    body_mask=P("sp"), body_volume_mm3=P(), body_found=P(),
+                    num_components=P(), labels=P("sp"), ccl_converged=P(),
+                    roots_complete=P(), blobs_complete=P(),
+                ),
+                check_vma=False,
+            )
         )
-    )
-    r2, t2 = timeit(f"segment_volume_sharded (sp={n_sp} mesh)", shmapped, d)
+
+    r2, t2 = timeit(f"segment_volume_sharded (sp={n_sp} mesh)", shmap(False), d)
     same = bool(np.array_equal(np.asarray(r1.labels), np.asarray(r2.labels)))
     print(
         f"labels bit-identical: {same}; sharded/single cost ratio: {t2 / t1:.2f}x "
         f"(certified: {bool(r2.ccl_converged)}/{bool(r2.roots_complete)}/{bool(r2.blobs_complete)})"
     )
+    if n_sp == 1:
+        r3, t3 = timeit("segment_volume_sharded (sp=1, force_general)", shmap(True), d)
+        same3 = bool(np.array_equal(np.asarray(r1.labels), np.asarray(r3.labels)))
+        print(
+            f"general formulation at sp=1: bit-identical: {same3}; "
+            f"overhead vs single-chip: {t3 / t1:.2f}x"
+        )
 
 
 if __name__ == "__main__":

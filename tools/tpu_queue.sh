@@ -15,7 +15,7 @@ until probe; do
   if [ $((n % 10)) -eq 0 ]; then echo "still waiting (probe $n)... $(date -u)" >> $LOG; fi
 done
 echo "RELAY UP $(date -u)" | tee -a $LOG
-run() { name="$1"; t="$2"; shift 2; echo "=== $name ($(date -u))" >> $LOG; timeout "$t" "$@" 2>&1 | grep -v "^WARNING" >> $LOG; echo "rc=${PIPESTATUS[0]}" >> $LOG; }
+run() { name="$1"; t="$2"; shift 2; echo "=== $name ($(date -u))" >> $LOG; timeout "$t" "$@" 2>&1 | grep --line-buffered -v "^WARNING" >> $LOG; echo "rc=${PIPESTATUS[0]}" >> $LOG; }
 run "batch_scaling (OOM-retry rework)" 7200 python tools/batch_scaling.py
 run "soak 200 frames" 5400 python tools/soak.py --frames 200 --out SOAK_r04.json
 echo "QUEUE DONE $(date -u)" | tee -a $LOG
