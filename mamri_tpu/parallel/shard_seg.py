@@ -453,8 +453,9 @@ def segment_volume_sharded(
     ):
         # dp-only meshes (sp=1): the collectives degenerate to copies but the
         # sharded formulation still pays the raw-data halo concat, boundary
-        # -run masks and the x-prefix fix — 2.4x the single-chip pipeline
-        # (tools/profile_sharded.py). The axis size is STATIC under
+        # -run masks and the x-prefix fix (measured 1.07x the single-chip
+        # pipeline in a healthy window, 2.42x in a degraded one —
+        # tools/profile_sharded.py). The axis size is STATIC under
         # shard_map, so route to the single-chip pipeline, which is
         # bit-identical at sp=1 (tests/test_shard_seg.py).
         return segment_volume(data, spacing, origin, params)

@@ -269,7 +269,7 @@ def test_sharded_fast_pipeline_other_shard_counts(scene_vol, n_shards):
 def test_sp1_degenerates_to_single_chip(scene_vol):
     """dp-only meshes (sp=1): the sharded entry point detects the static
     axis size and routes to the single-chip pipeline (skipping the halo
-    concat / boundary masks / x-prefix fix, ~2.4x measured overhead). Both
+    concat / boundary masks / x-prefix fix). Both
     the degenerate route and the general formulation kept alive by
     `force_general` (the profiling/parity harness route) must stay
     bit-identical to `segment_volume` (passes=5: this scene certifies at 5

@@ -11,6 +11,12 @@ speckle components) is injected every --noisy-every frames and must still
 certify via escalation; every --alt-every frames the volume SHAPE changes,
 exercising the engine's bounded compile cache on a long heterogeneous feed.
 
+Known environment bug this tool surfaces (r4, isolated with bare
+device_put): the axon relay's H2D path leaks ~the full staged buffer in
+HOST RSS per upload (13.8 of 14.2 MB/frame, survives gc.collect) —
+`rss_now_growth_mb` tracking that slope is the relay leak, not the engine
+(jit caches are LRU-bounded; `pipeline_cache_entries` proves it).
+
 Prints one JSON line; the TPU queue appends it to TPU_RUNS_r{NN}.log and
 writes SOAK_r{NN}.json.
 
@@ -18,6 +24,7 @@ Usage: python tools/soak.py [--frames 200] [--size 128] [--noisy-every 20]
 """
 
 import argparse
+import gc
 import json
 import os
 import resource
@@ -28,6 +35,16 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_compilation
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
+
+
+def _vm_rss_mb():
+    """CURRENT resident set (MB). ru_maxrss is the PEAK — transfer staging
+    churn inflates it without leaking; the VmRSS delta is the leak signal."""
+    with open("/proc/self/status") as f:
+        for line in f:
+            if line.startswith("VmRSS:"):
+                return int(line.split()[1]) / 1024.0
+    return -1.0
 
 
 def main():
@@ -95,7 +112,9 @@ def main():
     tracker.tracer.spans["frame"].clear()
     tracker.frames = tracker.failures = 0
 
+    gc.collect()
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    vm0 = _vm_rss_mb()
     lat, kinds = [], {"clean": 0, "noisy": 0, "alt": 0}
     t_start = time.perf_counter()
     for i in range(args.frames):
@@ -116,7 +135,9 @@ def main():
             print(json.dumps({"soak": "FAIL", "frame": i, "kind": kind,
                               "message": r.message}), flush=True)
     wall = time.perf_counter() - t_start
+    gc.collect()
     rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    vm1 = _vm_rss_mb()
 
     def p50(xs):
         return sorted(xs)[len(xs) // 2]
@@ -137,7 +158,8 @@ def main():
         "p50_second_half_ms": round(p50(second) * 1e3, 2) if second else None,
         "fps": round(args.frames / wall, 2),
         "wall_s": round(wall, 1),
-        "rss_growth_mb": round((rss1 - rss0) / 1024.0, 1),
+        "rss_peak_growth_mb": round((rss1 - rss0) / 1024.0, 1),
+        "rss_now_growth_mb": round(vm1 - vm0, 1),
         "pipeline_cache_entries": len(engine._pipeline_cache),
         "volume": f"{shape_a} + alt {shape_b}",
         "dtype": "int16 frames (compact ingest)",
