@@ -283,21 +283,28 @@ def main():
     from mamri_tpu.api.streaming import PoseTracker
 
     frames = [np.array(v.data, copy=True) for v in vols]
-    tracker = PoseTracker(engine)
-    stream_ok = True
-    # one warm frame (the tracker path itself compiles once per shape)
-    tracker.step(Volume(data=frames[0], spacing=spacing, origin=origin))
-    tracker.tracer.spans["frame"].clear()
-    stream_lat = []
-    for i in range(STREAM_FRAMES):
-        fr = frames[i % len(frames)]
-        t0 = time.perf_counter()
-        r = tracker.step(Volume(data=fr, spacing=spacing, origin=origin))
-        stream_lat.append(time.perf_counter() - t0)
-        stream_ok = stream_ok and r.success
-    stream_lat.sort()
-    stream_p50_ms = stream_lat[len(stream_lat) // 2] * 1e3
-    stream_p95_ms = stream_lat[min(int(len(stream_lat) * 0.95), len(stream_lat) - 1)] * 1e3
+    stream_fail = []  # which streaming mode failed, if any
+
+    def _stream(frame_list, mode):
+        """One warm frame, then STREAM_FRAMES timed sync steps -> (p50, p95) ms."""
+        tr = PoseTracker(engine)
+        tr.step(Volume(data=frame_list[0], spacing=spacing, origin=origin))
+        tr.tracer.spans["frame"].clear()
+        lats = []
+        for i in range(STREAM_FRAMES):
+            fr = frame_list[i % len(frame_list)]
+            t0 = time.perf_counter()
+            r = tr.step(Volume(data=fr, spacing=spacing, origin=origin))
+            lats.append(time.perf_counter() - t0)
+            if not r.success:
+                stream_fail.append(mode)
+        lats.sort()
+        return (
+            lats[len(lats) // 2] * 1e3,
+            lats[min(int(len(lats) * 0.95), len(lats) - 1)] * 1e3,
+        )
+
+    stream_p50_ms, stream_p95_ms = _stream(frames, "sync_f32")
 
     # pipelined mode: dispatch frame N while collecting N-1 — the H2D upload
     # and relay RTT hide behind device compute; steady-state frame rate.
@@ -306,26 +313,19 @@ def main():
     t0 = time.perf_counter()
     for i in range(STREAM_FRAMES):
         r = tracker_p.step(Volume(data=frames[i % len(frames)], spacing=spacing, origin=origin))
-        stream_ok = stream_ok and (r is None or r.success)
+        if r is not None and not r.success:
+            stream_fail.append("pipelined")
     for r in tracker_p.flush():
-        stream_ok = stream_ok and r.success
+        if not r.success:
+            stream_fail.append("pipelined")
     stream_fps = STREAM_FRAMES / (time.perf_counter() - t0)
 
     # compact-upload mode: scanner-native int16 frames ship HALF the
     # host->device bytes (Volume preserves the dtype; the device pipeline
     # casts to f32 on-chip, and the synthetic intensities are integral so
     # results are bit-identical) — the mitigation for bandwidth-bound links.
-    frames16 = [f.astype(np.int16) for f in frames]
-    tracker16 = PoseTracker(engine)
-    tracker16.step(Volume(data=frames16[0], spacing=spacing, origin=origin))  # warm
-    s16 = []
-    for i in range(STREAM_FRAMES):
-        t0 = time.perf_counter()
-        r = tracker16.step(Volume(data=frames16[i % len(frames16)], spacing=spacing, origin=origin))
-        s16.append(time.perf_counter() - t0)
-        stream_ok = stream_ok and r.success
-    s16.sort()
-    stream_i16_p50_ms = s16[len(s16) // 2] * 1e3
+    stream_i16_p50_ms, _ = _stream([f.astype(np.int16) for f in frames], "sync_int16")
+    stream_ok = not stream_fail
 
     # ---- planning (BASELINE config 4): entry-point search + collision-
     # checked up-over-down path + safety-distance sweep through the public
@@ -508,6 +508,7 @@ def main():
                     "int16_frames_p50_ms": round(stream_i16_p50_ms, 2),
                     "frames": STREAM_FRAMES,
                     "all_success": bool(stream_ok),
+                    "failed_modes": sorted(set(stream_fail)),
                     "interactive": stream_p50_ms < TARGET_STREAM_MS,
                     "includes": "H2D upload + relay RTT + device compute, per frame (pipelined_fps overlaps them across frames)",
                 },

@@ -24,7 +24,8 @@ ITK MetaIO documentation) — no external readers:
     already LPS.
 
 Both formats store the first axis fastest (Fortran order), like NIfTI.
-Writers emit float32 volumes with the package's axis-aligned LPS geometry;
+Writers keep compact scanner dtypes and emit float32 otherwise
+(`volume.storage_array`), with the package's axis-aligned LPS geometry;
 `save_nrrd` defaults to gzip encoding (what Slicer writes), `save_metaimage`
 to zlib-compressed data.
 """
@@ -41,7 +42,7 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 from mamri_tpu.perception.io import _is_axis_aligned, load_nifti, save_nifti, volume_from_affine
-from mamri_tpu.perception.volume import Volume
+from mamri_tpu.perception.volume import Volume, storage_array
 
 # ----------------------------------------------------------------------- NRRD
 
@@ -275,13 +276,12 @@ def save_nrrd(path: str, volume: Volume, encoding: str = "gzip") -> None:
     `<stem>.raw` / `<stem>.raw.gz`; anything else writes one attached file."""
     if encoding not in ("gzip", "raw"):
         raise ValueError(f"save_nrrd supports gzip/raw encodings, not {encoding!r}")
+    data = storage_array(volume.data)
     type_name = {
         np.dtype(np.int8): "int8", np.dtype(np.uint8): "uchar",
         np.dtype(np.int16): "short", np.dtype(np.uint16): "ushort",
-    }.get(np.asarray(volume.data).dtype, "float")
-    data = np.asarray(volume.data) if type_name != "float" else np.asarray(
-        volume.data, dtype=np.float32
-    )
+        np.dtype(np.float32): "float",
+    }[data.dtype]
     detached = path.lower().endswith(".nhdr")
     datafile = ""
     if detached:
@@ -601,13 +601,12 @@ def save_metaimage(path: str, volume: Volume, compressed: bool = True) -> None:
     """Write a .mha (attached LOCAL data, zlib-compressed by default). The
     volume's storage dtype is kept: compact scanner dtypes write as-is and
     re-load compact; everything else writes MET_FLOAT."""
+    data = storage_array(volume.data)
     met_name = {
         np.dtype(np.int8): "MET_CHAR", np.dtype(np.uint8): "MET_UCHAR",
         np.dtype(np.int16): "MET_SHORT", np.dtype(np.uint16): "MET_USHORT",
-    }.get(np.asarray(volume.data).dtype, "MET_FLOAT")
-    data = np.asarray(volume.data) if met_name != "MET_FLOAT" else np.asarray(
-        volume.data, dtype=np.float32
-    )
+        np.dtype(np.float32): "MET_FLOAT",
+    }[data.dtype]
     payload = data.astype(data.dtype.newbyteorder("<")).tobytes(order="F")
     if compressed:
         payload = zlib.compress(payload, 1)

@@ -18,7 +18,7 @@ from typing import Tuple
 
 import numpy as np
 
-from mamri_tpu.perception.volume import Volume
+from mamri_tpu.perception.volume import Volume, storage_array
 
 
 def _is_axis_aligned(rot: np.ndarray, tol: float = 1e-3) -> bool:
@@ -245,13 +245,11 @@ def save_nifti(path: str, volume: Volume) -> None:
     """Write a minimal NIfTI-1 file (sform from the LPS geometry). The
     volume's storage dtype is kept: compact scanner dtypes (int8/16,
     uint8/16) write as-is and re-load compact; everything else float32."""
+    data = storage_array(volume.data)
     code = {
-        np.dtype(np.uint8): 2, np.dtype(np.int16): 4,
+        np.dtype(np.uint8): 2, np.dtype(np.int16): 4, np.dtype(np.float32): 16,
         np.dtype(np.int8): 256, np.dtype(np.uint16): 512,
-    }.get(np.asarray(volume.data).dtype, 16)
-    data = np.asarray(volume.data) if code != 16 else np.asarray(
-        volume.data, dtype=np.float32
-    )
+    }[data.dtype]
     nx, ny, nz = data.shape
     hdr = bytearray(352)
     struct.pack_into("<i", hdr, 0, 348)

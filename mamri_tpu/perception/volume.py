@@ -83,6 +83,22 @@ class Volume:
         return (lps - self.origin) / self.spacing
 
 
+def storage_array(data) -> np.ndarray:
+    """The array a format writer should store: compact scanner dtypes
+    (`Volume._COMPACT_DTYPES`) pass through native-endian, everything else
+    casts to float32. `Volume.__post_init__` already normalizes its data to
+    exactly this form; the helper defines the keep-or-f32 rule in ONE place
+    so the NRRD/MetaImage/NIfTI writers can't drift from it (each maps the
+    result dtype to its format name with a STRICT lookup — extending the
+    compact set without updating a writer fails loudly instead of silently
+    fat-casting)."""
+    arr = np.asarray(data)
+    native = arr.dtype.newbyteorder("=")
+    if native in Volume._COMPACT_DTYPES:
+        return np.asarray(arr, dtype=native)
+    return np.asarray(arr, dtype=np.float32)
+
+
 def _index_grids(shape):
     return np.meshgrid(
         np.arange(shape[0], dtype=np.float32),

@@ -15,8 +15,9 @@ re-uploaded the full host batch every rep, so on a degraded relay window
 
 Peak-HBM discipline (the chip is a shared 16 GB v5e behind the relay):
 only ONE staged input batch is resident at a time — the int16 compact
--ingest parity check runs at batch 1 only, and its buffers are freed
-before the f32 batch stages. A flat-vmap RESOURCE_EXHAUSTED retries
+-ingest parity check runs once, at the SMALLEST requested batch (and only
+on that size's first attempt, not on OOM retries), and its buffers are
+freed before the f32 batch stages. A flat-vmap RESOURCE_EXHAUSTED retries
 with progressively smaller `microbatch` chunking instead of giving up,
 so the scaling table records the throughput the engine actually
 achieves at that batch size, plus the chunk size it needed.
@@ -46,6 +47,8 @@ def main():
     # microbatch per batch size; 0 = flat vmap
     ap.add_argument("--micro", default="0,0,0,8,8")
     args = ap.parse_args()
+    if args.reps < 1:
+        ap.error("--reps must be >= 1")
 
     import jax
     import jax.numpy as jnp
@@ -139,7 +142,12 @@ def main():
         attempts = [mb] + [m for m in (8, 4, 2, 1) if m < b and (mb == 0 or m < mb)]
         for mb_try in attempts:
             try:
-                rec = run_one(b, mb_try, batch, int16_check=(b == sizes[0]))
+                # int16 parity once, at the smallest batch's first attempt —
+                # never re-staged across OOM retries (peak-HBM discipline)
+                rec = run_one(
+                    b, mb_try, batch,
+                    int16_check=(b == min(sizes) and mb_try == attempts[0]),
+                )
                 print(json.dumps(rec), flush=True)
                 break
             except Exception as e:  # OOM and friends: record, keep table honest

@@ -56,7 +56,17 @@ def main():
     ap.add_argument("--noisy-every", type=int, default=20)
     ap.add_argument("--alt-every", type=int, default=50)
     ap.add_argument("--out", default="")
+    ap.add_argument(
+        "--cpu", action="store_true",
+        help="run on the CPU backend (relay-free smoke of the soak logic; "
+        "latency/RSS numbers are then NOT the TPU production numbers)",
+    )
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+
+        # the axon sitecustomize overrides JAX_PLATFORMS; this does not
+        jax.config.update("jax_platforms", "cpu")
 
     os.environ["BENCH_SIZE"] = str(args.size)
     from bench import _build_scenes, _wait_for_device
@@ -116,12 +126,18 @@ def main():
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
     vm0 = _vm_rss_mb()
     lat, kinds = [], {"clean": 0, "noisy": 0, "alt": 0}
+    pending_alt = False  # alt frame deferred because it collided with a noisy one
     t_start = time.perf_counter()
     for i in range(args.frames):
-        if args.noisy_every and i % args.noisy_every == args.noisy_every - 1:
+        want_noisy = args.noisy_every and i % args.noisy_every == args.noisy_every - 1
+        want_alt = args.alt_every and i % args.alt_every == args.alt_every - 1
+        if want_noisy and want_alt:
+            pending_alt = True  # noisy wins this frame; alt runs on the next
+        if want_noisy:
             kind = "noisy"
             v = vols["noisy"]
-        elif args.alt_every and i % args.alt_every == args.alt_every - 1:
+        elif want_alt or pending_alt:
+            pending_alt = False
             kind = "alt"
             v = vols["alt"]
         else:
