@@ -17,6 +17,7 @@ import json
 import logging
 import math
 import os
+import threading
 from collections import OrderedDict
 from functools import partial
 from typing import Dict, Optional, Sequence, Tuple
@@ -54,30 +55,55 @@ class _LRUCache:
     """Bounded insertion-ordered cache for compiled executables. A long-lived
     engine ingesting heterogeneous scan shapes would otherwise accumulate one
     XLA executable per (shape, params, ...) key forever; shapes in practice
-    number a handful, so a small bound evicts only truly stale programs."""
+    number a handful, so a small bound evicts only truly stale programs.
+
+    Thread-safe: a serving deployment drives one engine from several request
+    threads, and an unlocked OrderedDict LRU can raise KeyError when one
+    thread's eviction (`popitem`) races another's `move_to_end`. All ops hold
+    an RLock; callers use `get_or_set` so lookup-or-build is one atomic step
+    (the factories only CONSTRUCT `jax.jit` wrappers — lazy, no compilation —
+    so holding the lock across them is cheap)."""
 
     def __init__(self, maxsize: int):
         self.maxsize = max(1, int(maxsize))
         self._d: "OrderedDict" = OrderedDict()
+        self._lock = threading.RLock()
 
     def __contains__(self, key) -> bool:
-        return key in self._d
+        with self._lock:
+            return key in self._d
 
     def __len__(self) -> int:
-        return len(self._d)
+        with self._lock:
+            return len(self._d)
 
     def __getitem__(self, key):
-        self._d.move_to_end(key)
-        return self._d[key]
+        with self._lock:
+            self._d.move_to_end(key)
+            return self._d[key]
 
     def __setitem__(self, key, value) -> None:
-        self._d[key] = value
-        self._d.move_to_end(key)
-        while len(self._d) > self.maxsize:
-            self._d.popitem(last=False)
+        with self._lock:
+            self._d[key] = value
+            self._d.move_to_end(key)
+            while len(self._d) > self.maxsize:
+                self._d.popitem(last=False)
+
+    def get_or_set(self, key, factory):
+        """Return the cached value for `key`, building it with `factory()`
+        under the lock if absent — concurrent same-key callers share ONE
+        executable and a key can never vanish between test and fetch."""
+        with self._lock:
+            if key in self._d:
+                self._d.move_to_end(key)
+                return self._d[key]
+            value = factory()
+            self[key] = value
+            return value
 
     def clear(self) -> None:
-        self._d.clear()
+        with self._lock:
+            self._d.clear()
 
 
 class MamriEngine:
@@ -240,9 +266,9 @@ class MamriEngine:
     def _get_pipeline(self, shape, seg_params: Optional[SegmentationParams] = None):
         params = seg_params if seg_params is not None else self.seg_params
         key = (tuple(shape), params)
-        if key not in self._pipeline_cache:
-            self._pipeline_cache[key] = jax.jit(self.pipeline_fn(params))
-        return self._pipeline_cache[key]
+        return self._pipeline_cache.get_or_set(
+            key, lambda: jax.jit(self.pipeline_fn(params))
+        )
 
     @staticmethod
     def _escalate_seg_params(
@@ -549,7 +575,8 @@ class MamriEngine:
         microbatch: Optional[int] = None,
     ):
         key = ("batch", vol_shape, params, donate, microbatch)
-        if key not in self._batch_cache:
+
+        def build():
             pipeline = self.pipeline_fn(params)
 
             def one(data, spacing, origin, apply_correction):
@@ -586,8 +613,9 @@ class MamriEngine:
                     )
 
             kw = {"donate_argnums": (0,)} if donate else {}
-            self._batch_cache[key] = jax.jit(batched, **kw)
-        return self._batch_cache[key]
+            return jax.jit(batched, **kw)
+
+        return self._batch_cache.get_or_set(key, build)
 
     # ------------------------------------------------------------------ baseplate persistence
     def save_baseplate(self, path: Optional[str] = None) -> np.ndarray:
@@ -985,7 +1013,8 @@ class MamriEngine:
         re-plan step of streaming runs at jitted cost instead of eager
         per-op relay dispatch)."""
         key = ("plan", mode, world_shape, n)  # world_shape None <=> no world
-        if key not in self._plan_cache:
+
+        def build():
             model, geometry = self.model, self.geometry
 
             def goal_fn(target, entry, safety, base_tf, current, world):
@@ -1013,8 +1042,9 @@ class MamriEngine:
                         flags = jnp.zeros(path.shape[0], dtype=bool)
                     return {"goal": goal, "keyframes": kf, "path": path, "flags": flags}
 
-            self._plan_cache[key] = jax.jit(fn)
-        return self._plan_cache[key]
+            return jax.jit(fn)
+
+        return self._plan_cache.get_or_set(key, build)
 
     def _plan_args(self, target_ras, entry_ras, safety, start=None):
         if self.baseplate_tf is None:

@@ -722,3 +722,59 @@ def test_jit_cache_lru_bound():
 
     eng.clear_caches()
     assert len(eng._pipeline_cache) == 0 and len(eng._batch_cache) == 0
+
+
+def test_jit_cache_thread_safety():
+    """A serving deployment drives one engine from several request threads;
+    the LRU must survive concurrent lookup/insert/eviction (an unlocked
+    OrderedDict raises KeyError when popitem races move_to_end) and
+    concurrent same-key callers must share ONE executable."""
+    import threading
+
+    from mamri_tpu.api.engine import _LRUCache
+
+    cache = _LRUCache(4)
+    errors = []
+    builds = {"n": 0}
+
+    def hammer(tid):
+        try:
+            for i in range(2000):
+                key = (tid + i) % 11  # 11 keys > maxsize: constant eviction
+                v = cache.get_or_set(key, lambda: builds.__setitem__("n", builds["n"] + 1) or object())
+                assert v is not None
+                key in cache  # noqa: B015 — exercises __contains__ under race
+                if key in cache:
+                    try:
+                        cache[key]
+                    except KeyError:
+                        pass  # evicted between test and fetch by another thread: allowed
+        except Exception as e:  # the unlocked implementation lands here
+            errors.append(e)
+
+    threads = [threading.Thread(target=hammer, args=(t,)) for t in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert len(cache) <= 4
+
+    # same-key concurrency: all threads released at once must get the SAME
+    # object from a single factory call
+    cache2 = _LRUCache(4)
+    barrier = threading.Barrier(8)
+    got = []
+    calls = []
+
+    def same_key():
+        barrier.wait()
+        got.append(cache2.get_or_set("k", lambda: calls.append(1) or object()))
+
+    threads = [threading.Thread(target=same_key) for _ in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(calls) == 1
+    assert all(g is got[0] for g in got)
