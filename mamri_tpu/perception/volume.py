@@ -52,14 +52,9 @@ class Volume:
     _COMPACT_DTYPES = (np.int8, np.uint8, np.int16, np.uint16)
 
     def __post_init__(self):
-        self.data = np.asarray(self.data)
-        native = self.data.dtype.newbyteorder("=")
-        if native in self._COMPACT_DTYPES:
-            # big-endian scanner files normalize to native byte order only —
-            # same width, so the compact H2D upload is kept
-            self.data = np.asarray(self.data, dtype=native)
-        else:
-            self.data = np.asarray(self.data, dtype=np.float32)
+        # big-endian scanner files normalize to native byte order only —
+        # same width, so the compact H2D upload is kept
+        self.data = storage_array(self.data)
         self.spacing = np.asarray(self.spacing, dtype=np.float32)
         self.origin = np.asarray(self.origin, dtype=np.float32)
 
@@ -86,8 +81,8 @@ class Volume:
 def storage_array(data) -> np.ndarray:
     """The array a format writer should store: compact scanner dtypes
     (`Volume._COMPACT_DTYPES`) pass through native-endian, everything else
-    casts to float32. `Volume.__post_init__` already normalizes its data to
-    exactly this form; the helper defines the keep-or-f32 rule in ONE place
+    casts to float32. `Volume.__post_init__` normalizes its data with this
+    same helper; it defines the keep-or-f32 rule in ONE place
     so the NRRD/MetaImage/NIfTI writers can't drift from it (each maps the
     result dtype to its format name with a STRICT lookup — extending the
     compact set without updating a writer fails loudly instead of silently

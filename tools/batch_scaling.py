@@ -15,8 +15,9 @@ re-uploaded the full host batch every rep, so on a degraded relay window
 
 Peak-HBM discipline (the chip is a shared 16 GB v5e behind the relay):
 only ONE staged input batch is resident at a time — the int16 compact
--ingest parity check runs once, at the SMALLEST requested batch (and only
-on that size's first attempt, not on OOM retries), and its buffers are
+-ingest parity check runs once, at the SMALLEST requested batch (retried
+down the microbatch ladder until an attempt lands, so an OOM on the first
+attempt cannot silently skip it), and its buffers are
 freed before the f32 batch stages. A flat-vmap RESOURCE_EXHAUSTED retries
 with progressively smaller `microbatch` chunking instead of giving up,
 so the scaling table records the throughput the engine actually
@@ -136,18 +137,20 @@ def main():
 
     sizes = [int(s) for s in args.sizes.split(",")]
     micros = [int(m) for m in args.micro.split(",")]
+    int16_done = False
     for b, mb in zip(sizes, micros):
         batch = np.broadcast_to(data, (b,) + data.shape).copy()
         # on OOM, retry with smaller microbatch chunks before giving up
         attempts = [mb] + [m for m in (8, 4, 2, 1) if m < b and (mb == 0 or m < mb)]
         for mb_try in attempts:
             try:
-                # int16 parity once, at the smallest batch's first attempt —
-                # never re-staged across OOM retries (peak-HBM discipline)
-                rec = run_one(
-                    b, mb_try, batch,
-                    int16_check=(b == min(sizes) and mb_try == attempts[0]),
-                )
+                # int16 parity once, at the smallest batch, retried along the
+                # microbatch ladder until it lands (its buffers are freed
+                # before the f32 batch stages, so peak HBM still sees ONE
+                # resident input batch per attempt)
+                want_int16 = b == min(sizes) and not int16_done
+                rec = run_one(b, mb_try, batch, int16_check=want_int16)
+                int16_done = int16_done or want_int16
                 print(json.dumps(rec), flush=True)
                 break
             except Exception as e:  # OOM and friends: record, keep table honest

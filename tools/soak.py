@@ -164,6 +164,9 @@ def main():
         "metric": "soak",
         "frames": args.frames,
         "kinds": kinds,
+        # a noisy/alt collision on the FINAL frame defers the alt past the
+        # end of the run — count it so kinds never silently understates
+        "alt_deferred_past_end": pending_alt,
         "failures": tracker.failures,
         "all_success": tracker.failures == 0,
         "p50_ms": round(p50(lat) * 1e3, 2),
