@@ -616,6 +616,46 @@ def test_jpegll_app_com_segments_and_malformed_dht():
             native.jpegll_decode_native(bad)
 
 
+def test_jpegll_corrupt_streams_fail_loudly():
+    """Byte-flip fuzz over a valid JPEG Lossless stream (same contract as the
+    JPEG-LS/DCT/2000 fuzz): both decoders either decode — agreeing with each
+    other — or raise ValueError; never crash, never index out of bounds. The
+    native decoder runs by default on untrusted scanner files."""
+    from mamri_tpu import native
+    from mamri_tpu.perception import jpegll
+
+    rng = np.random.default_rng(47)
+    img = (np.cumsum(rng.integers(0, 300, (21, 27)), 1) % 50000).astype(np.uint16)
+    enc = jpegll.encode_jpeg_lossless(img, 16)
+    scan_start = enc.find(b"\xff\xda") + 10
+    for trial in range(120):
+        bad = bytearray(enc)
+        for _ in range(int(rng.integers(1, 4))):
+            pos = int(rng.integers(scan_start, len(bad)))
+            bad[pos] ^= int(rng.integers(1, 256))
+        try:
+            py = jpegll.decode_jpeg_lossless(bytes(bad), use_native=False)[0]
+        except ValueError:
+            py = None
+        except Exception as e:
+            raise AssertionError(f"trial {trial}: python decoder crash {type(e).__name__}: {e}")
+        if native.available():
+            try:
+                nat = native.jpegll_decode_native(bytes(bad))[0]
+            except ValueError:
+                nat = None
+            if py is not None and nat is not None:
+                np.testing.assert_array_equal(py, nat)
+    # truncations anywhere in the file fail loudly too
+    for cut in [3, scan_start, len(enc) - 3]:
+        for decode in ([lambda b: jpegll.decode_jpeg_lossless(b, use_native=False)]
+                       + ([native.jpegll_decode_native] if native.available() else [])):
+            try:
+                decode(bytes(enc[:cut]))
+            except ValueError:
+                pass
+
+
 def test_dicom_deflated_roundtrip(tmp_path):
     """Deflated Explicit VR LE (1.2.840.10008.1.2.1.99, PS3.5 A.5): the whole
     dataset rides as one raw-deflate stream after the meta group. Both the
