@@ -442,6 +442,27 @@ def cmd_hw(args) -> int:
     return 0 if out["success"] else 1
 
 
+def cmd_serve(args) -> int:
+    """Production worker: one warm engine behind HTTP/JSON (api/server.py).
+    Exit code 3 = a budget drained the worker; the supervisor should start
+    a fresh process (relay H2D host-RSS leak mitigation, docs/ROADMAP.md)."""
+    import logging
+
+    from mamri_tpu.api.server import MamriServer, serve
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    eng = _engine(args)
+    if args.baseplate:
+        eng.load_baseplate(args.baseplate)
+    core = MamriServer(
+        engine=eng,
+        data_root=args.data_root,
+        max_rss_mb=args.max_rss_mb,
+        max_frames=args.max_frames,
+    )
+    return serve(core, host=args.host, port=args.port)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="mamri_tpu", description=__doc__, formatter_class=argparse.RawDescriptionHelpFormatter)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -498,6 +519,15 @@ def main(argv=None) -> int:
     pd.add_argument("--safety", type=float, default=5.0, help="needle standoff mm")
     pd.add_argument("--execute", action="store_true", help="execute the planned trajectory on the protocol simulator")
 
+    ps = sub.add_parser("serve", help="long-lived HTTP/JSON worker: POST /estimate /entry /plan, GET /healthz /status; exits 3 when an RSS/frame budget drains the worker (supervisor: restart)")
+    ps.add_argument("--host", default="127.0.0.1")
+    ps.add_argument("--port", type=int, default=8420)
+    ps.add_argument("--data-root", default=None, help="jail JSON 'path' requests under this directory")
+    ps.add_argument("--max-rss-mb", type=float, default=None, help="drain the worker once host RSS exceeds this (relay H2D leak mitigation)")
+    ps.add_argument("--max-frames", type=int, default=None, help="drain the worker after this many compute requests")
+    ps.add_argument("--baseplate", default=None, help="preload a saved baseplate transform (.npz)")
+    ps.add_argument("--mesh-dir", default=None)
+
     ph = sub.add_parser("hw", help="hardware control: status / move / exec / jog / zero / zero-hardware over serial or the built-in simulator")
     ph.add_argument("action", choices=["status", "move", "exec", "jog", "zero", "zero-hardware"])
     ph.add_argument("--ports", nargs=2, metavar=("CONTROLLER", "ENCODER"), default=None, help="serial devices (e.g. /dev/ttyUSB0 /dev/ttyUSB1)")
@@ -521,6 +551,7 @@ def main(argv=None) -> int:
         "export": cmd_export,
         "convert": cmd_convert,
         "demo": cmd_demo,
+        "serve": cmd_serve,
         "hw": cmd_hw,
     }[args.cmd](args)
 
