@@ -102,7 +102,7 @@ class MamriServer:
     """
 
     ROUTES_GET = ("/healthz", "/status")
-    ROUTES_POST = ("/estimate", "/entry", "/plan", "/shutdown")
+    ROUTES_POST = ("/estimate", "/estimate_batch", "/entry", "/plan", "/shutdown")
 
     def __init__(
         self,
@@ -246,6 +246,17 @@ class MamriServer:
                     self.drain_reason = self.drain_reason or "shutdown requested"
                 self._stop_accepting()
                 return 200, {"ok": True, "draining": True}
+            if method == "POST" and route == "/estimate_batch":
+                if self.draining:
+                    return 503, {"success": False, "recycle": True,
+                                 "message": f"worker draining: {self.drain_reason}"}
+                opts = self._parse(body, content_type)
+                try:
+                    with self._compute_lock:
+                        payload = self._do_estimate_batch(opts)
+                finally:
+                    self._check_budgets()
+                return 200, payload
             if method == "POST" and route in ("/estimate", "/entry", "/plan"):
                 if self.draining:
                     return 503, {"success": False, "recycle": True,
@@ -315,6 +326,55 @@ class MamriServer:
             self.engine.save_baseplate()
             out["baseplate_remembered"] = True
         return out
+
+    def _do_estimate_batch(self, opts: dict) -> dict:
+        """The flagship throughput path over the wire: a homogeneous batch of
+        volumes (one scanner geometry — same shape/spacing/origin, e.g. a
+        time series) through the vmapped fused pipeline with per-volume
+        certificate escalation (`MamriEngine.estimate_pose_batch`)."""
+        from mamri_tpu.perception.formats import load_volume
+
+        paths = opts.get("paths")
+        if not (isinstance(paths, list) and paths and all(isinstance(p, str) for p in paths)):
+            raise ServerError(400, "'paths' must be a non-empty list of volume paths")
+        microbatch = opts.get("microbatch")
+        if microbatch is not None:
+            microbatch = int(microbatch)
+            if microbatch <= 0 or len(paths) % microbatch:
+                raise ServerError(400, f"microbatch {microbatch} must divide batch {len(paths)}")
+        vols = []
+        for p in paths:
+            try:
+                vols.append(load_volume(self._resolve_path(p)))
+            except (OSError, ValueError) as e:
+                raise ServerError(422, f"cannot load volume {p!r}: {e}")
+        v0 = vols[0]
+        for p, v in zip(paths[1:], vols[1:]):
+            if np.asarray(v.data).shape != np.asarray(v0.data).shape:
+                raise ServerError(422, f"batch is not homogeneous: {p!r} has shape "
+                                       f"{np.asarray(v.data).shape}, expected {np.asarray(v0.data).shape}")
+            if not (np.allclose(v.spacing, v0.spacing) and np.allclose(v.origin, v0.origin)):
+                raise ServerError(422, f"batch is not homogeneous: {p!r} has different geometry")
+        batch = np.stack([np.asarray(v.data) for v in vols])
+        out = self.engine.estimate_pose_batch(
+            batch, v0.spacing, v0.origin,
+            apply_correction=bool(opts.get("correction", False)),
+            microbatch=microbatch,
+        )
+        certified = out["seg_converged"] & out["roots_complete"] & out["blobs_complete"]
+        results = []
+        for i, p in enumerate(paths):
+            ok = bool(out["success"][i])
+            r = {"path": p, "success": ok, "certified": bool(certified[i])}
+            if ok:
+                r.update(
+                    angles_deg=np.rad2deg(out["angles"][i]).round(3).tolist(),
+                    steps=np.asarray(out["steps"][i]).astype(int).tolist(),
+                    rmse_mm=round(float(out["rmse"][i]), 4),
+                )
+            results.append(r)
+        return {"success": all(r["success"] for r in results),
+                "batch": len(paths), "results": results}
 
     def _do_entry(self, vol, opts: dict) -> dict:
         target = self._target(opts)

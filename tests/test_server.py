@@ -116,6 +116,36 @@ def test_estimate_raw_upload(server, scan_path):
     assert out["markers_found"]["Baseplate"] is True
 
 
+def test_estimate_batch(server, scan_path, tmp_path):
+    """Homogeneous batch over the wire -> vmapped pipeline, per-volume rows."""
+    import shutil
+
+    url, _ = server
+    p2 = str(tmp_path / "scan2.nii.gz")
+    shutil.copy(scan_path, p2)
+    st, out = _req(url + "/estimate_batch", payload={"paths": [scan_path, p2]})
+    assert st == 200 and out["batch"] == 2 and len(out["results"]) == 2
+    for r in out["results"]:
+        assert r["success"] is False  # partial scene: no Joint6 triplet
+        assert r["certified"] is True  # but the segmentation certificates hold
+
+    # request validation
+    st, out = _req(url + "/estimate_batch", payload={"paths": []})
+    assert st == 400
+    st, out = _req(url + "/estimate_batch", payload={"paths": [scan_path], "microbatch": 3})
+    assert st == 400 and "microbatch" in out["message"]
+
+    # heterogeneous batch is rejected with the offending path
+    from mamri_tpu.perception.io import save_nifti
+    from mamri_tpu.perception.volume import synthetic_volume
+
+    odd = synthetic_volume(shape=(32, 32, 32))
+    p3 = str(tmp_path / "odd.nii.gz")
+    save_nifti(p3, odd)
+    st, out = _req(url + "/estimate_batch", payload={"paths": [scan_path, p3]})
+    assert st == 422 and "odd.nii.gz" in out["message"]
+
+
 def test_entry_composes_pose_and_search(server, scan_path):
     url, _ = server
     st, out = _req(url + "/entry", payload={"path": scan_path, "target": [0, 0, -18]})
