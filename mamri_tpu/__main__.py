@@ -448,9 +448,25 @@ def cmd_serve(args) -> int:
     a fresh process (relay H2D host-RSS leak mitigation, docs/ROADMAP.md)."""
     import logging
 
-    from mamri_tpu.api.server import MamriServer, serve
+    from mamri_tpu.api.server import MamriServer, serve, supervise
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    if args.supervise:
+        # re-exec ourselves as the worker; the parent only respawns on rc=3
+        worker_argv = ["serve"]
+        for flag, val in (("--host", args.host), ("--port", args.port),
+                          ("--data-root", args.data_root), ("--max-rss-mb", args.max_rss_mb),
+                          ("--max-frames", args.max_frames), ("--baseplate", args.baseplate),
+                          ("--platform", args.platform), ("--mesh-dir", args.mesh_dir)):
+            if val is not None:
+                worker_argv += [flag, str(val)]
+        return supervise(worker_argv, max_restarts=args.max_restarts)
+    if args.platform:
+        # before any backend touch: the sitecustomize on this image overrides
+        # the JAX_PLATFORMS env var, so pin via the config API instead
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     eng = _engine(args)
     if args.baseplate:
         eng.load_baseplate(args.baseplate)
@@ -526,6 +542,9 @@ def main(argv=None) -> int:
     ps.add_argument("--max-rss-mb", type=float, default=None, help="drain the worker once host RSS exceeds this (relay H2D leak mitigation)")
     ps.add_argument("--max-frames", type=int, default=None, help="drain the worker after this many compute requests")
     ps.add_argument("--baseplate", default=None, help="preload a saved baseplate transform (.npz)")
+    ps.add_argument("--platform", default=None, help="pin the jax platform for this worker (e.g. cpu); default: the runtime's choice")
+    ps.add_argument("--supervise", action="store_true", help="built-in supervisor: respawn the worker whenever a budget drains it (exit 3)")
+    ps.add_argument("--max-restarts", type=int, default=None, help="with --supervise: give up after this many recycles")
     ps.add_argument("--mesh-dir", default=None)
 
     ph = sub.add_parser("hw", help="hardware control: status / move / exec / jog / zero / zero-hardware over serial or the built-in simulator")

@@ -475,6 +475,41 @@ def make_http_server(core: MamriServer, host: str = "127.0.0.1", port: int = 0):
     return httpd
 
 
+def supervise(worker_argv: list, max_restarts: Optional[int] = None) -> int:
+    """Tiny built-in supervisor: run `worker_argv` as a child process and
+    respawn it whenever it exits with RECYCLE_EXIT_CODE (budget drain).
+    Any other exit code ends supervision with that code. The parent stays
+    import-light (no jax/engine) — all device state dies with each worker,
+    which is the point: on the axon relay the leaked H2D host RSS can only
+    be reclaimed by process exit (docs/ROADMAP.md)."""
+    import signal
+    import subprocess
+    import sys
+
+    restarts = 0
+    child = None
+
+    def forward(signum, frame):
+        if child is not None and child.poll() is None:
+            child.send_signal(signum)
+
+    prev = {s: signal.signal(s, forward) for s in (signal.SIGINT, signal.SIGTERM)}
+    try:
+        while True:
+            child = subprocess.Popen([sys.executable, "-m", "mamri_tpu"] + worker_argv)
+            rc = child.wait()
+            if rc != RECYCLE_EXIT_CODE:
+                return rc
+            restarts += 1
+            logger.warning("worker recycled (restart %d)", restarts)
+            if max_restarts is not None and restarts >= max_restarts:
+                logger.error("restart budget exhausted (%d)", restarts)
+                return RECYCLE_EXIT_CODE
+    finally:
+        for s, h in prev.items():
+            signal.signal(s, h)
+
+
 def serve(core: MamriServer, host: str = "127.0.0.1", port: int = 8420) -> int:
     """Blocking entry point for the CLI. Returns the process exit code:
     0 on an explicit shutdown, RECYCLE_EXIT_CODE when a budget drained the

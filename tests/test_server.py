@@ -299,6 +299,63 @@ def test_shutdown_route_exits_zero(engine):
     assert rc["code"] == 0
 
 
+def test_supervise_respawns_on_budget_drain(scan_path):
+    """End-to-end `serve --supervise`: the frame budget drains worker #1
+    (exit 3), the supervisor respawns a fresh worker on the same port, the
+    next request lands on it, and /shutdown ends supervision with rc 0."""
+    import socket
+    import subprocess
+    import sys
+    import time
+
+    with socket.socket() as s:  # pick a free port
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "mamri_tpu", "serve", "--supervise",
+         "--platform", "cpu", "--port", str(port), "--max-frames", "1",
+         "--max-restarts", "3"],
+        stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    url = f"http://127.0.0.1:{port}"
+    try:
+        def wait_healthy(timeout_s=240):
+            deadline = time.monotonic() + timeout_s
+            while time.monotonic() < deadline:
+                try:
+                    st, out = _req(url + "/healthz")
+                    if st == 200:
+                        return
+                except OSError:
+                    pass
+                time.sleep(0.25)
+            raise AssertionError("worker never became healthy")
+
+        wait_healthy()
+        st, out = _req(url + "/estimate", payload={"path": scan_path})
+        assert st == 200
+        # worker #1 drains; the supervisor brings up worker #2 on the port.
+        # Poll /status until a FRESH process answers (frames_served == 0) —
+        # worker #1 may still answer 503s while its in-flight drain finishes.
+        deadline = time.monotonic() + 240
+        while True:
+            assert time.monotonic() < deadline, "no fresh worker appeared"
+            try:
+                st, out = _req(url + "/status")
+                if st == 200 and out["frames_served"] == 0:
+                    break
+            except OSError:
+                pass
+            time.sleep(0.25)
+        st, _ = _req(url + "/shutdown", payload={})
+        assert st == 200
+        assert proc.wait(timeout=120) == 0  # clean stop ends supervision
+    finally:
+        if proc.poll() is None:
+            proc.terminate()
+            proc.wait(timeout=30)
+
+
 def test_rss_budget_math(engine, monkeypatch):
     """RSS budget: exceeding flips draining with the measured number."""
     core = MamriServer(engine=engine, max_rss_mb=1.0)  # any real process > 1 MiB
