@@ -531,6 +531,7 @@ def main():
                     "settings": "max_roots=2048, cand_k=128, run_k=16 (noisy-scan escalation caps, one compile)",
                 },
                 "settings": "engine defaults (certified): [yz,x,yz] half-sweep schedule + local-consistency certificate, 128 roots, run_k=8 run-length stats, 32-slot certified blob band, IK 24 iters analytic-seeded",
+                "angle_err_note": "per-joint wrist deviations equal the converged SciPy-TRF-from-truth bound on identical residuals (voxel-centroid quantization gauge freedom, IK_ORACLE.json; invariants: rmse_mm, tcp_err_mm, J1)",
                 "device": str(jax.devices()[0]),
             }
         )
