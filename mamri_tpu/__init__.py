@@ -15,6 +15,16 @@ Layering (bottom-up; see SURVEY.md §7):
 
 __version__ = "0.1.0"
 
-from mamri_tpu.core.robot import RobotModel, load_robot_model, default_config_path
-
 __all__ = ["RobotModel", "load_robot_model", "default_config_path", "__version__"]
+
+# Lazy exports (PEP 562): importing the bare package must stay jax-free so
+# host-only tooling — the serve supervisor (api/server.supervise), transport
+# and protocol layers — can import mamri_tpu submodules without pulling the
+# device runtime into the process. `from mamri_tpu import load_robot_model`
+# resolves exactly as before, on first attribute access.
+def __getattr__(name):
+    if name in ("RobotModel", "load_robot_model", "default_config_path"):
+        from mamri_tpu.core import robot
+
+        return getattr(robot, name)
+    raise AttributeError(f"module 'mamri_tpu' has no attribute {name!r}")

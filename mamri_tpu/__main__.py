@@ -414,6 +414,18 @@ def cmd_hw(args) -> int:
                 stack.jog(args.joint - 1, args.delta, timeout_s=args.timeout)
             elif args.action == "zero":
                 stack.return_to_zero(timeout_s=args.timeout)
+            watcher = None
+            if args.watch and stack.stream is not None:
+                # live execution mirror on stdout: one JSON line per control
+                # tick (the reference's per-tick scene update, Mamri.py:537)
+                import threading
+
+                def _print_frames():
+                    for fr in stack.watch(idle_timeout_s=max(args.tick * 4, 1.0)):
+                        print(json.dumps(fr, default=_json_default), flush=True)
+
+                watcher = threading.Thread(target=_print_frames, daemon=True)
+                watcher.start()
             try:
                 state = stack.runner.run(tick_interval_s=args.tick)
             except KeyboardInterrupt:
@@ -426,6 +438,8 @@ def cmd_hw(args) -> int:
                                   "outcome": "STOPPED",
                                   "message": "interrupted: soft stop issued (controller holds current position)"}))
                 return 1
+            if watcher is not None:
+                watcher.join(timeout=max(args.tick * 8, 2.0))
             out["outcome"] = state.outcome.name
             out["message"] = state.message
             out["success"] = state.outcome.name == "SUCCESS"
@@ -451,15 +465,32 @@ def cmd_serve(args) -> int:
     from mamri_tpu.api.server import MamriServer, serve, supervise
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+    if args.host not in ("127.0.0.1", "localhost", "::1"):
+        # ADVICE r4: on a non-loopback bind, path-mode reads and /shutdown
+        # become remote surfaces — demand explicit jailing/tokens
+        if args.data_root is None:
+            logging.getLogger(__name__).warning(
+                "binding %s without --data-root: JSON path requests can read "
+                "any server-side file the worker can; pass --data-root to jail them",
+                args.host,
+            )
+        if args.shutdown_token is None:
+            logging.getLogger(__name__).warning(
+                "binding %s without --shutdown-token: POST /shutdown is "
+                "unauthenticated and will drain this worker", args.host,
+            )
     if args.supervise:
         # re-exec ourselves as the worker; the parent only respawns on rc=3
         worker_argv = ["serve"]
         for flag, val in (("--host", args.host), ("--port", args.port),
                           ("--data-root", args.data_root), ("--max-rss-mb", args.max_rss_mb),
                           ("--max-frames", args.max_frames), ("--baseplate", args.baseplate),
-                          ("--platform", args.platform), ("--mesh-dir", args.mesh_dir)):
+                          ("--platform", args.platform), ("--mesh-dir", args.mesh_dir),
+                          ("--shutdown-token", args.shutdown_token)):
             if val is not None:
                 worker_argv += [flag, str(val)]
+        if args.sim_hw:
+            worker_argv += ["--sim-hw"]
         return supervise(worker_argv, max_restarts=args.max_restarts)
     if args.platform:
         # before any backend touch: the sitecustomize on this image overrides
@@ -470,13 +501,25 @@ def cmd_serve(args) -> int:
     eng = _engine(args)
     if args.baseplate:
         eng.load_baseplate(args.baseplate)
+    shutdown_sim = None
+    if args.sim_hw:
+        # demo/deployment rig: the worker serves /hw/move, /hw/exec, /hw/stop
+        # and the /watch live mirror against the in-process simulator
+        from mamri_tpu.hw.sim import simulated_hardware
+
+        _stack, _robot, shutdown_sim = simulated_hardware(eng)
     core = MamriServer(
         engine=eng,
         data_root=args.data_root,
         max_rss_mb=args.max_rss_mb,
         max_frames=args.max_frames,
+        shutdown_token=args.shutdown_token,
     )
-    return serve(core, host=args.host, port=args.port)
+    try:
+        return serve(core, host=args.host, port=args.port)
+    finally:
+        if shutdown_sim is not None:
+            shutdown_sim()
 
 
 def main(argv=None) -> int:
@@ -546,6 +589,8 @@ def main(argv=None) -> int:
     ps.add_argument("--supervise", action="store_true", help="built-in supervisor: respawn the worker whenever a budget drains it (exit 3)")
     ps.add_argument("--max-restarts", type=int, default=None, help="with --supervise: give up after this many recycles")
     ps.add_argument("--mesh-dir", default=None)
+    ps.add_argument("--sim-hw", action="store_true", help="attach the in-process hardware simulator: serves /hw/move /hw/exec /hw/stop and the /watch live execution mirror")
+    ps.add_argument("--shutdown-token", default=None, help="require this token in POST /shutdown bodies (recommended on non-loopback binds)")
 
     ph = sub.add_parser("hw", help="hardware control: status / move / exec / jog / zero / zero-hardware over serial or the built-in simulator")
     ph.add_argument("action", choices=["status", "move", "exec", "jog", "zero", "zero-hardware"])
@@ -560,6 +605,7 @@ def main(argv=None) -> int:
     ph.add_argument("--timeout", type=float, default=120.0, help="task timeout seconds (reference: 120 s)")
     ph.add_argument("--tick", type=float, default=0.15, help="control-loop tick seconds (reference: 150 ms)")
     ph.add_argument("--sync", action="store_true", help="run the encoder<->controller sync monitor during the task")
+    ph.add_argument("--watch", action="store_true", help="print one JSON pose frame per control tick during the task (live execution mirror)")
 
     args = ap.parse_args(argv)
     return {

@@ -1298,8 +1298,11 @@ class MamriEngine:
 
     def attach_hardware(self, controller_transport, encoder_transport):
         """Bind the serial (or simulated) links and build the executor stack."""
+        import time as _time
+
         from mamri_tpu.hw.devices import EncoderLink, MotorControllerLink
         from mamri_tpu.hw.executor import RobotTaskRunner
+        from mamri_tpu.hw.stream import PoseStream
         from mamri_tpu.hw.sync import SyncMonitor
 
         controller = MotorControllerLink(controller_transport, motor_letters=self.model.motor_letters)
@@ -1310,29 +1313,72 @@ class MamriEngine:
             controller.disconnect()
             raise RuntimeError("encoder handshake failed")
 
-        def pose_cb(steps):
-            self.set_pose(self.convert_steps_to_angles(np.asarray(steps)))
-
+        stream = PoseStream()
         runner = RobotTaskRunner(
             controller,
             encoder,
             angles_to_steps=lambda a: self.convert_angles_to_steps(np.asarray(a)),
-            pose_callback=pose_cb,
         )
+
+        # Live execution mirror (reference: encoder -> 3-D scene each 150 ms
+        # tick, Mamri.py:537; status refresh at 4 Hz, :582-648): every
+        # control tick updates the engine pose AND publishes one stream
+        # frame for /watch, `hw --watch`, and user subscribers.
+        def pose_cb(steps):
+            angles = self.convert_steps_to_angles(np.asarray(steps))
+            self.set_pose(angles)
+            frame = {
+                "event": "pose",
+                "t": _time.time(),
+                "steps": [int(s) for s in np.asarray(steps)],
+                "angles_deg": np.rad2deg(angles).round(3).tolist(),
+            }
+            st = runner.state
+            if st is not None:
+                frame["mode"] = st.mode
+                frame["target_steps"] = [int(s) for s in st.target_steps]
+                if st.keyframes is not None:
+                    frame["keyframe_index"] = st.keyframe_index
+                    frame["num_keyframes"] = len(st.keyframes)
+            if self.baseplate_tf is not None:
+                frame["tcp_world"] = (
+                    np.asarray(self.needle_tcp(angles))[:3, 3].round(3).tolist()
+                )
+            stream.publish(frame)
+
+        def finish_cb(state):
+            stream.publish(
+                {
+                    "event": "task_finished",
+                    "t": _time.time(),
+                    "mode": state.mode,
+                    "outcome": state.outcome.value,
+                    "message": state.message,
+                }
+            )
+
+        runner.pose_callback = pose_cb
+        runner.finish_callback = finish_cb
         sync = SyncMonitor(controller, encoder)
-        self.hardware = HardwareStack(controller=controller, encoder=encoder, runner=runner, sync=sync, engine=self)
+        self.hardware = HardwareStack(
+            controller=controller, encoder=encoder, runner=runner, sync=sync,
+            engine=self, stream=stream,
+        )
         return self.hardware
 
 
 class HardwareStack:
     """The connected hardware bundle (controller + encoder + executor + sync)."""
 
-    def __init__(self, controller, encoder, runner, sync, engine=None):
+    def __init__(self, controller, encoder, runner, sync, engine=None, stream=None):
         self.controller = controller
         self.encoder = encoder
         self.runner = runner
         self.sync = sync
         self.engine = engine
+        # live pose pub/sub fed by the executor's per-tick callback
+        # (attach_hardware); None only for hand-built stacks
+        self.stream = stream
 
     def status(self) -> dict:
         """Live status snapshot — the reference's status panel (Mamri.py:582-637):
@@ -1354,6 +1400,31 @@ class HardwareStack:
             angles = self.engine.convert_steps_to_angles(np.asarray(controller_steps))
             out["tcp_world"] = self.engine.needle_tcp(angles)[:3, 3].tolist()
         return out
+
+    def passive_status(self) -> dict:
+        """Status snapshot that is safe from WATCHER threads: reads only the
+        encoder's listener-thread state (lock-protected) and the runner's
+        fields — never writes the serial command channel, so it cannot
+        interleave with the executor's own controller traffic (the links
+        are single-writer by design; `status()` is for the controlling
+        thread)."""
+        st = self.runner.state
+        return {
+            "event": "status",
+            "encoder_steps": self.encoder.latest_position if self.encoder.is_connected else None,
+            "task_active": self.runner.is_active,
+            "target_steps": None if st is None else [int(s) for s in st.target_steps],
+            "outcome": None if st is None else st.outcome.value,
+        }
+
+    def watch(self, max_frames=None, idle_timeout_s: float = 5.0):
+        """Subscribe to the live pose stream and yield frames — the headless
+        counterpart of the reference's per-tick scene mirror (Mamri.py:537).
+        Generator closes its subscription on exit."""
+        if self.stream is None:
+            raise RuntimeError("this HardwareStack has no pose stream attached")
+        with self.stream.subscribe() as sub:
+            yield from sub.frames(max_frames=max_frames, idle_timeout_s=idle_timeout_s)
 
     def joint_status_table(self) -> list:
         """Rows of the reference's live joint-status table

@@ -101,8 +101,11 @@ class MamriServer:
     sockets. `ThreadingHTTPServer` integration lives in `make_http_server`.
     """
 
-    ROUTES_GET = ("/healthz", "/status")
-    ROUTES_POST = ("/estimate", "/estimate_batch", "/entry", "/plan", "/shutdown")
+    ROUTES_GET = ("/healthz", "/status", "/hw/status", "/watch", "/watch.html")
+    ROUTES_POST = (
+        "/estimate", "/estimate_batch", "/entry", "/plan", "/shutdown",
+        "/hw/move", "/hw/exec", "/hw/stop",
+    )
 
     def __init__(
         self,
@@ -111,6 +114,8 @@ class MamriServer:
         max_rss_mb: Optional[float] = None,
         max_frames: Optional[int] = None,
         max_upload_bytes: int = DEFAULT_MAX_UPLOAD_BYTES,
+        shutdown_token: Optional[str] = None,
+        hw_tick_s: float = 0.15,
     ):
         if engine is None:
             from mamri_tpu.api.engine import MamriEngine
@@ -121,12 +126,19 @@ class MamriServer:
         self.max_rss_mb = max_rss_mb
         self.max_frames = max_frames
         self.max_upload_bytes = int(max_upload_bytes)
+        self.shutdown_token = shutdown_token
+        self.hw_tick_s = float(hw_tick_s)  # reference: 150 ms (Mamri.py:80)
         self._compute_lock = threading.Lock()
         self._state_lock = threading.Lock()  # counters + draining flag
+        self._hw_lock = threading.Lock()  # one hardware task thread at a time
+        self._hw_thread: Optional[threading.Thread] = None
         self.frames_served = 0
         self.started_at = time.monotonic()
         self.draining = False
         self.drain_reason: Optional[str] = None
+        # an explicit operator /shutdown must win over a budget drain:
+        # serve() exits 0 (stop) instead of RECYCLE_EXIT_CODE (respawn)
+        self.shutdown_requested = False
         self._httpd: Optional[ThreadingHTTPServer] = None
 
     # ------------------------------------------------------------- ingest
@@ -206,10 +218,12 @@ class MamriServer:
         return out
 
     # ------------------------------------------------------------ budgets
-    def _check_budgets(self) -> None:
-        """Called after each compute request; flips the worker to draining."""
+    def _check_budgets(self, count: int = 1) -> None:
+        """Called after each compute request; flips the worker to draining.
+        `count` = volumes ingested (a batch of N is N H2D uploads and N relay
+        leaks, so it spends N frames of the budget, not 1)."""
         with self._state_lock:
-            self.frames_served += 1
+            self.frames_served += max(int(count), 1)
             if self.draining:
                 return
             if self.max_frames is not None and self.frames_served >= self.max_frames:
@@ -241,21 +255,37 @@ class MamriServer:
             if method == "GET" and route == "/status":
                 return 200, self.status()
             if method == "POST" and route == "/shutdown":
+                opts = self._parse(body, content_type)
+                if self.shutdown_token and opts.get("token") != self.shutdown_token:
+                    return 403, {"success": False, "message": "shutdown token required"}
                 with self._state_lock:
+                    self.shutdown_requested = True
                     self.draining = True
                     self.drain_reason = self.drain_reason or "shutdown requested"
                 self._stop_accepting()
                 return 200, {"ok": True, "draining": True}
+            if method == "GET" and route == "/hw/status":
+                return 200, self._do_hw_status()
+            if method == "POST" and route == "/hw/stop":
+                self._hw().stop()
+                return 200, {"success": True, "stop_requested": True}
+            if method == "POST" and route in ("/hw/move", "/hw/exec"):
+                opts = self._parse(body, content_type)
+                if route == "/hw/move":
+                    return 200, self._do_hw_move(opts)
+                return 200, self._do_hw_exec(opts)
             if method == "POST" and route == "/estimate_batch":
                 if self.draining:
                     return 503, {"success": False, "recycle": True,
                                  "message": f"worker draining: {self.drain_reason}"}
                 opts = self._parse(body, content_type)
+                paths = opts.get("paths")
+                n_vols = len(paths) if isinstance(paths, list) else 1
                 try:
                     with self._compute_lock:
                         payload = self._do_estimate_batch(opts)
                 finally:
-                    self._check_budgets()
+                    self._check_budgets(n_vols)
                 return 200, payload
             if method == "POST" and route in ("/estimate", "/entry", "/plan"):
                 if self.draining:
@@ -423,6 +453,166 @@ class MamriServer:
             )
         return out
 
+    # ------------------------------------------------- hardware + live mirror
+    # The reference executes trajectories from its widget and mirrors the
+    # encoder into the 3-D scene every 150 ms tick, status at 4 Hz
+    # (Mamri.py:537, :582-648, :595). Served headlessly: POST /hw/move|exec
+    # starts the closed-loop executor on a worker thread, GET /watch streams
+    # the per-tick pose frames (SSE), /watch.html is a live panel.
+    def _hw(self):
+        hw = getattr(self.engine, "hardware", None)
+        if hw is None:
+            raise ServerError(
+                409, "no hardware attached to this worker (serve --sim-hw, or attach_hardware before serving)"
+            )
+        return hw
+
+    def _do_hw_status(self) -> dict:
+        hw = self._hw()
+        return {"success": True, "status": hw.status(), "joints": hw.joint_status_table()}
+
+    def _start_hw_task(self, start_fn) -> dict:
+        hw = self._hw()
+        with self._hw_lock:
+            if hw.runner.is_active or (self._hw_thread is not None and self._hw_thread.is_alive()):
+                raise ServerError(409, "a robot task is already running")
+            state = start_fn(hw)
+            t = threading.Thread(
+                target=hw.runner.run,
+                kwargs={"tick_interval_s": self.hw_tick_s},
+                daemon=True,
+                name="hw-task",
+            )
+            self._hw_thread = t
+            t.start()
+        return {
+            "success": True,
+            "started": True,
+            "mode": state.mode,
+            "target_steps": [int(s) for s in state.target_steps],
+            "watch": "/watch",
+        }
+
+    @staticmethod
+    def _six(opts: dict, key: str, cast):
+        v = opts.get(key)
+        if not (isinstance(v, (list, tuple)) and len(v) == 6):
+            raise ServerError(400, f"'{key}' must be 6 values")
+        try:
+            return [cast(x) for x in v]
+        except (TypeError, ValueError):
+            raise ServerError(400, f"'{key}' must be 6 numbers")
+
+    def _do_hw_move(self, opts: dict) -> dict:
+        self._hw()  # no-hardware beats option validation (consistent 409)
+        timeout_s = float(opts.get("timeout_s", 120.0))
+        if "degrees" in opts:
+            deg = self._six(opts, "degrees", float)
+            steps = [int(s) for s in self.engine.convert_angles_to_steps(np.deg2rad(np.asarray(deg)))]
+        else:
+            steps = self._six(opts, "steps", int)
+        return self._start_hw_task(lambda hw: hw.move_to_pose(steps, timeout_s=timeout_s))
+
+    def _do_hw_exec(self, opts: dict) -> dict:
+        self._hw()
+        timeout_s = float(opts.get("timeout_s", 120.0))
+        if "path" in opts:  # a `plan --out` .npz under data_root
+            try:
+                npz = np.load(self._resolve_path(str(opts["path"])))
+                keyframes = [np.asarray(k) for k in npz["keyframes"]]
+            except (OSError, ValueError, KeyError) as e:
+                raise ServerError(422, f"cannot read plan: {e}")
+        elif "keyframes_deg" in opts:
+            kf = opts["keyframes_deg"]
+            if not (isinstance(kf, list) and kf and all(isinstance(k, (list, tuple)) and len(k) == 6 for k in kf)):
+                raise ServerError(400, "'keyframes_deg' must be a non-empty list of 6-value rows")
+            keyframes = [np.deg2rad(np.asarray([float(x) for x in k])) for k in kf]
+        else:
+            raise ServerError(400, "hw exec needs 'path' (plan .npz) or 'keyframes_deg'")
+        return self._start_hw_task(lambda hw: hw.execute_trajectory(keyframes, timeout_s=timeout_s))
+
+    def watch_frames(self, max_frames=None, heartbeat_s: float = 0.25, idle_timeout_s: float = 30.0):
+        """Generator of live frames: executor pose frames as they arrive,
+        encoder-only status heartbeats at >= 4 Hz between them (the
+        reference's status cadence, Mamri.py:595). Ends at task_finished,
+        `max_frames`, or `idle_timeout_s` with no task running."""
+        hw = self._hw()
+        if hw.stream is None:
+            raise ServerError(409, "hardware stack has no pose stream")
+        sub = hw.stream.subscribe()
+        try:
+            yielded = 0
+            idle = 0.0
+            while max_frames is None or yielded < max_frames:
+                fr = sub.get(timeout=heartbeat_s)
+                if fr is None:
+                    if sub.closed:
+                        return
+                    idle += heartbeat_s
+                    if idle >= idle_timeout_s and not hw.runner.is_active:
+                        return
+                    fr = hw.passive_status()
+                    fr["t"] = time.time()
+                else:
+                    idle = 0.0
+                yield fr
+                yielded += 1
+                if fr.get("event") == "task_finished":
+                    return
+        finally:
+            sub.close()
+
+
+# The live execution panel: the headless counterpart of the reference's
+# Live Status group box (Mamri.ui "3. Live Status"; update loop
+# Mamri.py:582-648) — a joint table fed by the /watch SSE stream.
+_WATCH_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>mamri-tpu live status</title>
+<style>
+ body { font: 14px/1.5 system-ui, sans-serif; margin: 2rem; color: #222; }
+ table { border-collapse: collapse; margin-top: 1rem; }
+ th, td { border: 1px solid #bbb; padding: .3rem .8rem; text-align: right; }
+ th { background: #f2f2f2; }
+ #meta { color: #555; } .done { color: #0a7a0a; } .bad { color: #b00020; }
+</style></head><body>
+<h3>MAMRI live execution</h3>
+<div id="meta">waiting for stream&hellip;</div>
+<table><thead><tr><th>Joint</th><th>Encoder (steps)</th><th>Target (steps)</th>
+<th>Angle (&deg;)</th></tr></thead><tbody id="rows"></tbody></table>
+<div id="tcp"></div>
+<script>
+const rows = document.getElementById('rows');
+for (let i = 0; i < 6; i++) {
+  rows.insertAdjacentHTML('beforeend',
+    `<tr><td>J${i+1}</td><td id="e${i}">...</td><td id="t${i}">...</td><td id="a${i}">...</td></tr>`);
+}
+const es = new EventSource('/watch?timeout=3600');
+es.onmessage = (ev) => {
+  const f = JSON.parse(ev.data);
+  const meta = document.getElementById('meta');
+  if (f.event === 'task_finished') {
+    meta.innerHTML = `task <b>${f.mode}</b> finished: ` +
+      `<span class="${f.outcome === 'success' ? 'done' : 'bad'}">${f.outcome}</span> &mdash; ${f.message}`;
+    es.close();
+    return;
+  }
+  const steps = f.steps || f.encoder_steps || [];
+  const target = f.target_steps || [];
+  const ang = f.angles_deg || [];
+  for (let i = 0; i < 6; i++) {
+    if (steps[i] !== undefined) document.getElementById('e' + i).textContent = steps[i];
+    if (target[i] !== undefined) document.getElementById('t' + i).textContent = target[i];
+    if (ang[i] !== undefined) document.getElementById('a' + i).textContent = ang[i].toFixed(2);
+  }
+  meta.textContent = f.event === 'pose'
+    ? `executing ${f.mode}` + (f.num_keyframes ? ` (keyframe ${f.keyframe_index + 1}/${f.num_keyframes})` : '')
+    : (f.task_active ? 'task active' : 'idle (heartbeat)');
+  if (f.tcp_world) document.getElementById('tcp').textContent =
+    `needle TCP (RAS mm): ${f.tcp_world.map(v => v.toFixed(1)).join(', ')}`;
+};
+</script></body></html>
+"""
+
 
 def make_http_server(core: MamriServer, host: str = "127.0.0.1", port: int = 0):
     """Bind a ThreadingHTTPServer for `core`. Returns the httpd; the caller
@@ -444,12 +634,46 @@ def make_http_server(core: MamriServer, host: str = "127.0.0.1", port: int = 0):
             self.wfile.write(data)
 
         def _body(self) -> bytes:
-            n = int(self.headers.get("Content-Length") or 0)
+            try:
+                n = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                self.close_connection = True
+                raise ServerError(400, "malformed Content-Length header")
             if n > core.max_upload_bytes:
+                # replying without draining the body desyncs any pipelined
+                # request behind it on this connection — drop the connection
+                self.close_connection = True
                 raise ServerError(
                     413, f"body of {n} bytes exceeds limit {core.max_upload_bytes}"
                 )
             return self.rfile.read(n) if n else b""
+
+        def _serve_watch(self, query: dict) -> None:
+            """GET /watch -> Server-Sent Events: one `data: {json}` line per
+            live frame (connection-delimited body; the stream has no length)."""
+            try:
+                frames = core.watch_frames(
+                    max_frames=int(query["frames"]) if "frames" in query else None,
+                    idle_timeout_s=float(query.get("timeout", 30.0)),
+                )
+                core._hw()  # validate BEFORE committing to a 200 stream
+            except ServerError as e:
+                self._reply(e.status, {"success": False, "message": str(e)})
+                return
+            except ValueError:
+                self._reply(400, {"success": False, "message": "frames/timeout must be numbers"})
+                return
+            self.close_connection = True
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-store")
+            self.end_headers()
+            try:
+                for fr in frames:
+                    self.wfile.write(b"data: " + json.dumps(fr).encode("utf-8") + b"\n\n")
+                    self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # client went away; subscription closes via the generator
 
         def _serve(self, method: str) -> None:
             try:
@@ -460,6 +684,17 @@ def make_http_server(core: MamriServer, host: str = "127.0.0.1", port: int = 0):
             ctype = self.headers.get("Content-Type", "application/json" if method == "POST" else "")
             route, _, qs = self.path.partition("?")
             query = dict(urllib.parse.parse_qsl(qs)) if qs else None
+            if method == "GET" and route == "/watch":
+                self._serve_watch(query or {})
+                return
+            if method == "GET" and route == "/watch.html":
+                page = _WATCH_HTML.encode("utf-8")
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(page)))
+                self.end_headers()
+                self.wfile.write(page)
+                return
             status, payload = core.handle(method, route, body, ctype, query)
             self._reply(status, payload)
 
@@ -523,5 +758,10 @@ def serve(core: MamriServer, host: str = "127.0.0.1", port: int = 8420) -> int:
         pass
     finally:
         httpd.server_close()
+    # an explicit operator /shutdown always stops for good — even when a
+    # budget drain was already in progress (otherwise the supervisor would
+    # respawn a worker the operator just asked to stop)
+    if core.shutdown_requested:
+        return 0
     budget_drained = core.drain_reason not in (None, "shutdown requested")
     return RECYCLE_EXIT_CODE if budget_drained else 0

@@ -67,6 +67,7 @@ class RobotTaskRunner:
         encoder: EncoderLink,
         angles_to_steps: Optional[Callable] = None,
         pose_callback: Optional[Callable] = None,
+        finish_callback: Optional[Callable] = None,
         clock: Callable[[], float] = time.time,
         arrival_tolerance: int = ARRIVAL_TOLERANCE_STEPS,
         stall_threshold_s: float = STALL_THRESHOLD_S,
@@ -76,6 +77,7 @@ class RobotTaskRunner:
         self.encoder = encoder
         self.angles_to_steps = angles_to_steps
         self.pose_callback = pose_callback  # fed live encoder steps each tick
+        self.finish_callback = finish_callback  # fed the final TaskState once
         self.clock = clock
         self.arrival_tolerance = arrival_tolerance
         self.stall_threshold_s = stall_threshold_s
@@ -129,6 +131,8 @@ class RobotTaskRunner:
         st.outcome = outcome
         st.message = message
         logger.info("task %s finished: %s (%s)", st.mode, outcome.value, message)
+        if self.finish_callback is not None:
+            self.finish_callback(st)
         return st
 
     def step(self) -> TaskState:

@@ -362,3 +362,101 @@ def test_rss_budget_math(engine, monkeypatch):
     core._check_budgets()
     assert core.draining and "RSS budget" in core.drain_reason
     assert RECYCLE_EXIT_CODE == 3
+
+
+def test_batch_spends_batch_size_frames(engine, monkeypatch):
+    """ADVICE r4: /estimate_batch of N volumes spends N frames of the leak
+    budget (N H2D uploads), not 1."""
+    core = MamriServer(engine=engine, max_frames=10)
+    core._check_budgets(4)
+    assert core.frames_served == 4 and not core.draining
+    core._check_budgets(6)
+    assert core.frames_served == 10 and core.draining
+    assert "frame budget" in core.drain_reason
+
+
+def test_shutdown_during_budget_drain_still_exits_zero(engine):
+    """ADVICE r4: an operator /shutdown on a worker already draining for a
+    budget must end supervision (exit 0), not be respawned (exit 3)."""
+    core = MamriServer(engine=engine)
+    rc = {}
+
+    def run():
+        rc["code"] = serve(core, host="127.0.0.1", port=0)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    for _ in range(200):
+        if core._httpd is not None:
+            break
+        import time
+
+        time.sleep(0.01)
+    # budget drain first...
+    core.draining = True
+    core.drain_reason = "RSS budget reached (999/100 MiB)"
+    host, port = core._httpd.server_address[:2]
+    # ...then the operator explicitly stops the worker
+    st, out = _req(f"http://{host}:{port}/shutdown", payload={})
+    assert st == 200
+    t.join(timeout=30)
+    assert not t.is_alive()
+    assert rc["code"] == 0  # drain_reason says budget, but shutdown wins
+
+
+def test_shutdown_token_required_when_configured(engine):
+    core = MamriServer(engine=engine, shutdown_token="s3cret")
+    st, out = core.handle("POST", "/shutdown", b"{}", "application/json")
+    assert st == 403 and not core.shutdown_requested
+    st, out = core.handle(
+        "POST", "/shutdown", json.dumps({"token": "s3cret"}).encode(), "application/json"
+    )
+    assert st == 200 and core.shutdown_requested
+
+
+def test_malformed_content_length_is_400(engine):
+    """ADVICE r4: a non-integer Content-Length must map to a 400 response,
+    not an uncaught ValueError that kills the connection silently."""
+    import http.client
+
+    core = MamriServer(engine=engine)
+    httpd = make_http_server(core, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    host, port = httpd.server_address[:2]
+    try:
+        conn = http.client.HTTPConnection(host, port, timeout=10)
+        conn.putrequest("POST", "/estimate")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", "not-a-number")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert b"Content-Length" in resp.read()
+        conn.close()
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_supervise_parent_is_import_light():
+    """ADVICE r4: the supervise() import path must not pull jax/the engine
+    into the parent process (leaked device state must die with workers)."""
+    import subprocess
+    import sys
+
+    # NOTE: this image's sitecustomize imports jax into EVERY process, so
+    # the assertion is about what the mamri import chain ADDS: the engine
+    # (and with it the robot model / device arrays) must stay unloaded.
+    code = (
+        "import sys\n"
+        "from mamri_tpu.api.server import supervise, MamriServer, RECYCLE_EXIT_CODE\n"
+        "heavy = ('mamri_tpu.api.engine', 'mamri_tpu.core.robot',\n"
+        "         'mamri_tpu.perception.segmentation')\n"
+        "mods = [m for m in heavy if m in sys.modules]\n"
+        "assert not mods, f'supervise import dragged in {mods}'\n"
+        "print('light')\n"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr
+    assert "light" in out.stdout

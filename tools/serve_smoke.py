@@ -63,6 +63,35 @@ def main() -> int:
     t0 = time.perf_counter()
     st2, ent = _req(url + "/entry", {"path": scan, "target": np.asarray(target).tolist()})
     t_ent = time.perf_counter() - t0
+
+    # live execution mirror (VERDICT r4 #5): attach the protocol simulator,
+    # drive a move over POST /hw/move, and record the /watch SSE stream —
+    # the reference's per-tick scene mirror + 4 Hz status panel, served.
+    from mamri_tpu.hw.sim import simulated_hardware
+
+    # ~1 s of motion = ~6 pose frames at the reference's 150 ms tick
+    _stack, _robot, shutdown_sim = simulated_hardware(eng, speed_steps_per_s=2000.0)
+    st3, moved = _req(url + "/hw/move", {"steps": [2000, 0, 0, 0, 0, 0], "timeout_s": 30})
+    pose_frames = 0
+    final_event = None
+    if st3 == 200:
+        with urllib.request.urlopen(url + "/watch?timeout=10", timeout=60) as r:
+            for raw in r:
+                line = raw.decode().strip()
+                if not line.startswith("data: "):
+                    continue
+                fr = json.loads(line[6:])
+                if fr.get("event") == "pose":
+                    pose_frames += 1
+                final_event = fr
+    shutdown_sim()
+    watch_ok = (
+        st3 == 200
+        and pose_frames >= 3
+        and final_event is not None
+        and final_event.get("event") == "task_finished"
+        and final_event.get("outcome") == "success"
+    )
     httpd.shutdown()
     httpd.server_close()
 
@@ -81,9 +110,19 @@ def main() -> int:
         "entry_distance_mm": ent.get("distance_mm"),
         "entry_wall_s": round(t_ent, 2),
         "frames_served": core.frames_served,
+        "watch": {
+            "hw_move_http_status": st3,
+            "streamed_pose_frames": pose_frames,
+            "final_event": None if final_event is None else final_event.get("event"),
+            "outcome": None if final_event is None else final_event.get("outcome"),
+            "ok": watch_ok,
+        },
     }
     print(json.dumps(out))
-    ok = st == 200 and st2 == 200 and out["estimate_success"] and out["entry_success"]
+    ok = (
+        st == 200 and st2 == 200 and out["estimate_success"] and out["entry_success"]
+        and watch_ok
+    )
     return 0 if ok else 1
 
 
