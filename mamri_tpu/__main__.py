@@ -162,6 +162,15 @@ def cmd_plan(args) -> int:
             position_error_mm=round(plan.position_error_mm, 3),
             path_samples=len(plan.path),
         )
+        if args.validate_exact:
+            exact = eng.validate_plan_exact(plan)
+            out["exact_validation"] = {
+                k: exact[k]
+                for k in (
+                    "collision_free", "colliding_samples", "checked_samples",
+                    "mode", "fast_checker_flagged", "over_conservative",
+                )
+            }
         if args.out:
             np.savez(args.out, path=plan.path, keyframes=plan.keyframes, goal_steps=plan.goal_steps)
             out["plan_file"] = args.out
@@ -548,6 +557,7 @@ def main(argv=None) -> int:
     pp.add_argument("--correction", action="store_true")
     pp.add_argument("--out", default=None, help="write path/keyframes to .npz")
     pp.add_argument("--mesh-dir", default=None)
+    pp.add_argument("--validate-exact", action="store_true", help="triangle-exact host validation of the final path (undilated body, dense hulls) — reports per-sample contacts and over-conservative fast-checker rejections")
 
     px = sub.add_parser("export", help="write FK-posed robot meshes (STL) and/or an assembled scene (OBJ)")
     px.add_argument("volume", help="scan to estimate the pose from")

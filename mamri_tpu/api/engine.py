@@ -110,7 +110,7 @@ class MamriEngine:
     def __init__(
         self,
         config_path: Optional[str] = None,
-        mesh_dir: Optional[str] = None,
+        mesh_dir: Optional[str] = None,  # kept for the exact plan validator
         seg_params: Optional[SegmentationParams] = None,
         tracer: Optional[Tracer] = None,
         ik_iters: int = 24,
@@ -126,6 +126,8 @@ class MamriEngine:
             )
         self.model: RobotModel = load_robot_model(config_path)
         self.geometry: ArmGeometry = build_arm_geometry(self.model, mesh_dir)
+        self.mesh_dir = mesh_dir
+        self._exact_parts = None  # dense hulls for validate_plan_exact, lazy
         # default: the fast certified settings — a 3-half-sweep CCL schedule
         # [yz, x, yz] plus the local-consistency convergence certificate (a
         # d=1 check pass that proves the exact fixed point at ~1/4 sweep
@@ -1122,6 +1124,56 @@ class MamriEngine:
         self.trajectory_path = plan.path
         self.trajectory_keyframes = plan.keyframes
         return plan
+
+    def validate_plan_exact(self, plan=None, max_edge_mm: float = 1.0) -> dict:
+        """Triangle-exact host validation of a final plan — the fidelity of
+        the reference's vtkCollisionDetectionFilter check (Mamri.py:1555-1575).
+
+        The on-device path check is conservatively voxelized (dilated
+        occupancy + sparse part sampling): it never calls a colliding path
+        free, but can over-reject tight-but-legal trajectories. This
+        validator densifies the part hulls to sub-voxel point grids (STL
+        triangles when the engine has a `mesh_dir`, dense capsules
+        otherwise) and tests every path sample against the UNDILATED body
+        voxels. Returns the exact per-sample contact profile plus
+        `over_conservative`: True when the fast checker flagged a collision
+        the exact check clears — such a plan may be re-qualified by the
+        operator. Runs once per accepted plan (host numpy), not in the
+        planning hot loop.
+        """
+        from mamri_tpu.planning.exact import build_exact_parts, validate_path_exact
+
+        if plan is None:
+            path = self.trajectory_path
+        else:
+            path = plan.path
+        if path is None:
+            raise RuntimeError("no planned path to validate; run plan_heuristic_path first")
+        if self.last_segmentation is None or not bool(self.last_segmentation["body_found"]):
+            raise RuntimeError("no body segmentation available; run estimate_pose first")
+        if self.baseplate_tf is None:
+            raise RuntimeError("robot base unknown; run estimate_pose first")
+        if self._exact_parts is None or self._exact_parts.max_edge_mm != max_edge_mm:
+            self._exact_parts = build_exact_parts(
+                self.model, mesh_dir=self.mesh_dir, max_edge_mm=max_edge_mm
+            )
+        spacing, origin = self.last_volume_geom
+        with self.tracer.span("validate_plan_exact"):
+            out = validate_path_exact(
+                self.model,
+                self._exact_parts,
+                np.asarray(self.last_segmentation["body_mask"]),
+                spacing,
+                origin,
+                self.baseplate_tf,
+                path,
+            )
+        fast_flagged = bool(plan.collision_detected) if plan is not None else None
+        out["fast_checker_flagged"] = fast_flagged
+        out["over_conservative"] = (
+            bool(fast_flagged and out["collision_free"]) if fast_flagged is not None else None
+        )
+        return out
 
     # ------------------------------------------------------------------ state persistence
     def save_state(self, path: str) -> None:
