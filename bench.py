@@ -325,6 +325,29 @@ def main():
     # casts to f32 on-chip, and the synthetic intensities are integral so
     # results are bit-identical) — the mitigation for bandwidth-bound links.
     stream_i16_p50_ms, _ = _stream([f.astype(np.int16) for f in frames], "sync_int16")
+
+    # ROI ingest: int16 frames cropped on the host to the fixed marker-bbox
+    # window (previous pose + 40 mm margin) before upload — the decisive
+    # ingest-bytes lever (VERDICT r4 #4). Frame 0 is full (anchors the
+    # window); the timed frames all ride the window, with full-frame
+    # fallback on drift.
+    frames_i16 = [f.astype(np.int16) for f in frames]
+    tr_roi = PoseTracker(engine, roi_margin_mm=40.0)
+    tr_roi.step(Volume(data=frames_i16[0], spacing=spacing, origin=origin))  # anchor (full)
+    tr_roi.step(Volume(data=frames_i16[0], spacing=spacing, origin=origin))  # compile ROI shape
+    tr_roi.tracer.spans["frame"].clear()
+    roi_lats = []
+    for i in range(STREAM_FRAMES):
+        fr = frames_i16[i % len(frames_i16)]
+        t0 = time.perf_counter()
+        r = tr_roi.step(Volume(data=fr, spacing=spacing, origin=origin))
+        roi_lats.append(time.perf_counter() - t0)
+        if not r.success:
+            stream_fail.append("roi_int16")
+    roi_lats.sort()
+    stream_roi_p50_ms = roi_lats[len(roi_lats) // 2] * 1e3
+    roi_stats = tr_roi.stats()
+    roi_mb = (np.prod(roi_stats["roi_shape"]) * 2 / 1e6) if "roi_shape" in roi_stats else None
     stream_ok = not stream_fail
 
     # ---- planning (BASELINE config 4): entry-point search + collision-
@@ -381,7 +404,13 @@ def main():
             noisy[i, j, k] = 100.0
     noisy = noisy + rng.normal(0.0, 5.0, noisy.shape).astype(np.float32)
 
-    noisy_params = SegmentationParams(max_sweeps=2, passes=3, max_roots=2048, cand_k=128, run_k=16)
+    # the settings the engine's TARGETED certificate escalation lands on for
+    # this scene (count_ok + cand_ok fail at defaults; runs_ok holds so run_k
+    # stays 8, and stats run over the top_k-compacted run table), pre-set so
+    # the measurement is one compile — verified against the live escalation
+    # chain in tests/test_segmentation.py::test_compact_stats_parity_and_
+    # targeted_escalation and tools/ik_oracle-era run logs (r5).
+    noisy_params = SegmentationParams(max_sweeps=2, passes=3, max_roots=4096, cand_k=64, run_k=8)
     pipeline_n = engine.pipeline_fn(seg_params=noisy_params)
 
     def one_noisy(d):
@@ -506,11 +535,20 @@ def main():
                     "p95_ms": round(stream_p95_ms, 2),
                     "pipelined_fps": round(stream_fps, 2),
                     "int16_frames_p50_ms": round(stream_i16_p50_ms, 2),
+                    "roi_int16_p50_ms": round(stream_roi_p50_ms, 2),
+                    "roi_frames": roi_stats.get("roi_frames"),
+                    "roi_fallbacks": roi_stats.get("roi_fallbacks"),
+                    "roi_upload_mb_per_frame": None if roi_mb is None else round(float(roi_mb), 2),
+                    "full_upload_mb_per_frame": round(frames[0].nbytes / 1e6, 2),
+                    # the relay-independent answer to config 5's < 100 ms bar:
+                    # volume pre-staged on device, chained dispatch->result
+                    "device_only_p50_ms": round(p50_device_ms, 2),
+                    "device_only_interactive": p50_device_ms < TARGET_STREAM_MS,
                     "frames": STREAM_FRAMES,
                     "all_success": bool(stream_ok),
                     "failed_modes": sorted(set(stream_fail)),
                     "interactive": stream_p50_ms < TARGET_STREAM_MS,
-                    "includes": "H2D upload + relay RTT + device compute, per frame (pipelined_fps overlaps them across frames)",
+                    "includes": "H2D upload + relay RTT + device compute, per frame (pipelined_fps overlaps them across frames; device_only_p50_ms excludes the host link entirely)",
                 },
                 "planning": {
                     # None (valid JSON), not NaN, when the planning block was
@@ -528,7 +566,7 @@ def main():
                     "certified_no_truncation": noisy_certified,
                     "success": noisy_ok,
                     "max_angle_err_deg": round(noisy_err_deg, 4),
-                    "settings": "max_roots=2048, cand_k=128, run_k=16 (noisy-scan escalation caps, one compile)",
+                    "settings": "max_roots=4096, cand_k=64, run_k=8, compact stats (targeted-escalation landing point, one compile)",
                 },
                 "settings": "engine defaults (certified): [yz,x,yz] half-sweep schedule + local-consistency certificate, 128 roots, run_k=8 run-length stats, 32-slot certified blob band, IK 24 iters analytic-seeded",
                 "angle_err_note": "per-joint wrist deviations equal the converged SciPy-TRF-from-truth bound on identical residuals (voxel-centroid quantization gauge freedom, IK_ORACLE.json; invariants: rmse_mm, tcp_err_mm, J1)",

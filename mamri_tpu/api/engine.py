@@ -253,6 +253,11 @@ class MamriEngine:
                 "seg_converged": seg.ccl_converged,
                 "roots_complete": seg.roots_complete,
                 "blobs_complete": seg.blobs_complete,
+                # sub-certificates: which budget failed (targeted escalation)
+                "seg_count_ok": seg.count_ok,
+                "seg_cand_ok": seg.cand_ok,
+                "seg_runs_ok": seg.runs_ok,
+                "seg_compact_ok": seg.compact_ok,
             }
 
         return pipeline
@@ -278,6 +283,10 @@ class MamriEngine:
         converged: bool,
         complete: bool,
         blobs_complete: bool = True,
+        count_ok: Optional[bool] = None,
+        cand_ok: Optional[bool] = None,
+        runs_ok: Optional[bool] = None,
+        compact_ok: Optional[bool] = None,
     ):
         """One escalation step for an uncertified segmentation result.
 
@@ -289,7 +298,14 @@ class MamriEngine:
         stronger rerun, not a silent truncation. Each failing certificate is
         escalated independently (a maxed-out budget on one axis must not
         discard escalation still available on another). Returns None when
-        nothing further can be done."""
+        nothing further can be done.
+
+        When the completeness SUB-certificates are given (count_ok, cand_ok,
+        runs_ok, compact_ok — the kernel path reports them), only the budget
+        that actually overflowed grows: a 1,500-speckle scan needs
+        max_roots=2048 and cand_k=64 but NOT run_k=64 — blanket escalation
+        would double the run table (and with it the stats traffic) for
+        nothing. Legacy 3-arg callers keep the blanket behavior."""
         new = params
         if not converged:
             if params.passes is not None:
@@ -297,7 +313,8 @@ class MamriEngine:
                     new = new._replace(passes=min(params.passes * 2, 512))
             elif params.max_sweeps < 256:
                 new = new._replace(max_sweeps=min(params.max_sweeps * 2, 256))
-        if not complete and not (
+        targeted = count_ok is not None
+        if not complete and not targeted and not (
             params.max_roots >= 4096 and params.cand_k >= 256 and params.run_k >= 128
         ):
             new = new._replace(
@@ -306,6 +323,18 @@ class MamriEngine:
                 run_k=min(max(params.run_k * 4, 64), 128),
                 exhaustive_roots=True,  # jnp path: exact flat top_k
             )
+        elif not complete and targeted:
+            if not count_ok and params.max_roots < 4096:
+                new = new._replace(
+                    max_roots=min(max(params.max_roots * 8, 1024), 4096),
+                    exhaustive_roots=True,  # jnp path: exact flat top_k
+                )
+            if cand_ok is False and params.cand_k < 256:
+                new = new._replace(cand_k=min(max(params.cand_k * 8, 64), 256))
+            if runs_ok is False and params.run_k < 128:
+                new = new._replace(run_k=min(max(params.run_k * 2, 16), 128))
+            if compact_ok is False and params.compact_stats is not False:
+                new = new._replace(compact_stats=False)  # exact dense rerun
         if not blobs_complete and params.max_blobs < 128:
             # the matchers scale to any K (C(K,3) vectorized scoring; the
             # global mode's blob sets are multi-word bitmasks), so the band
@@ -357,7 +386,13 @@ class MamriEngine:
                 blobs_ok = bool(out["blobs_complete"])
                 if converged and complete and blobs_ok:
                     break
-                stronger = self._escalate_seg_params(params, converged, complete, blobs_ok)
+                stronger = self._escalate_seg_params(
+                    params, converged, complete, blobs_ok,
+                    count_ok=bool(out["seg_count_ok"]),
+                    cand_ok=bool(out["seg_cand_ok"]),
+                    runs_ok=bool(out["seg_runs_ok"]),
+                    compact_ok=bool(out["seg_compact_ok"]),
+                )
                 if stronger is None:
                     logger.warning(
                         "segmentation uncertified at strongest settings "
@@ -534,6 +569,10 @@ class MamriEngine:
                 bool(out["seg_converged"][fail].all()),
                 bool(out["roots_complete"][fail].all()),
                 bool(out["blobs_complete"][fail].all()),
+                count_ok=bool(out["seg_count_ok"][fail].all()),
+                cand_ok=bool(out["seg_cand_ok"][fail].all()),
+                runs_ok=bool(out["seg_runs_ok"][fail].all()),
+                compact_ok=bool(out["seg_compact_ok"][fail].all()),
             )
             if stronger is None:
                 logger.warning(

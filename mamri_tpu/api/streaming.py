@@ -16,6 +16,16 @@ Two modes:
     next — higher frame rate at `depth` frames of result latency. IK then
     warm-starts from a pose `depth` frames old (fine at interactive rates:
     the arm barely moves per frame).
+
+ROI ingest (`roi_margin_mm=`): after the first successful full frame, each
+subsequent frame is cropped on the HOST to a fixed-shape window around the
+predicted marker bounding box (previous pose + margin) before upload — a
+256^3 f32 frame (67 MB) typically shrinks to 1-4 MB, the decisive lever on
+bandwidth-constrained links (this platform's relay H2D runs ~5 MB/s and
+leaks the staged buffer in host RSS, docs/ROADMAP.md). The window SHAPE is
+frozen at first use (one jit compile); only its position tracks the pose.
+Any ROI-frame failure falls back to the full frame in the same step, so a
+pose jump larger than the margin costs one slow frame, never a miss.
 """
 
 from __future__ import annotations
@@ -23,7 +33,9 @@ from __future__ import annotations
 import time
 from typing import List, Optional
 
-from mamri_tpu.api.engine import MamriEngine
+import numpy as np
+
+from mamri_tpu.api.engine import MARKER_LINKS, MamriEngine
 from mamri_tpu.api.types import PoseEstimate
 from mamri_tpu.perception.volume import Volume
 from mamri_tpu.utils.trace import Tracer
@@ -40,6 +52,7 @@ class PoseTracker:
         entry_ras=None,
         safety_mm: float = 5.0,
         replan_every: int = 1,
+        roi_margin_mm: Optional[float] = None,
     ):
         """`target_ras` (with `entry_ras`) arms per-frame RE-PLANNING: after
         every `replan_every`-th successful estimate the tracker re-solves
@@ -59,6 +72,11 @@ class PoseTracker:
                 "collision world must come from the frame being planned, and "
                 "the pipelined path does not keep segmentations"
             )
+        if roi_margin_mm is not None and target_ras is not None:
+            raise ValueError(
+                "ROI ingest crops the body out of the frame; per-frame "
+                "re-planning needs the full scan (drop roi_margin_mm or target_ras)"
+            )
         self.engine = engine
         self.apply_correction = apply_correction
         self.pipelined = pipelined
@@ -73,6 +91,64 @@ class PoseTracker:
         self.failures = 0
         self.last_estimate: Optional[PoseEstimate] = None
         self._inflight: List[dict] = []
+        self.roi_margin_mm = roi_margin_mm
+        self._roi_shape: Optional[tuple] = None  # frozen window shape (voxels)
+        self.roi_frames = 0  # frames served from the cropped window
+        self.roi_fallbacks = 0  # ROI attempts that re-ran the full frame
+
+    # ------------------------------------------------------------ ROI ingest
+    def _marker_bbox_vox(self, volume: Volume) -> Optional[np.ndarray]:
+        """Predicted marker bounding box (index coords) from the last pose."""
+        est = self.last_estimate
+        if est is None or not est.success or est.baseplate_tf is None:
+            return None
+        import jax.numpy as jnp
+
+        from mamri_tpu.core.robot import marker_world_positions
+
+        pts = np.concatenate(
+            [
+                np.asarray(
+                    marker_world_positions(
+                        self.engine.model, jnp.asarray(est.angles_rad), ln, jnp.asarray(est.baseplate_tf)
+                    )
+                )
+                for ln in MARKER_LINKS
+            ]
+        )
+        return np.stack([volume.ras_to_index(p) for p in pts])
+
+    def _crop_roi(self, volume: Volume) -> Optional[Volume]:
+        """Fixed-shape window around the predicted markers, or None when no
+        previous pose anchors it (first frame / after a failure)."""
+        idx = self._marker_bbox_vox(volume)
+        if idx is None:
+            return None
+        margin = np.ceil(self.roi_margin_mm / np.asarray(volume.spacing)).astype(int)
+        lo = np.floor(idx.min(0)).astype(int) - margin
+        hi = np.ceil(idx.max(0)).astype(int) + margin + 1
+        shape = np.asarray(volume.shape)
+        if self._roi_shape is None:
+            # freeze the window shape on first use: one pipeline compile.
+            # Round up to 8-voxel multiples (the device pipeline pads to its
+            # kernel tiles internally; the ROI win is the H2D bytes) and
+            # clamp to the full frame.
+            want = hi - lo
+            want = np.minimum(-(-want // 8) * 8, shape)
+            self._roi_shape = tuple(int(w) for w in want)
+        want = np.asarray(self._roi_shape)
+        if np.prod(want) >= 0.9 * np.prod(shape):
+            return None  # window ~ the whole frame; ROI buys nothing
+        center = (lo + hi) // 2
+        start = np.clip(center - want // 2, 0, shape - want)
+        # a pose drift that pushes the TRUE bbox outside the clamped window
+        # is caught by the success check -> full-frame fallback
+        sl = tuple(slice(int(s), int(s + w)) for s, w in zip(start, want))
+        return Volume(
+            data=volume.data[sl],
+            spacing=volume.spacing,
+            origin=volume.origin + volume.spacing * start.astype(np.float32),
+        )
 
     def step(self, volume: Volume) -> Optional[PoseEstimate]:
         """Process one scan. Synchronous mode returns the frame's estimate;
@@ -80,13 +156,27 @@ class PoseTracker:
         (None while the pipeline fills — call `flush()` at end of stream)."""
         t0 = time.perf_counter()
         if not self.pipelined:
-            # re-plan frames keep the segmentation: the body world used for
-            # collision checking is rebuilt from THIS frame's scan
-            result = self.engine.estimate_pose(
-                volume,
-                apply_correction=self.apply_correction,
-                keep_segmentation=self.target_ras is not None,
-            )
+            keep = self.target_ras is not None
+            roi = self._crop_roi(volume) if self.roi_margin_mm is not None else None
+            if roi is not None:
+                # ROI frames never overwrite the engine's body segmentation
+                result = self.engine.estimate_pose(
+                    roi, apply_correction=self.apply_correction,
+                    keep_segmentation=False, store_state=True,
+                )
+                if result.success:
+                    self.roi_frames += 1
+                else:
+                    self.roi_fallbacks += 1
+                    result = self.engine.estimate_pose(
+                        volume, apply_correction=self.apply_correction, keep_segmentation=keep
+                    )
+            else:
+                # re-plan frames keep the segmentation: the body world used
+                # for collision checking is rebuilt from THIS frame's scan
+                result = self.engine.estimate_pose(
+                    volume, apply_correction=self.apply_correction, keep_segmentation=keep
+                )
         else:
             self._inflight.append(
                 self.engine.estimate_pose_async(volume, apply_correction=self.apply_correction)
@@ -141,4 +231,9 @@ class PoseTracker:
         r = self.tracer.stats("replan")
         if r:
             out["replan_p50_ms"] = round(r["p50_s"] * 1e3, 2)
+        if self.roi_margin_mm is not None:
+            out["roi_frames"] = self.roi_frames
+            out["roi_fallbacks"] = self.roi_fallbacks
+            if self._roi_shape is not None:
+                out["roi_shape"] = list(self._roi_shape)
         return out

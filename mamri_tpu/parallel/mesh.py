@@ -77,6 +77,7 @@ _OUT_KEYS = (
     "success", "angles", "steps", "rmse", "base_tf", "base_ok", "base_source",
     "markers_found", "num_blobs", "body_found", "num_components",
     "seg_converged", "roots_complete", "blobs_complete",
+    "seg_count_ok", "seg_cand_ok", "seg_runs_ok", "seg_compact_ok",
 )
 
 

@@ -862,6 +862,75 @@ def run_stats_matmul(
     )(roots.reshape(r, 1), lab2d, len2d, z02d)
 
 
+def _run_stats_compact_kernel(roots_ref, lab_ref, len_ref, z0_ref, gi_ref, gj_ref, out_ref, *, block: int):
+    """Compact-table variant of `_run_stats_kernel`: run coordinates arrive
+    as data (gathered alongside the runs) instead of being derived from the
+    grid position, so the table can be arbitrarily permuted/compacted."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    lab = lab_ref[:, :].reshape(1, block)
+    ln = len_ref[:, :].reshape(1, block).astype(jnp.float32)
+    z0 = z0_ref[:, :].reshape(1, block).astype(jnp.float32)
+    gi = gi_ref[:, :].reshape(1, block).astype(jnp.float32)
+    gj = gj_ref[:, :].reshape(1, block).astype(jnp.float32)
+    eq = (lab == roots_ref[:, :]).astype(jnp.float32)  # (R, block)
+    feats = jnp.concatenate(
+        [ln, gi * ln, gj * ln, z0 * ln + ln * (ln - 1.0) * 0.5], axis=0
+    )
+    out_ref[:, :] += lax.dot_general(
+        eq,
+        feats,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+
+
+def run_stats_matmul_compact(
+    lab_c, len_c, z0_c, gi_c, gj_c, roots, block: int = 0, interpret: bool = False
+):
+    """(R, 4) stats over a COMPACTED 1-D run table (see `compact_runs` in
+    segmentation.py). The dense (nx, k, ny) table is mostly empty slots —
+    ~3-30x more than real runs on clinical scenes — and the stats cost is
+    the (R x M) one-hot VMEM traffic, so compaction is what keeps escalated
+    root budgets (thousands of speckle components) cheap: M drops from
+    nx*k*ny to the compaction cap."""
+    (m,) = lab_c.shape
+    r = roots.shape[0]
+    if block <= 0:
+        block = max(1024, min(m, ((32 * 1024 * 1024 // (4 * max(r, 1))) // 1024) * 1024))
+    mpad = -(-m // block) * block
+
+    def flat(a, fill):
+        if mpad != m:
+            a = jnp.pad(a, (0, mpad - m), constant_values=fill)
+        return a.reshape(mpad // (block // 8), block // 8)
+
+    kernel = functools.partial(_run_stats_compact_kernel, block=block)
+    blk = pl.BlockSpec((8, block // 8), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(mpad // block,),
+        in_specs=[pl.BlockSpec((r, 1), lambda i: (0, 0), memory_space=pltpu.VMEM)]
+        + [blk] * 5,
+        out_specs=pl.BlockSpec((r, 4), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, 4), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        roots.reshape(r, 1),
+        flat(lab_c, _BIG),
+        flat(len_c, 0),
+        flat(z0_c, 0),
+        flat(gi_c, 0),
+        flat(gj_c, 0),
+    )
+
+
 # --------------------------------------------------------------------------- stats
 def _stats_kernel(roots_ref, lab_ref, out_ref, *, nx: int, ny: int, block: int):
     """One (8, bc) label block flattened to a (1, block) row, compared against

@@ -72,6 +72,13 @@ class SegmentationParams(NamedTuple):
     # regardless of schedule, so an odd count (trailing yz, no final x) is
     # valid and the engine defaults to passes=3 — convex-ish anatomy
     # converges with [yz, x, yz] and the certificate escalates the rest.
+    compact_stats: Optional[bool] = None  # kernel-path stats over a
+    # top_k-COMPACTED run table instead of the dense (nx, k, ny) one. The
+    # stats cost is the (R x M) one-hot VMEM traffic; real runs are ~3-30x
+    # sparser than the dense slots, so at escalated R this is the lever that
+    # keeps noisy scans (thousands of speckle components) fast. None = auto
+    # (on when max_roots > 256). Certified: n_runs <= the static cap, else
+    # the engine disables compaction (exact dense rerun).
 
 
 class SegmentationResult(NamedTuple):
@@ -96,6 +103,12 @@ class SegmentationResult(NamedTuple):
     # component got a blob slot (num_in_band <= max_blobs). The ITK reference
     # has no component cap (Mamri.py:1310-1317), so a full blob band is a
     # silent truncation unless certified; the engine escalates max_blobs.
+    # Sub-certificates of roots_complete, for TARGETED escalation (only the
+    # failing budget re-runs stronger; see MamriEngine._escalate_seg_params):
+    count_ok: jnp.ndarray = True  # num_components <= max_roots
+    cand_ok: jnp.ndarray = True  # kernel path: no block exceeded cand_k
+    runs_ok: jnp.ndarray = True  # kernel path: no line exceeded run_k
+    compact_ok: jnp.ndarray = True  # compact-stats path: n_runs <= cap
 
 
 def _ball_offsets(radius: int) -> Tuple[Tuple[int, int, int], ...]:
@@ -450,9 +463,13 @@ def _component_stats(
     return roots, root_valid, counts, sums_ijk, num_components, complete
 
 
+def _pow2ceil(v: int) -> int:
+    return 1 << max(int(v) - 1, 1).bit_length()
+
+
 def _component_stats_fast(
     labels_padded, dists, shape, max_roots: int, cand_k: int = 8, run_k: int = 8,
-    interpret: bool = False,
+    compact: Optional[bool] = None, interpret: bool = False,
 ):
     """TPU fast path: per-slab root extraction kernel + run-length stats.
 
@@ -461,11 +478,25 @@ def _component_stats_fast(
     sweeps (the z pair doubles as the run table); `shape` the original
     (nx, ny, nz). Stats are computed over the ~nz/run_k-times-smaller z-run
     decomposition (`run_stats_matmul`), so escalated root budgets stay
-    cheap. Exact whenever `complete` is True (num_components <= max_roots,
-    every 8-voxel x-slab held <= `cand_k` roots, and every (x, y) line held
-    <= `run_k` z-runs); the engine escalates otherwise.
+    cheap; at escalated `max_roots` (> 256, or `compact=True`) the run table
+    is additionally top_k-COMPACTED to the real runs before the stats
+    contraction — the (R x M) one-hot traffic is the cost, and clinical
+    scenes fill only ~3-30% of the dense slots.
+
+    Exact whenever `complete` is True; the sub-certificates say WHICH budget
+    to escalate otherwise: `count_ok` (num_components <= max_roots),
+    `cand_ok` (no 8-voxel x-slab held > cand_k roots), `runs_ok` (no (x, y)
+    line held > run_k z-runs), `compact_ok` (n_runs <= the compaction cap —
+    escalation disables compaction for an exact dense rerun).
+
+    Returns (labels, roots, root_valid, counts, sums_ijk, num_components,
+    complete, count_ok, cand_ok, runs_ok, compact_ok).
     """
-    from mamri_tpu.perception.pallas_ops import extract_z_runs, run_stats_matmul
+    from mamri_tpu.perception.pallas_ops import (
+        extract_z_runs,
+        run_stats_matmul,
+        run_stats_matmul_compact,
+    )
 
     nx, ny, nz = shape
     dfz, dbz = dists[4], dists[5]
@@ -482,20 +513,47 @@ def _component_stats_fast(
         roots = jnp.pad(roots, (0, max_roots - r_eff), constant_values=_BIG)
     root_valid = roots != _BIG
 
-    complete = functools.reduce(
-        jnp.logical_and,
-        (
-            num_components <= max_roots,
-            jnp.all(block_counts <= cand_k),
-            max_runs <= run_k,
-        ),
-    )
+    count_ok = num_components <= max_roots
+    cand_ok = jnp.all(block_counts <= cand_k)
+    runs_ok = max_runs <= run_k
 
+    use_compact = compact if compact is not None else (max_roots > 256)
+    nxp, kk, nyp = run_lab.shape
+    m = nxp * kk * nyp
+    if use_compact:
+        # cap: >= half the (x, y) lines holding a run — far above clinical
+        # occupancy; certified (n_runs <= cap) and escalatable to dense.
+        cap = min(m, max(32768, _pow2ceil((nx * ny) // 2)))
+        lnflat = run_len.reshape(-1)
+        n_runs = jnp.sum(lnflat > 0, dtype=jnp.int32)
+        compact_ok = n_runs <= cap
+        pos_keys = jnp.where(lnflat > 0, -jnp.arange(m, dtype=jnp.int32), -_BIG)
+        kv, _ = lax.top_k(pos_keys, cap)
+        pos = -kv  # ascending original slot positions; _BIG where empty
+        real = pos < m
+        safe = jnp.where(real, pos, 0)
+        lab_c = jnp.where(real, jnp.take(run_lab.reshape(-1), safe), _BIG)
+        len_c = jnp.where(real, jnp.take(lnflat, safe), 0)
+        z0_c = jnp.where(real, jnp.take(run_z0.reshape(-1), safe), 0)
+        gi_c = jnp.where(real, pos // (kk * nyp), 0)
+        gj_c = jnp.where(real, pos % nyp, 0)
+        stats = run_stats_matmul_compact(
+            lab_c, len_c, z0_c, gi_c, gj_c, roots, interpret=interpret
+        )
+    else:
+        compact_ok = jnp.asarray(True)
+        stats = run_stats_matmul(run_lab, run_len, run_z0, roots, interpret=interpret)
+
+    complete = functools.reduce(
+        jnp.logical_and, (count_ok, cand_ok, runs_ok, compact_ok)
+    )
     labels = _crop3(labels_padded, shape)
-    stats = run_stats_matmul(run_lab, run_len, run_z0, roots, interpret=interpret)
     counts = stats[:, 0]
     sums_ijk = stats[:, 1:4]
-    return labels, roots, root_valid, counts, sums_ijk, num_components, complete
+    return (
+        labels, roots, root_valid, counts, sums_ijk, num_components, complete,
+        count_ok, cand_ok, runs_ok, compact_ok,
+    )
 
 
 def _validate_thresholds(params: SegmentationParams):
@@ -549,16 +607,18 @@ def segment_volume(data, spacing, origin, params: SegmentationParams = Segmentat
         labels_padded, converged = _ccl_sweeps_pallas_from_dists(
             lab0, dists, params.max_sweeps, passes=params.passes, interpret=interp
         )
-        labels, roots, root_valid, counts, sums_ijk, num_components, complete = (
-            _component_stats_fast(
-                labels_padded,
-                dists,
-                data.shape,
-                params.max_roots,
-                cand_k=params.cand_k,
-                run_k=params.run_k,
-                interpret=interp,
-            )
+        (
+            labels, roots, root_valid, counts, sums_ijk, num_components, complete,
+            count_ok, cand_ok, runs_ok, compact_ok,
+        ) = _component_stats_fast(
+            labels_padded,
+            dists,
+            data.shape,
+            params.max_roots,
+            cand_k=params.cand_k,
+            run_k=params.run_k,
+            compact=params.compact_stats,
+            interpret=interp,
         )
     else:
         mask = jnp.logical_and(data >= params.intensity_low, data <= params.intensity_high)
@@ -577,16 +637,23 @@ def segment_volume(data, spacing, origin, params: SegmentationParams = Segmentat
         roots, root_valid, counts, sums_ijk, num_components, complete = _component_stats(
             labels, closed, params.max_roots, pallas_on, exhaustive=params.exhaustive_roots
         )
+        # jnp path: `complete` covers the count + blocked-top_k budgets —
+        # count_ok carries it so targeted escalation bumps max_roots/
+        # exhaustive_roots; the kernel-only budgets are trivially fine
+        count_ok = complete
+        cand_ok = runs_ok = compact_ok = jnp.asarray(True)
 
     return finalize_segmentation(
         labels, roots, root_valid, counts, sums_ijk, num_components, complete,
         converged, spacing, origin, params,
+        count_ok=count_ok, cand_ok=cand_ok, runs_ok=runs_ok, compact_ok=compact_ok,
     )
 
 
 def finalize_segmentation(
     labels, roots, root_valid, counts, sums_ijk, num_components, complete,
     converged, spacing, origin, params: SegmentationParams,
+    count_ok=None, cand_ok=None, runs_ok=None, compact_ok=None,
 ) -> SegmentationResult:
     """Blob-band selection + body extraction from per-component stats.
 
@@ -637,4 +704,10 @@ def finalize_segmentation(
         ccl_converged=converged,
         roots_complete=complete,
         blobs_complete=blobs_complete,
+        # legacy callers (the sharded path passes only `complete`): the count
+        # budget is the one every stats path shares, so it inherits it
+        count_ok=complete if count_ok is None else count_ok,
+        cand_ok=jnp.asarray(True) if cand_ok is None else cand_ok,
+        runs_ok=jnp.asarray(True) if runs_ok is None else runs_ok,
+        compact_ok=jnp.asarray(True) if compact_ok is None else compact_ok,
     )

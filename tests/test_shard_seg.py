@@ -51,6 +51,10 @@ def _run_sharded(vol, params, n_shards=8, interpret=None, force_general=False):
             ccl_converged=P(),
             roots_complete=P(),
             blobs_complete=P(),
+            count_ok=P(),
+            cand_ok=P(),
+            runs_ok=P(),
+            compact_ok=P(),
         ),
         check_vma=False,
     )
