@@ -185,6 +185,37 @@ def run_parity_checks(size: int = 128, sweeps: int = 6, interpret=None) -> Dict:
     run_check["sentinel_rows_zero"] = bool(np.all(got_run_stats[nvalid:] == 0.0))
     report["run_stats_matmul"] = run_check
 
+    # --- compact-table stats (the escalated-R path, r5): top_k-compacted
+    # run table must reproduce the dense table's stats bit-for-bit
+    nxp, kk, nyp = run_lab.shape
+    m = nxp * kk * nyp
+    lnflat = np.asarray(run_len).reshape(-1)
+    cap = 1 << max(int((lnflat > 0).sum() * 2 - 1), 1).bit_length()
+    cap = min(max(cap, 256), m)
+
+    def compact_call(lab_t, len_t, z0_t, roots_t):
+        lnf = len_t.reshape(-1)
+        pos_keys = jnp.where(lnf > 0, -jnp.arange(m, dtype=jnp.int32), -_BIG)
+        kv, _ = jax.lax.top_k(pos_keys, cap)
+        pos = -kv
+        real = pos < m
+        safe = jnp.where(real, pos, 0)
+        return po.run_stats_matmul_compact(
+            jnp.where(real, jnp.take(lab_t.reshape(-1), safe), _BIG),
+            jnp.where(real, jnp.take(lnf, safe), 0),
+            jnp.where(real, jnp.take(z0_t.reshape(-1), safe), 0),
+            jnp.where(real, pos // (kk * nyp), 0),
+            jnp.where(real, pos % nyp, 0),
+            roots_t,
+            interpret=interpret,
+        )
+
+    got_compact = np.asarray(jax.jit(compact_call)(run_lab, run_len, run_z0, roots_j))
+    report["run_stats_matmul_compact"] = {
+        "bitexact_vs_dense": bool(np.array_equal(got_compact, got_run_stats)),
+        **_stats_check(got_compact, ref_stats),
+    }
+
     # --- end-to-end segment_volume: kernel path vs jnp path
     params_k = seg.SegmentationParams(max_sweeps=sweeps, use_pallas=True, cand_k=16)
     params_j = seg.SegmentationParams(max_sweeps=sweeps, use_pallas=False)

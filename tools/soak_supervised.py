@@ -34,20 +34,35 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-PORT = 8437
+PORT = 20000 + (os.getpid() % 20000)  # fresh port per run: no stale-listener collisions
+
+
+def _read(r):
+    try:
+        return json.loads(r.read() or b"{}")
+    except (ValueError, OSError):
+        return {}
 
 
 def _get(url, timeout=600):
-    with urllib.request.urlopen(url, timeout=timeout) as r:
-        return r.status, json.loads(r.read())
+    # urlopen raises HTTPError for 4xx/5xx — a 503 drain is DATA here, not
+    # an exception; read its payload instead of treating it as dead
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as r:
+            return r.status, _read(r)
+    except urllib.error.HTTPError as e:
+        return e.code, _read(e)
 
 
 def _post(url, payload, timeout=1800):
     req = urllib.request.Request(
         url, data=json.dumps(payload).encode(), headers={"Content-Type": "application/json"}
     )
-    with urllib.request.urlopen(req, timeout=timeout) as r:
-        return r.status, json.loads(r.read())
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, _read(r)
+    except urllib.error.HTTPError as e:
+        return e.code, _read(e)
 
 
 def main() -> int:
@@ -89,7 +104,8 @@ def main() -> int:
             cmd += ["--max-rss-mb", str(budget_mb)]
         if args.cpu:
             cmd += ["--platform", "cpu"]
-        return subprocess.Popen(cmd, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        log = open(os.path.join(data_root, "supervisor.log"), "ab")
+        return subprocess.Popen(cmd, stdout=log, stderr=log)
 
     def wait_healthy(deadline_s=1200):
         t0 = time.time()
@@ -129,7 +145,12 @@ def main() -> int:
             try:
                 st, out = _post(f"http://127.0.0.1:{PORT}/estimate", {"path": "frame.nii"})
             except (urllib.error.URLError, ConnectionError, OSError):
-                # recycle window: worker died mid-flight; wait for the respawn
+                # recycle window: worker already gone (the 503 window can be
+                # shorter than our polling) — count the generation and wait
+                if gen_frames:
+                    gens += 1
+                    frames_per_gen.append(gen_frames)
+                    gen_frames = 0
                 if not wait_healthy():
                     raise RuntimeError("worker did not come back after recycle")
                 continue
@@ -143,7 +164,7 @@ def main() -> int:
                 continue
             frames += 1
             gen_frames += 1
-            if not out.get("success"):
+            if st != 200 or not out.get("success"):
                 failures += 1
             if frames % 5 == 0 or gen_frames == 1:
                 try:
