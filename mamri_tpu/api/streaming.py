@@ -97,25 +97,55 @@ class PoseTracker:
         self.roi_fallbacks = 0  # ROI attempts that re-ran the full frame
 
     # ------------------------------------------------------------ ROI ingest
+    def _host_fk_markers(self, angles, base_tf) -> np.ndarray:
+        """Marker world positions via a HOST numpy FK replica.
+
+        The window anchor runs every frame; a device FK would cost one relay
+        round-trip per frame (seconds when the relay degrades — CLAUDE.md),
+        for a quantity that only needs to be right to well within the 40 mm
+        margin. Semantics mirror core/robot.fk_all_links +
+        transforms.articulation_matrix (IS -> RotZ(+t), PA -> RotY(-t),
+        LR -> RotX(+t)); model arrays are pulled to host once."""
+        if not hasattr(self, "_host_model"):
+            m = self.engine.model
+            self._host_model = {
+                "offsets": np.asarray(m.fixed_offsets, dtype=np.float64),
+                "marker_local": np.asarray(m.marker_local, dtype=np.float64),
+                "specs": m.specs,
+                "marker_idx": [m.link_index(ln) for ln in MARKER_LINKS],
+            }
+        hm = self._host_model
+        angles = np.asarray(angles, dtype=np.float64)
+        world = []
+        for i, spec in enumerate(hm["specs"]):
+            parent = np.asarray(base_tf, dtype=np.float64) if spec.parent < 0 else world[spec.parent]
+            local = hm["offsets"][i]
+            if spec.joint_index >= 0:
+                t = angles[spec.joint_index]
+                c, s = np.cos(t), np.sin(t)
+                art = np.eye(4)
+                if spec.axis_code == 1:  # IS -> RotZ(+t)
+                    art[:2, :2] = [[c, -s], [s, c]]
+                elif spec.axis_code == 2:  # PA -> RotY(-t)
+                    art[0, 0] = art[2, 2] = c
+                    art[0, 2] = -s
+                    art[2, 0] = s
+                elif spec.axis_code == 3:  # LR -> RotX(+t)
+                    art[1:3, 1:3] = [[c, -s], [s, c]]
+                local = local @ art
+            world.append(parent @ local)
+        pts = []
+        for li in hm["marker_idx"]:
+            tf = world[li]
+            pts.append(hm["marker_local"][li] @ tf[:3, :3].T + tf[:3, 3])
+        return np.concatenate(pts)
+
     def _marker_bbox_vox(self, volume: Volume) -> Optional[np.ndarray]:
         """Predicted marker bounding box (index coords) from the last pose."""
         est = self.last_estimate
         if est is None or not est.success or est.baseplate_tf is None:
             return None
-        import jax.numpy as jnp
-
-        from mamri_tpu.core.robot import marker_world_positions
-
-        pts = np.concatenate(
-            [
-                np.asarray(
-                    marker_world_positions(
-                        self.engine.model, jnp.asarray(est.angles_rad), ln, jnp.asarray(est.baseplate_tf)
-                    )
-                )
-                for ln in MARKER_LINKS
-            ]
-        )
+        pts = self._host_fk_markers(est.angles_rad, est.baseplate_tf)
         return np.stack([volume.ras_to_index(p) for p in pts])
 
     def _crop_roi(self, volume: Volume) -> Optional[Volume]:
