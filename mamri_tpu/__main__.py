@@ -407,6 +407,24 @@ def cmd_hw(args) -> int:
         if args.action == "status":
             out["status"] = stack.status()
             out["joints"] = stack.joint_status_table()
+        elif args.action == "watch":
+            # the always-on live status panel (reference: 40 ms poll with
+            # 4 Hz heavy updates, Mamri.py:120, :595): passive encoder-state
+            # frames at 4 Hz for --duration seconds, one JSON line each —
+            # works with a robot commanded by ANY controller, no task needed
+            import time as _time
+
+            t_end = _time.time() + args.duration
+            while _time.time() < t_end:
+                fr = stack.passive_status()
+                fr["t"] = _time.time()
+                if fr["encoder_steps"] is not None:
+                    angles = eng.convert_steps_to_angles(np.asarray(fr["encoder_steps"]))
+                    eng.set_pose(angles)  # mirror into the engine scene state
+                    fr["angles_deg"] = np.rad2deg(angles).round(3).tolist()
+                print(json.dumps(fr, default=_json_default), flush=True)
+                _time.sleep(0.25)
+            out["frames"] = "streamed"
         elif args.action == "zero-hardware":
             stack.zero_hardware()
             out["status"] = stack.status()
@@ -603,7 +621,7 @@ def main(argv=None) -> int:
     ps.add_argument("--shutdown-token", default=None, help="require this token in POST /shutdown bodies (recommended on non-loopback binds)")
 
     ph = sub.add_parser("hw", help="hardware control: status / move / exec / jog / zero / zero-hardware over serial or the built-in simulator")
-    ph.add_argument("action", choices=["status", "move", "exec", "jog", "zero", "zero-hardware"])
+    ph.add_argument("action", choices=["status", "watch", "move", "exec", "jog", "zero", "zero-hardware"])
     ph.add_argument("--ports", nargs=2, metavar=("CONTROLLER", "ENCODER"), default=None, help="serial devices (e.g. /dev/ttyUSB0 /dev/ttyUSB1)")
     ph.add_argument("--sim", action="store_true", help="drive the in-process protocol simulator instead of real serial")
     ph.add_argument("--sim-speed", type=float, default=1500.0, help="simulated motor speed, steps/s")
@@ -616,6 +634,7 @@ def main(argv=None) -> int:
     ph.add_argument("--tick", type=float, default=0.15, help="control-loop tick seconds (reference: 150 ms)")
     ph.add_argument("--sync", action="store_true", help="run the encoder<->controller sync monitor during the task")
     ph.add_argument("--watch", action="store_true", help="print one JSON pose frame per control tick during the task (live execution mirror)")
+    ph.add_argument("--duration", type=float, default=10.0, help="watch action: seconds to stream passive status frames (4 Hz)")
 
     args = ap.parse_args(argv)
     return {
