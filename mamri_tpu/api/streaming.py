@@ -36,6 +36,7 @@ from typing import List, Optional
 import numpy as np
 
 from mamri_tpu.api.engine import MARKER_LINKS, MamriEngine
+from mamri_tpu.core.robot import fk_all_links_host
 from mamri_tpu.api.types import PoseEstimate
 from mamri_tpu.perception.volume import Volume
 from mamri_tpu.utils.trace import Tracer
@@ -77,6 +78,13 @@ class PoseTracker:
                 "ROI ingest crops the body out of the frame; per-frame "
                 "re-planning needs the full scan (drop roi_margin_mm or target_ras)"
             )
+        if roi_margin_mm is not None and pipelined:
+            raise ValueError(
+                "ROI ingest needs the synchronous tracker: the window is "
+                "anchored on the PREVIOUS frame's result, which the "
+                "pipelined path has not retired yet (drop roi_margin_mm "
+                "or pipelined)"
+            )
         self.engine = engine
         self.apply_correction = apply_correction
         self.pipelined = pipelined
@@ -98,42 +106,20 @@ class PoseTracker:
 
     # ------------------------------------------------------------ ROI ingest
     def _host_fk_markers(self, angles, base_tf) -> np.ndarray:
-        """Marker world positions via a HOST numpy FK replica.
+        """Marker world positions via `core.robot.fk_all_links_host`.
 
         The window anchor runs every frame; a device FK would cost one relay
         round-trip per frame (seconds when the relay degrades — CLAUDE.md),
         for a quantity that only needs to be right to well within the 40 mm
-        margin. Semantics mirror core/robot.fk_all_links +
-        transforms.articulation_matrix (IS -> RotZ(+t), PA -> RotY(-t),
-        LR -> RotX(+t)); model arrays are pulled to host once."""
+        margin. Marker locals/indices are pulled to host once."""
         if not hasattr(self, "_host_model"):
             m = self.engine.model
             self._host_model = {
-                "offsets": np.asarray(m.fixed_offsets, dtype=np.float64),
                 "marker_local": np.asarray(m.marker_local, dtype=np.float64),
-                "specs": m.specs,
                 "marker_idx": [m.link_index(ln) for ln in MARKER_LINKS],
             }
         hm = self._host_model
-        angles = np.asarray(angles, dtype=np.float64)
-        world = []
-        for i, spec in enumerate(hm["specs"]):
-            parent = np.asarray(base_tf, dtype=np.float64) if spec.parent < 0 else world[spec.parent]
-            local = hm["offsets"][i]
-            if spec.joint_index >= 0:
-                t = angles[spec.joint_index]
-                c, s = np.cos(t), np.sin(t)
-                art = np.eye(4)
-                if spec.axis_code == 1:  # IS -> RotZ(+t)
-                    art[:2, :2] = [[c, -s], [s, c]]
-                elif spec.axis_code == 2:  # PA -> RotY(-t)
-                    art[0, 0] = art[2, 2] = c
-                    art[0, 2] = -s
-                    art[2, 0] = s
-                elif spec.axis_code == 3:  # LR -> RotX(+t)
-                    art[1:3, 1:3] = [[c, -s], [s, c]]
-                local = local @ art
-            world.append(parent @ local)
+        world = fk_all_links_host(self.engine.model, angles, base_tf)
         pts = []
         for li in hm["marker_idx"]:
             tf = world[li]
@@ -167,6 +153,11 @@ class PoseTracker:
             want = np.minimum(-(-want // 8) * 8, shape)
             self._roi_shape = tuple(int(w) for w in want)
         want = np.asarray(self._roi_shape)
+        if np.any(want > shape):
+            # the frozen window no longer fits (scanner FOV shrank
+            # mid-sequence): a clip against a negative upper bound would
+            # wrap the slice — fall back to full frames instead.
+            return None
         if np.prod(want) >= 0.9 * np.prod(shape):
             return None  # window ~ the whole frame; ROI buys nothing
         center = (lo + hi) // 2

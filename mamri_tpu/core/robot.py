@@ -244,6 +244,45 @@ def fk_all_links(model: RobotModel, angles, base_tf=None):
     return jnp.stack(world, axis=0)
 
 
+def fk_all_links_host(model: RobotModel, angles, base_tf=None) -> np.ndarray:
+    """Host-numpy twin of `fk_all_links` for per-tick / per-frame paths.
+
+    The hardware executor publishes a pose frame every 150 ms control tick
+    and the streaming tracker anchors its ROI window every frame; a device
+    FK there would cost one relay round-trip per call (seconds when the
+    relay degrades — CLAUDE.md). This float64 numpy replica has no device
+    dependency; semantics match `fk_all_links` / the reference's
+    `_get_world_transform_for_joint` (Mamri/Mamri.py:1486-1505) with the
+    axis conventions of `transforms.articulation_matrix` (IS -> RotZ(+t),
+    PA -> RotY(-t), LR -> RotX(+t)). Agrees with the device FK to
+    <0.01 mm over the joint ranges (tests/test_robot_fk.py).
+    """
+    angles = np.asarray(angles, dtype=np.float64).reshape(-1)
+    if angles.shape[0] != model.num_joints:
+        raise ValueError(f"angles must have shape ({model.num_joints},), got {angles.shape}")
+    base = np.eye(4) if base_tf is None else np.asarray(base_tf, dtype=np.float64)
+    offsets = np.asarray(model.fixed_offsets, dtype=np.float64)
+    world: List[np.ndarray] = []
+    for i, spec in enumerate(model.specs):
+        parent = base if spec.parent < 0 else world[spec.parent]
+        local = offsets[i]
+        if spec.joint_index >= 0:
+            t = angles[spec.joint_index]
+            c, s = np.cos(t), np.sin(t)
+            art = np.eye(4)
+            if spec.axis_code == transforms.AXIS_IS:  # RotZ(+t)
+                art[:2, :2] = [[c, -s], [s, c]]
+            elif spec.axis_code == transforms.AXIS_PA:  # RotY(-t)
+                art[0, 0] = art[2, 2] = c
+                art[0, 2] = -s
+                art[2, 0] = s
+            elif spec.axis_code == transforms.AXIS_LR:  # RotX(+t)
+                art[1:3, 1:3] = [[c, -s], [s, c]]
+            local = local @ art
+        world.append(parent @ local)
+    return np.stack(world, axis=0)
+
+
 def fk_link(model: RobotModel, angles, link_name: str, base_tf=None):
     """World transform of a single named link (FK of the whole chain prefix)."""
     return fk_all_links(model, angles, base_tf)[model.link_index(link_name)]

@@ -132,7 +132,11 @@ class RobotTaskRunner:
         st.message = message
         logger.info("task %s finished: %s (%s)", st.mode, outcome.value, message)
         if self.finish_callback is not None:
-            self.finish_callback(st)
+            try:
+                self.finish_callback(st)
+            except Exception:
+                # A broken observer must not change the task outcome.
+                logger.exception("finish_callback failed; task outcome stands")
         return st
 
     def step(self) -> TaskState:
@@ -154,7 +158,13 @@ class RobotTaskRunner:
         live = np.asarray(self.encoder.latest_position, dtype=int)
         self.controller.query_positions()  # keeps last_known_position fresh
         if self.pose_callback is not None:
-            self.pose_callback(live)
+            try:
+                self.pose_callback(live)
+            except Exception:
+                # The mirror is an observer: a failure there (e.g. a dead
+                # device backend inside a subscriber) must not kill the
+                # control loop — stall/arrival/stop handling stays live.
+                logger.exception("pose_callback failed; control loop continues")
 
         if np.all(np.abs(live - st.target_steps) <= self.arrival_tolerance):
             if st.mode == "trajectory":

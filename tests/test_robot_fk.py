@@ -131,3 +131,27 @@ def test_load_robot_model_malformed_json_fails_loudly(tmp_path):
     p.write_text("{not json")
     with pytest.raises(ValueError):
         load_robot_model(str(p))
+
+
+def test_fk_host_twin_matches_device(model):
+    from mamri_tpu.core.robot import fk_all_links_host
+
+    rng = np.random.default_rng(7)
+    base = np.asarray(
+        T.translate(jnp.array([12.0, -30.0, 55.0])) @ T.rot_x(-np.pi / 2) @ T.rot_z(0.6)
+    )
+    for _ in range(8):
+        angles = rng.uniform(-1.4, 1.4, size=model.num_joints).astype(np.float32)
+        dev = np.asarray(fk_all_links(model, jnp.asarray(angles), jnp.asarray(base)))
+        host = fk_all_links_host(model, angles, base)
+        # translation agreement well inside the ROI anchor's 40 mm margin
+        # and the live-mirror display precision (0.001 mm)
+        assert np.abs(dev[:, :3, 3] - host[:, :3, 3]).max() < 1e-2
+        assert np.abs(dev - host).max() < 1e-4
+
+
+def test_fk_host_rejects_wrong_length(model):
+    from mamri_tpu.core.robot import fk_all_links_host
+
+    with pytest.raises(ValueError):
+        fk_all_links_host(model, np.zeros(model.num_joints + 1))

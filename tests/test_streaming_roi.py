@@ -122,3 +122,8 @@ def test_roi_fallback_on_pose_jump(engine, grid):
 def test_roi_incompatible_with_replan(engine):
     with pytest.raises(ValueError, match="ROI ingest"):
         PoseTracker(engine, roi_margin_mm=40.0, target_ras=np.zeros(3), entry_ras=np.zeros(3))
+
+
+def test_roi_incompatible_with_pipelined(engine):
+    with pytest.raises(ValueError, match="synchronous tracker"):
+        PoseTracker(engine, pipelined=True, roi_margin_mm=40.0)

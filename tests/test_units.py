@@ -29,3 +29,20 @@ def test_zero_maps_to_zero():
     spr = jnp.full((6,), 3332.0)
     np.testing.assert_array_equal(np.asarray(angles_to_steps(jnp.zeros(6), spr)), np.zeros(6, dtype=np.int32))
     np.testing.assert_allclose(np.asarray(steps_to_angles(jnp.zeros(6, dtype=jnp.int32), spr)), np.zeros(6), atol=0)
+
+
+def test_host_twins_bit_equal():
+    from mamri_tpu.core.units import angles_to_steps_host, steps_to_angles_host
+
+    model = load_robot_model()
+    rng = np.random.default_rng(3)
+    angles = rng.uniform(-np.pi, np.pi, size=(64, model.num_joints)).astype(np.float32)
+    dev = np.asarray(angles_to_steps(jnp.asarray(angles), model.steps_per_rev))
+    host = angles_to_steps_host(angles, model.steps_per_rev)
+    assert host.dtype == np.int32
+    np.testing.assert_array_equal(dev, host)
+
+    steps = rng.integers(-5000, 5000, size=(64, model.num_joints))
+    dev_a = np.asarray(steps_to_angles(jnp.asarray(steps), model.steps_per_rev))
+    host_a = steps_to_angles_host(steps, model.steps_per_rev)
+    np.testing.assert_array_equal(dev_a, host_a)
