@@ -27,8 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from mamri_tpu.core import transforms
-from mamri_tpu.core.robot import RobotModel, fk_all_links, load_robot_model
-from mamri_tpu.core.units import angles_to_steps, steps_to_angles
+from mamri_tpu.core.robot import RobotModel, fk_all_links, fk_all_links_host, load_robot_model
+from mamri_tpu.core.units import (
+    angles_to_steps,
+    angles_to_steps_host,
+    steps_to_angles_host,
+)
 from mamri_tpu.ik.residuals import solve_full_chain_ik
 from mamri_tpu.perception.segmentation import SegmentationParams, segment_volume
 from mamri_tpu.perception.volume import Volume
@@ -315,7 +319,8 @@ class MamriEngine:
                 new = new._replace(max_sweeps=min(params.max_sweeps * 2, 256))
         targeted = count_ok is not None
         if not complete and not targeted and not (
-            params.max_roots >= 4096 and params.cand_k >= 256 and params.run_k >= 128
+            params.max_roots >= 4096 and params.cand_k >= 256
+            and params.run_k >= 128 and params.exhaustive_roots
         ):
             new = new._replace(
                 max_roots=min(max(params.max_roots * 8, 1024), 4096),
@@ -324,10 +329,14 @@ class MamriEngine:
                 exhaustive_roots=True,  # jnp path: exact flat top_k
             )
         elif not complete and targeted:
-            if not count_ok and params.max_roots < 4096:
+            if not count_ok and (params.max_roots < 4096 or not params.exhaustive_roots):
+                # jnp path: count_ok also covers the blocked-top_k budget, so
+                # a maxed max_roots with exhaustive_roots still off (user
+                # config starting at 4096) must still get the exact flat
+                # top_k rerun rather than "uncertified at strongest settings"
                 new = new._replace(
                     max_roots=min(max(params.max_roots * 8, 1024), 4096),
-                    exhaustive_roots=True,  # jnp path: exact flat top_k
+                    exhaustive_roots=True,
                 )
             if cand_ok is False and params.cand_k < 256:
                 new = new._replace(cand_k=min(max(params.cand_k * 8, 64), 256))
@@ -1017,10 +1026,12 @@ class MamriEngine:
 
     # ------------------------------------------------------------------ conversions
     def convert_angles_to_steps(self, angles_rad) -> np.ndarray:
-        return np.asarray(angles_to_steps(jnp.asarray(angles_rad), self.model.steps_per_rev))
+        # Host twin: this runs on every executor control tick — the eager
+        # jnp version would cost one relay round-trip per call (CLAUDE.md).
+        return angles_to_steps_host(angles_rad, self.model.steps_per_rev)
 
     def convert_steps_to_angles(self, steps) -> np.ndarray:
-        return np.asarray(steps_to_angles(jnp.asarray(steps), self.model.steps_per_rev))
+        return steps_to_angles_host(steps, self.model.steps_per_rev)
 
     # ------------------------------------------------------------------ planning
     def _require_body_world(self):
@@ -1432,9 +1443,11 @@ class MamriEngine:
                     frame["keyframe_index"] = st.keyframe_index
                     frame["num_keyframes"] = len(st.keyframes)
             if self.baseplate_tf is not None:
-                frame["tcp_world"] = (
-                    np.asarray(self.needle_tcp(angles))[:3, 3].round(3).tolist()
-                )
+                # Host-numpy FK: the device FK would cost one relay
+                # round-trip per 150 ms control tick (CLAUDE.md), stalling
+                # arrival/stall detection whenever the relay degrades.
+                tfs = fk_all_links_host(self.model, angles, self.baseplate_tf)
+                frame["tcp_world"] = tfs[self.model.link_index("Needle")][:3, 3].round(3).tolist()
             stream.publish(frame)
 
         def finish_cb(state):
@@ -1489,7 +1502,8 @@ class HardwareStack:
         }
         if self.engine is not None and controller_steps is not None and self.engine.baseplate_tf is not None:
             angles = self.engine.convert_steps_to_angles(np.asarray(controller_steps))
-            out["tcp_world"] = self.engine.needle_tcp(angles)[:3, 3].tolist()
+            tfs = fk_all_links_host(self.engine.model, angles, self.engine.baseplate_tf)
+            out["tcp_world"] = tfs[self.engine.model.link_index("Needle")][:3, 3].tolist()
         return out
 
     def passive_status(self) -> dict:
@@ -1517,12 +1531,15 @@ class HardwareStack:
         with self.stream.subscribe() as sub:
             yield from sub.frames(max_frames=max_frames, idle_timeout_s=idle_timeout_s)
 
-    def joint_status_table(self) -> list:
+    def joint_status_table(self, st: Optional[dict] = None) -> list:
         """Rows of the reference's live joint-status table
         (`jointStatusTableWidget`, Mamri.py:744-747 headers; values from the
         status-panel update Mamri.py:582-637): per joint, encoder /
-        controller / target steps, "..." where a source is unavailable."""
-        st = self.status()
+        controller / target steps, "..." where a source is unavailable.
+        Pass a `status()` snapshot to reuse it (avoids a second controller
+        'P' round-trip)."""
+        if st is None:
+            st = self.status()
         names = (
             self.engine.model.articulated_names
             if self.engine is not None

@@ -270,6 +270,11 @@ class MamriServer:
                 self._hw().stop()
                 return 200, {"success": True, "stop_requested": True}
             if method == "POST" and route in ("/hw/move", "/hw/exec"):
+                if self.draining:
+                    # a draining worker is about to exit: starting a robot
+                    # motion it cannot supervise to completion is unsafe
+                    return 503, {"success": False, "recycle": True,
+                                 "message": f"worker draining: {self.drain_reason}"}
                 opts = self._parse(body, content_type)
                 if route == "/hw/move":
                     return 200, self._do_hw_move(opts)
@@ -279,13 +284,17 @@ class MamriServer:
                     return 503, {"success": False, "recycle": True,
                                  "message": f"worker draining: {self.drain_reason}"}
                 opts = self._parse(body, content_type)
-                paths = opts.get("paths")
-                n_vols = len(paths) if isinstance(paths, list) else 1
+                # budget is charged per volume actually HANDED TO THE DEVICE
+                # (set by _do_estimate_batch just before upload): a request
+                # rejected at validation/load time leaked nothing and must
+                # not drain the worker's frame budget
+                charge = [0]
                 try:
                     with self._compute_lock:
-                        payload = self._do_estimate_batch(opts)
+                        payload = self._do_estimate_batch(opts, charge)
                 finally:
-                    self._check_budgets(n_vols)
+                    if charge[0]:
+                        self._check_budgets(charge[0])
                 return 200, payload
             if method == "POST" and route in ("/estimate", "/entry", "/plan"):
                 if self.draining:
@@ -357,7 +366,7 @@ class MamriServer:
             out["baseplate_remembered"] = True
         return out
 
-    def _do_estimate_batch(self, opts: dict) -> dict:
+    def _do_estimate_batch(self, opts: dict, charge: Optional[list] = None) -> dict:
         """The flagship throughput path over the wire: a homogeneous batch of
         volumes (one scanner geometry — same shape/spacing/origin, e.g. a
         time series) through the vmapped fused pipeline with per-volume
@@ -386,6 +395,8 @@ class MamriServer:
             if not (np.allclose(v.spacing, v0.spacing) and np.allclose(v.origin, v0.origin)):
                 raise ServerError(422, f"batch is not homogeneous: {p!r} has different geometry")
         batch = np.stack([np.asarray(v.data) for v in vols])
+        if charge is not None:
+            charge[0] = len(paths)  # uploads start now: the leak is real
         out = self.engine.estimate_pose_batch(
             batch, v0.spacing, v0.origin,
             apply_correction=bool(opts.get("correction", False)),
@@ -469,7 +480,18 @@ class MamriServer:
 
     def _do_hw_status(self) -> dict:
         hw = self._hw()
-        return {"success": True, "status": hw.status(), "joints": hw.joint_status_table()}
+        if hw.runner.is_active:
+            # The serial links are single-writer: while the executor owns
+            # them, a status() from this handler thread would interleave a
+            # 'P' query with the executor's per-tick traffic. Serve the
+            # lock-safe passive snapshot + the last streamed pose frame.
+            out = {"success": True, "status": hw.passive_status(), "passive": True}
+            stream = getattr(hw, "stream", None)
+            if stream is not None and stream.last_frame is not None:
+                out["last_pose"] = stream.last_frame
+            return out
+        st = hw.status()
+        return {"success": True, "status": st, "joints": hw.joint_status_table(st)}
 
     def _start_hw_task(self, start_fn) -> dict:
         hw = self._hw()
@@ -492,6 +514,25 @@ class MamriServer:
             "target_steps": [int(s) for s in state.target_steps],
             "watch": "/watch",
         }
+
+    def stop_hw_task(self, join_timeout_s: float = 10.0) -> bool:
+        """Soft-stop any active hardware task and wait for its thread.
+        Returns True if the thread is gone (or none was running). Called on
+        worker exit so a drain/shutdown never abandons a moving robot."""
+        t = self._hw_thread
+        if t is None or not t.is_alive():
+            return True
+        hw = getattr(self.engine, "hardware", None)
+        if hw is not None:
+            try:
+                hw.stop()  # request_stop -> next tick soft-stops the controller
+            except Exception:
+                logger.exception("hw soft-stop on worker exit failed")
+        t.join(timeout=join_timeout_s)
+        if t.is_alive():
+            logger.error("hw task thread did not stop within %.0fs", join_timeout_s)
+            return False
+        return True
 
     @staticmethod
     def _six(opts: dict, key: str, cast):
@@ -656,7 +697,11 @@ def make_http_server(core: MamriServer, host: str = "127.0.0.1", port: int = 0):
                     max_frames=int(query["frames"]) if "frames" in query else None,
                     idle_timeout_s=float(query.get("timeout", 30.0)),
                 )
-                core._hw()  # validate BEFORE committing to a 200 stream
+                # validate BEFORE committing to a 200 stream: watch_frames is
+                # a generator, so its own checks only fire at first next() —
+                # after the SSE headers are already on the wire
+                if core._hw().stream is None:
+                    raise ServerError(409, "hardware stack has no pose stream")
             except ServerError as e:
                 self._reply(e.status, {"success": False, "message": str(e)})
                 return
@@ -758,6 +803,11 @@ def serve(core: MamriServer, host: str = "127.0.0.1", port: int = 8420) -> int:
         pass
     finally:
         httpd.server_close()
+        # never exit with a robot motion unsupervised: the hw task runs on a
+        # daemon thread the interpreter would kill mid-trajectory while the
+        # controller keeps driving to the last commanded keyframe (the CLI
+        # path soft-stops on interrupt the same way, __main__.cmd_hw)
+        core.stop_hw_task(join_timeout_s=10.0)
     # an explicit operator /shutdown always stops for good — even when a
     # budget drain was already in progress (otherwise the supervisor would
     # respawn a worker the operator just asked to stop)

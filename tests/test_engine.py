@@ -778,3 +778,27 @@ def test_jit_cache_thread_safety():
         t.join()
     assert len(calls) == 1
     assert all(g is got[0] for g in got)
+
+
+def test_escalation_exhaustive_escape_at_maxed_roots():
+    """r5 review: a user config starting at max_roots=4096 on the jnp path
+    (count_ok also covers the blocked-top_k budget there) must still get the
+    exhaustive flat-top_k rerun instead of 'uncertified at strongest
+    settings' — max_roots has nowhere to grow but exhaustive_roots does."""
+    p = SegmentationParams(max_roots=4096, exhaustive_roots=False)
+    # targeted path (sub-certificates reported)
+    new = MamriEngine._escalate_seg_params(
+        p, converged=True, complete=False, blobs_complete=True,
+        count_ok=False, cand_ok=True, runs_ok=True, compact_ok=True,
+    )
+    assert new is not None and new.exhaustive_roots
+    assert new.max_roots == 4096
+    # blanket path (legacy 3-arg callers)
+    p2 = SegmentationParams(max_roots=4096, cand_k=256, run_k=128, exhaustive_roots=False)
+    new2 = MamriEngine._escalate_seg_params(p2, converged=True, complete=False)
+    assert new2 is not None and new2.exhaustive_roots
+    # once exhaustive, a still-failing count certificate is terminal
+    assert MamriEngine._escalate_seg_params(
+        new, converged=True, complete=False, blobs_complete=True,
+        count_ok=False, cand_ok=True, runs_ok=True, compact_ok=True,
+    ) is None

@@ -460,3 +460,16 @@ def test_supervise_parent_is_import_light():
     out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
     assert out.returncode == 0, out.stderr
     assert "light" in out.stdout
+
+
+def test_batch_validation_failure_spends_no_budget(engine):
+    """r5 review: a batch rejected at validation/load time uploaded nothing,
+    so it must not spend the frame budget the leak flag exists to bound."""
+    core = MamriServer(engine=engine, max_frames=10)
+    st, out = core.handle(
+        "POST", "/estimate_batch",
+        json.dumps({"paths": [f"/nonexistent/{i}.nii" for i in range(500)]}).encode(),
+        "application/json",
+    )
+    assert st == 422 and not out["success"]
+    assert core.frames_served == 0 and not core.draining

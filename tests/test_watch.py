@@ -264,3 +264,62 @@ def test_cli_hw_move_watch_prints_frames(capsys):
             frames.append(obj)
     assert any(f["event"] == "pose" for f in frames), out
     assert any(f["event"] == "task_finished" for f in frames), out
+
+
+def test_hw_task_rejected_while_draining(hw_server):
+    """r5 review: a draining worker must not start a robot motion it cannot
+    supervise to completion (the process is about to exit)."""
+    core, stack, robot = hw_server
+    core.draining = True
+    core.drain_reason = "RSS budget reached (x/y MiB)"
+    st, payload = core.handle(
+        "POST", "/hw/move", json.dumps({"steps": [5, 0, 0, 0, 0, 0]}).encode(),
+        "application/json",
+    )
+    assert st == 503 and payload["recycle"] is True
+    assert not stack.runner.is_active
+    core.draining = False
+    core.drain_reason = None
+
+
+def test_hw_status_passive_while_task_active(hw_server):
+    """r5 review: /hw/status during a running task must not write the serial
+    command channel from the handler thread (single-writer links) — it
+    serves the lock-safe passive snapshot + the last streamed frame."""
+    core, stack, robot = hw_server
+    st, payload = core.handle(
+        "POST", "/hw/move", json.dumps({"steps": [40, 0, 0, 0, 0, 0]}).encode(),
+        "application/json",
+    )
+    assert st == 200, payload
+    saw_passive = False
+    for _ in range(300):
+        st, payload = core.handle("GET", "/hw/status", b"", "")
+        assert st == 200 and payload["success"]
+        if payload.get("passive"):
+            assert "joints" not in payload  # no controller round-trips
+            # (task_active may already read False here: the task can finish
+            # between the route's is_active check and this snapshot)
+            saw_passive = True
+        if not stack.runner.is_active and not payload.get("passive"):
+            break
+        time.sleep(0.01)
+    assert saw_passive  # at least one status call landed mid-task
+    # after the task, the full (controlling-thread) status path is back
+    st, payload = core.handle("GET", "/hw/status", b"", "")
+    assert st == 200 and "joints" in payload
+
+
+def test_stop_hw_task_on_worker_exit(hw_server):
+    """r5 review: a worker exiting mid-task must soft-stop and join the hw
+    thread instead of abandoning a moving robot."""
+    core, stack, robot = hw_server
+    st, payload = core.handle(
+        "POST", "/hw/move", json.dumps({"steps": [2000, 0, 0, 0, 0, 0],
+                                        "timeout_s": 30.0}).encode(),
+        "application/json",
+    )
+    assert st == 200, payload
+    assert core.stop_hw_task(join_timeout_s=10.0)
+    assert not stack.runner.is_active
+    assert stack.runner.state.outcome.value in ("stopped", "success")
