@@ -893,8 +893,8 @@ def _run_stats_compact_kernel(roots_ref, lab_ref, len_ref, z0_ref, gi_ref, gj_re
 def run_stats_matmul_compact(
     lab_c, len_c, z0_c, gi_c, gj_c, roots, block: int = 0, interpret: bool = False
 ):
-    """(R, 4) stats over a COMPACTED 1-D run table (see `compact_runs` in
-    segmentation.py). The dense (nx, k, ny) table is mostly empty slots —
+    """(R, 4) stats over a COMPACTED 1-D run table (built by
+    `segmentation.compact_runs`). The dense (nx, k, ny) table is mostly empty slots —
     ~3-30x more than real runs on clinical scenes — and the stats cost is
     the (R x M) one-hot VMEM traffic, so compaction is what keeps escalated
     root budgets (thousands of speckle components) cheap: M drops from

@@ -194,20 +194,11 @@ def run_parity_checks(size: int = 128, sweeps: int = 6, interpret=None) -> Dict:
     cap = min(max(cap, 256), m)
 
     def compact_call(lab_t, len_t, z0_t, roots_t):
-        lnf = len_t.reshape(-1)
-        pos_keys = jnp.where(lnf > 0, -jnp.arange(m, dtype=jnp.int32), -_BIG)
-        kv, _ = jax.lax.top_k(pos_keys, cap)
-        pos = -kv
-        real = pos < m
-        safe = jnp.where(real, pos, 0)
+        # the PRODUCTION gather (seg.compact_runs), not a copy: the hardware
+        # parity check must exercise the same slot-decode the engine runs
+        lab_c, len_c, z0_c, gi_c, gj_c, _ = seg.compact_runs(lab_t, len_t, z0_t, cap)
         return po.run_stats_matmul_compact(
-            jnp.where(real, jnp.take(lab_t.reshape(-1), safe), _BIG),
-            jnp.where(real, jnp.take(lnf, safe), 0),
-            jnp.where(real, jnp.take(z0_t.reshape(-1), safe), 0),
-            jnp.where(real, pos // (kk * nyp), 0),
-            jnp.where(real, pos % nyp, 0),
-            roots_t,
-            interpret=interpret,
+            lab_c, len_c, z0_c, gi_c, gj_c, roots_t, interpret=interpret,
         )
 
     got_compact = np.asarray(jax.jit(compact_call)(run_lab, run_len, run_z0, roots_j))

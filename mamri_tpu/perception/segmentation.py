@@ -467,6 +467,37 @@ def _pow2ceil(v: int) -> int:
     return 1 << max(int(v) - 1, 1).bit_length()
 
 
+def compact_runs(run_lab, run_len, run_z0, cap: int):
+    """Compact the dense (nx, k, ny) z-run table to its `cap` lowest-indexed
+    occupied slots — the input `run_stats_matmul_compact` consumes.
+
+    Dense run tables are mostly empty (~17.9k of 524k slots hold real runs
+    on a noisy 256³ scan), and the stats cost is the (R x M) one-hot VMEM
+    traffic, so this top_k gather is what keeps escalated root budgets
+    cheap. Returns (lab_c, len_c, z0_c, gi_c, gj_c, n_runs): the compacted
+    columns (label `_BIG` / len 0 in unused slots), the x / y grid
+    coordinates decoded from the flat slot position, and the true occupied
+    count — exact iff `n_runs <= cap` (the `compact_ok` certificate; the
+    engine reruns dense otherwise). Used by `_component_stats_fast` and by
+    the parity harness so the hardware check exercises THIS gather, not a
+    copy."""
+    nxp, kk, nyp = run_lab.shape
+    m = nxp * kk * nyp
+    lnflat = run_len.reshape(-1)
+    n_runs = jnp.sum(lnflat > 0, dtype=jnp.int32)
+    pos_keys = jnp.where(lnflat > 0, -jnp.arange(m, dtype=jnp.int32), -_BIG)
+    kv, _ = lax.top_k(pos_keys, cap)
+    pos = -kv  # ascending original slot positions; _BIG where empty
+    real = pos < m
+    safe = jnp.where(real, pos, 0)
+    lab_c = jnp.where(real, jnp.take(run_lab.reshape(-1), safe), _BIG)
+    len_c = jnp.where(real, jnp.take(lnflat, safe), 0)
+    z0_c = jnp.where(real, jnp.take(run_z0.reshape(-1), safe), 0)
+    gi_c = jnp.where(real, pos // (kk * nyp), 0)
+    gj_c = jnp.where(real, pos % nyp, 0)
+    return lab_c, len_c, z0_c, gi_c, gj_c, n_runs
+
+
 def _component_stats_fast(
     labels_padded, dists, shape, max_roots: int, cand_k: int = 8, run_k: int = 8,
     compact: Optional[bool] = None, interpret: bool = False,
@@ -524,19 +555,10 @@ def _component_stats_fast(
         # cap: >= half the (x, y) lines holding a run — far above clinical
         # occupancy; certified (n_runs <= cap) and escalatable to dense.
         cap = min(m, max(32768, _pow2ceil((nx * ny) // 2)))
-        lnflat = run_len.reshape(-1)
-        n_runs = jnp.sum(lnflat > 0, dtype=jnp.int32)
+        lab_c, len_c, z0_c, gi_c, gj_c, n_runs = compact_runs(
+            run_lab, run_len, run_z0, cap
+        )
         compact_ok = n_runs <= cap
-        pos_keys = jnp.where(lnflat > 0, -jnp.arange(m, dtype=jnp.int32), -_BIG)
-        kv, _ = lax.top_k(pos_keys, cap)
-        pos = -kv  # ascending original slot positions; _BIG where empty
-        real = pos < m
-        safe = jnp.where(real, pos, 0)
-        lab_c = jnp.where(real, jnp.take(run_lab.reshape(-1), safe), _BIG)
-        len_c = jnp.where(real, jnp.take(lnflat, safe), 0)
-        z0_c = jnp.where(real, jnp.take(run_z0.reshape(-1), safe), 0)
-        gi_c = jnp.where(real, pos // (kk * nyp), 0)
-        gj_c = jnp.where(real, pos % nyp, 0)
         stats = run_stats_matmul_compact(
             lab_c, len_c, z0_c, gi_c, gj_c, roots, interpret=interpret
         )

@@ -27,7 +27,12 @@ from typing import List, NamedTuple, Optional, Tuple
 import numpy as np
 
 from mamri_tpu.core.robot import RobotModel
-from mamri_tpu.planning.geometry import PARTS_TO_CHECK, _capsule_points, MIN_PART_LENGTH_MM, DEFAULT_PART_RADIUS_MM
+from mamri_tpu.planning.geometry import (
+    DEFAULT_PART_RADIUS_MM,
+    PARTS_TO_CHECK,
+    _capsule_points,
+    resolve_part_source,
+)
 
 
 class ExactParts(NamedTuple):
@@ -83,24 +88,12 @@ def build_exact_parts(
     link_idx = tuple(model.link_index(nm) for nm in PARTS_TO_CHECK)
     for k, name in enumerate(PARTS_TO_CHECK):
         li = link_idx[k]
-        pts = None
-        if mesh_dir is not None:
-            spec = model.specs[li]
-            for mesh_name in (spec.collision_mesh, spec.visual_mesh):
-                if not mesh_name:
-                    continue
-                path = os.path.join(mesh_dir, mesh_name)
-                if os.path.exists(path):
-                    pts = densify_triangles(load_stl(path), max_edge_mm)
-                    mode = "stl-dense"
-                    break
-        if pts is None:
-            spec_child = next((s for s in model.specs if s.parent == li), None)
-            length = (
-                float(np.linalg.norm(spec_child.offset_mm)) if spec_child is not None else 0.0
-            )
-            length = max(length, MIN_PART_LENGTH_MM)
-            pts = _capsule_points(length, DEFAULT_PART_RADIUS_MM, capsule_points, seed=li)
+        stl_path, capsule_len = resolve_part_source(model, li, mesh_dir)
+        if stl_path is not None:
+            pts = densify_triangles(load_stl(stl_path), max_edge_mm)
+            mode = "stl-dense"
+        else:
+            pts = _capsule_points(capsule_len, DEFAULT_PART_RADIUS_MM, capsule_points, seed=li)
         clouds.append(np.asarray(pts, dtype=np.float32))
     return ExactParts(
         clouds=clouds, link_idx=link_idx, names=PARTS_TO_CHECK, mode=mode, max_edge_mm=max_edge_mm

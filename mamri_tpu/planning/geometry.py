@@ -55,6 +55,29 @@ def _capsule_points(length: float, radius: float, n: int, seed: int) -> np.ndarr
     return np.concatenate([side, caps]).astype(np.float32)
 
 
+def resolve_part_source(model, link_index: int, mesh_dir):
+    """Resolve one checked part to its geometry source — shared by the fast
+    checker (`build_arm_geometry`) and the exact validator
+    (`planning.exact.build_exact_parts`) so both always validate the SAME
+    part resolution: an existing STL (collision mesh first, visual-mesh
+    fallback — the reference's missing-hull handling, Mamri.py:1555-1575),
+    else a capsule whose length spans this link's origin to its child's
+    fixed offset (static spec data — no device round-trip at init).
+
+    Returns (stl_path | None, capsule_length_mm)."""
+    spec = model.specs[link_index]
+    if mesh_dir is not None:
+        for mesh_name in (spec.collision_mesh, spec.visual_mesh):
+            if not mesh_name:
+                continue
+            path = os.path.join(mesh_dir, mesh_name)
+            if os.path.exists(path):
+                return path, 0.0
+    child = next((s for s in model.specs if s.parent == link_index), None)
+    length = float(np.linalg.norm(child.offset_mm)) if child is not None else 0.0
+    return None, max(length, MIN_PART_LENGTH_MM)
+
+
 def build_arm_geometry(
     model: RobotModel,
     mesh_dir: Optional[str] = None,
@@ -72,24 +95,11 @@ def build_arm_geometry(
     clouds = []
     for k, name in enumerate(PARTS_TO_CHECK):
         li = link_idx[k]
-        pts = None
-        if mesh_dir is not None:
-            spec = model.specs[li]
-            for mesh_name in (spec.collision_mesh, spec.visual_mesh):
-                if not mesh_name:
-                    continue
-                path = os.path.join(mesh_dir, mesh_name)
-                if os.path.exists(path):
-                    tris = load_stl(path)
-                    pts = sample_surface_points(tris, points_per_part, seed=li)
-                    break
-        if pts is None:
-            # capsule from this link's origin to its child's fixed offset
-            # (static spec data — no device round-trip at engine init)
-            child = next((s for s in model.specs if s.parent == li), None)
-            length = float(np.linalg.norm(child.offset_mm)) if child is not None else 0.0
-            length = max(length, MIN_PART_LENGTH_MM)
-            pts = _capsule_points(length, radius_mm, points_per_part, seed=li)
+        stl_path, capsule_len = resolve_part_source(model, li, mesh_dir)
+        if stl_path is not None:
+            pts = sample_surface_points(load_stl(stl_path), points_per_part, seed=li)
+        else:
+            pts = _capsule_points(capsule_len, radius_mm, points_per_part, seed=li)
         if pts.shape[0] < points_per_part:
             reps = -(-points_per_part // pts.shape[0])
             pts = np.tile(pts, (reps, 1))[:points_per_part]
