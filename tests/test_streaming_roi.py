@@ -127,3 +127,28 @@ def test_roi_incompatible_with_replan(engine):
 def test_roi_incompatible_with_pipelined(engine):
     with pytest.raises(ValueError, match="synchronous tracker"):
         PoseTracker(engine, pipelined=True, roi_margin_mm=40.0)
+
+
+def test_roi_fov_shrink_falls_back_to_full_frame(engine, grid):
+    """r5 review: a mid-sequence frame SMALLER than the frozen window (scanner
+    FOV change) must fall back to the full frame, not wrap a negative slice
+    start into a geometrically wrong crop."""
+    poses = _pose_sequence()
+    f0 = _frame(engine, grid, poses[0])
+    f1 = _frame(engine, grid, poses[1])
+    tr = PoseTracker(engine, roi_margin_mm=40.0)
+    r0 = tr.step(f0)
+    assert r0.success
+    r1 = tr.step(f1)
+    assert r1.success and tr.roi_frames >= 1  # window armed and used
+    frozen = np.asarray(tr._roi_shape)
+    # shrink one axis below the frozen window: the tracker must refuse the
+    # window (full-frame path), and the estimate still succeeds
+    from mamri_tpu.perception.volume import Volume
+
+    cut = int(frozen[0]) - 1
+    small = Volume(data=np.asarray(f1.data)[:cut], spacing=f1.spacing, origin=f1.origin)
+    roi_before = tr.roi_frames
+    r2 = tr.step(small)
+    assert tr.roi_frames == roi_before  # no ROI frame was produced
+    assert tr._crop_roi(small) is None
