@@ -34,7 +34,11 @@ from mamri_tpu.core.units import (
     steps_to_angles_host,
 )
 from mamri_tpu.ik.residuals import solve_full_chain_ik
-from mamri_tpu.perception.segmentation import SegmentationParams, segment_volume
+from mamri_tpu.perception.segmentation import (
+    SegmentationParams,
+    _use_pallas,
+    segment_volume,
+)
 from mamri_tpu.perception.volume import Volume
 from mamri_tpu.planning.collision import build_collision_world
 from mamri_tpu.planning.entry import EntryPointResult, find_entry_point
@@ -291,6 +295,7 @@ class MamriEngine:
         cand_ok: Optional[bool] = None,
         runs_ok: Optional[bool] = None,
         compact_ok: Optional[bool] = None,
+        jnp_path: bool = False,
     ):
         """One escalation step for an uncertified segmentation result.
 
@@ -329,14 +334,19 @@ class MamriEngine:
                 exhaustive_roots=True,  # jnp path: exact flat top_k
             )
         elif not complete and targeted:
-            if not count_ok and (params.max_roots < 4096 or not params.exhaustive_roots):
-                # jnp path: count_ok also covers the blocked-top_k budget, so
-                # a maxed max_roots with exhaustive_roots still off (user
-                # config starting at 4096) must still get the exact flat
-                # top_k rerun rather than "uncertified at strongest settings"
+            if not count_ok and (
+                params.max_roots < 4096 or (jnp_path and not params.exhaustive_roots)
+            ):
+                # jnp path only: count_ok also covers the blocked-top_k
+                # budget there, so a maxed max_roots with exhaustive_roots
+                # still off (user config starting at 4096) must still get
+                # the exact flat top_k rerun rather than "uncertified at
+                # strongest settings". On the kernel path exhaustive_roots
+                # is a no-op — flipping it would force an identical
+                # recompile+rerun for nothing.
                 new = new._replace(
                     max_roots=min(max(params.max_roots * 8, 1024), 4096),
-                    exhaustive_roots=True,
+                    exhaustive_roots=True if jnp_path else params.exhaustive_roots,
                 )
             if cand_ok is False and params.cand_k < 256:
                 new = new._replace(cand_k=min(max(params.cand_k * 8, 64), 256))
@@ -401,6 +411,7 @@ class MamriEngine:
                     cand_ok=bool(out["seg_cand_ok"]),
                     runs_ok=bool(out["seg_runs_ok"]),
                     compact_ok=bool(out["seg_compact_ok"]),
+                    jnp_path=not (params.use_pallas if params.use_pallas is not None else _use_pallas()),
                 )
                 if stronger is None:
                     logger.warning(
@@ -582,6 +593,7 @@ class MamriEngine:
                 cand_ok=bool(out["seg_cand_ok"][fail].all()),
                 runs_ok=bool(out["seg_runs_ok"][fail].all()),
                 compact_ok=bool(out["seg_compact_ok"][fail].all()),
+                jnp_path=not (params.use_pallas if params.use_pallas is not None else _use_pallas()),
             )
             if stronger is None:
                 logger.warning(

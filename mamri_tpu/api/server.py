@@ -132,6 +132,7 @@ class MamriServer:
         self._state_lock = threading.Lock()  # counters + draining flag
         self._hw_lock = threading.Lock()  # one hardware task thread at a time
         self._hw_thread: Optional[threading.Thread] = None
+        self._hw_shutdown = False  # set on worker exit: no new tasks may start
         self.frames_served = 0
         self.started_at = time.monotonic()
         self.draining = False
@@ -480,22 +481,30 @@ class MamriServer:
 
     def _do_hw_status(self) -> dict:
         hw = self._hw()
-        if hw.runner.is_active:
-            # The serial links are single-writer: while the executor owns
-            # them, a status() from this handler thread would interleave a
-            # 'P' query with the executor's per-tick traffic. Serve the
-            # lock-safe passive snapshot + the last streamed pose frame.
-            out = {"success": True, "status": hw.passive_status(), "passive": True}
-            stream = getattr(hw, "stream", None)
-            if stream is not None and stream.last_frame is not None:
-                out["last_pose"] = stream.last_frame
-            return out
-        st = hw.status()
-        return {"success": True, "status": st, "joints": hw.joint_status_table(st)}
+        # The serial links are single-writer: while the executor owns them,
+        # a status() from this handler thread would interleave a 'P' query
+        # with the executor's per-tick traffic. The is_active check and the
+        # idle-path query both run under _hw_lock — the same lock that gates
+        # task starts — so a concurrent /hw/move cannot slip a task start
+        # between the check and the query.
+        with self._hw_lock:
+            if not hw.runner.is_active:
+                st = hw.status()
+                return {"success": True, "status": st, "joints": hw.joint_status_table(st)}
+        out = {"success": True, "status": hw.passive_status(), "passive": True}
+        stream = getattr(hw, "stream", None)
+        last = stream.last_frame if stream is not None else None
+        if last is not None and last.get("event") == "pose":
+            # only a live pose frame: last_frame may still hold the PREVIOUS
+            # task's terminal event before this task's first tick publishes
+            out["last_pose"] = last
+        return out
 
     def _start_hw_task(self, start_fn) -> dict:
         hw = self._hw()
         with self._hw_lock:
+            if self._hw_shutdown:
+                raise ServerError(503, "worker is exiting; no new robot tasks")
             if hw.runner.is_active or (self._hw_thread is not None and self._hw_thread.is_alive()):
                 raise ServerError(409, "a robot task is already running")
             state = start_fn(hw)
@@ -518,8 +527,14 @@ class MamriServer:
     def stop_hw_task(self, join_timeout_s: float = 10.0) -> bool:
         """Soft-stop any active hardware task and wait for its thread.
         Returns True if the thread is gone (or none was running). Called on
-        worker exit so a drain/shutdown never abandons a moving robot."""
-        t = self._hw_thread
+        worker exit so a drain/shutdown never abandons a moving robot. Also
+        latches _hw_shutdown under _hw_lock, so an in-flight /hw/move
+        handler racing the exit cannot start a task AFTER this check (it
+        gets a 503 instead — the Ctrl-C path never sets `draining`, so the
+        route-level drain gate alone would not cover it)."""
+        with self._hw_lock:
+            self._hw_shutdown = True
+            t = self._hw_thread
         if t is None or not t.is_alive():
             return True
         hw = getattr(self.engine, "hardware", None)
@@ -573,13 +588,20 @@ class MamriServer:
         return self._start_hw_task(lambda hw: hw.execute_trajectory(keyframes, timeout_s=timeout_s))
 
     def watch_frames(self, max_frames=None, heartbeat_s: float = 0.25, idle_timeout_s: float = 30.0):
-        """Generator of live frames: executor pose frames as they arrive,
+        """Iterator of live frames: executor pose frames as they arrive,
         encoder-only status heartbeats at >= 4 Hz between them (the
         reference's status cadence, Mamri.py:595). Ends at task_finished,
-        `max_frames`, or `idle_timeout_s` with no task running."""
+        `max_frames`, or `idle_timeout_s` with no task running.
+
+        Validates EAGERLY (no hardware / no stream raise here, not at first
+        next()), so HTTP callers can reject before committing a 200 SSE
+        status line; the returned inner generator owns the subscription."""
         hw = self._hw()
         if hw.stream is None:
             raise ServerError(409, "hardware stack has no pose stream")
+        return self._watch_frames_inner(hw, max_frames, heartbeat_s, idle_timeout_s)
+
+    def _watch_frames_inner(self, hw, max_frames, heartbeat_s, idle_timeout_s):
         sub = hw.stream.subscribe()
         try:
             yielded = 0
@@ -693,15 +715,13 @@ def make_http_server(core: MamriServer, host: str = "127.0.0.1", port: int = 0):
             """GET /watch -> Server-Sent Events: one `data: {json}` line per
             live frame (connection-delimited body; the stream has no length)."""
             try:
+                # watch_frames validates eagerly (hardware + stream), so a
+                # 409 surfaces here — before the 200 SSE headers are on the
+                # wire
                 frames = core.watch_frames(
                     max_frames=int(query["frames"]) if "frames" in query else None,
                     idle_timeout_s=float(query.get("timeout", 30.0)),
                 )
-                # validate BEFORE committing to a 200 stream: watch_frames is
-                # a generator, so its own checks only fire at first next() —
-                # after the SSE headers are already on the wire
-                if core._hw().stream is None:
-                    raise ServerError(409, "hardware stack has no pose stream")
             except ServerError as e:
                 self._reply(e.status, {"success": False, "message": str(e)})
                 return

@@ -786,13 +786,20 @@ def test_escalation_exhaustive_escape_at_maxed_roots():
     exhaustive flat-top_k rerun instead of 'uncertified at strongest
     settings' — max_roots has nowhere to grow but exhaustive_roots does."""
     p = SegmentationParams(max_roots=4096, exhaustive_roots=False)
-    # targeted path (sub-certificates reported)
+    # targeted path (sub-certificates reported), jnp path
     new = MamriEngine._escalate_seg_params(
         p, converged=True, complete=False, blobs_complete=True,
         count_ok=False, cand_ok=True, runs_ok=True, compact_ok=True,
+        jnp_path=True,
     )
     assert new is not None and new.exhaustive_roots
     assert new.max_roots == 4096
+    # kernel path: exhaustive_roots is a no-op there — no wasted rerun
+    assert MamriEngine._escalate_seg_params(
+        p, converged=True, complete=False, blobs_complete=True,
+        count_ok=False, cand_ok=True, runs_ok=True, compact_ok=True,
+        jnp_path=False,
+    ) is None
     # blanket path (legacy 3-arg callers)
     p2 = SegmentationParams(max_roots=4096, cand_k=256, run_k=128, exhaustive_roots=False)
     new2 = MamriEngine._escalate_seg_params(p2, converged=True, complete=False)
@@ -801,4 +808,5 @@ def test_escalation_exhaustive_escape_at_maxed_roots():
     assert MamriEngine._escalate_seg_params(
         new, converged=True, complete=False, blobs_complete=True,
         count_ok=False, cand_ok=True, runs_ok=True, compact_ok=True,
+        jnp_path=True,
     ) is None

@@ -323,3 +323,16 @@ def test_stop_hw_task_on_worker_exit(hw_server):
     assert core.stop_hw_task(join_timeout_s=10.0)
     assert not stack.runner.is_active
     assert stack.runner.state.outcome.value in ("stopped", "success")
+
+
+def test_no_new_hw_task_after_stop_hw_task(hw_server):
+    """r5 review: stop_hw_task latches shutdown under _hw_lock — an in-flight
+    /hw/move racing the worker exit gets a 503, never a started task."""
+    core, stack, robot = hw_server
+    assert core.stop_hw_task()
+    st, payload = core.handle(
+        "POST", "/hw/move", json.dumps({"steps": [1, 0, 0, 0, 0, 0]}).encode(),
+        "application/json",
+    )
+    assert st == 503, payload
+    assert not stack.runner.is_active
